@@ -1,0 +1,159 @@
+package graft.cdc
+
+import graft.model.Types
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic change log derived from the `documents` fixture
+  * table (FIXTURES.md §A2), used to replay the reference's CDC dataflow in
+  * batch form. Every edge case the reference exhibits is pinned by a modular
+  * rule on `doc_id` so the identical log is expressible in the DuckDB oracle:
+  *
+  *  - insert for every doc (op `c`);
+  *  - update (op `u`) for `doc_id % 3 = 0` with upper-cased content;
+  *  - `doc_id % 37 = 0`: all text columns empty/null → row dropped by the
+  *    empty-text skip (reference: internal/pipeline/pipeline.go:204-207);
+  *  - `% 37 = 1`: null title; `% 37 = 2`: empty content — both skipped by the
+  *    ordered concat (reference: internal/util/text.go:16-21);
+  *  - `% 41 = 0`: update with null After → skipped
+  *    (reference: internal/pipeline/pipeline.go:198-201);
+  *  - `% 7 = 0`: delete with Before present
+  *    (reference: internal/pipeline/pipeline.go:191-196);
+  *  - `% 43 = 0`: delete with no REPLICA IDENTITY old tuple → empty pk
+  *    (reference: internal/cdc/postgres/postgres.go:602-619);
+  *  - `% 17 = 0`: change on unmapped table `public.other` → filtered
+  *    (reference: internal/pipeline/pipeline.go:117-120);
+  *  - `% 5 = 0`: `created_at` metadata column absent → omitted from metadata
+  *    (reference: internal/pipeline/pipeline.go:237-241).
+  *
+  * LSNs are `doc_id*10 + branch` — unique, and commit-ordered per pk, so
+  * `q_latest_by_pk` replays to a deterministic current state.
+  */
+object Changelog {
+
+  /** Flat-column form: op, schema_name, table_name, pk, lsn, title, content,
+    * created_at, author, has_after. */
+  def flat(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val id = col("doc_id")
+    val m = id % 37
+    val nullStr = lit(null).cast("string")
+    val titleRule =
+      when(m === 0, lit("")).when(m === 1, nullStr)
+        .otherwise(concat(lit("Doc "), id.cast("string")))
+    def contentRule(base: org.apache.spark.sql.Column) =
+      when(m === 0, nullStr).when(m === 2, lit("")).otherwise(base)
+    val createdRule =
+      when(id % 5 === 0, nullStr)
+        .otherwise(concat(lit("2025-01-"), lpad((id % 28 + 1).cast("string"), 2, "0")))
+
+    def row(op: String, table: String, pk: org.apache.spark.sql.Column,
+            lsnBranch: Int, title: org.apache.spark.sql.Column,
+            content: org.apache.spark.sql.Column, created: org.apache.spark.sql.Column,
+            author: org.apache.spark.sql.Column, hasAfter: Boolean)(src: DataFrame) =
+      src.select(
+        lit(op).as("op"), lit("public").as("schema_name"), lit(table).as("table_name"),
+        pk.as("pk"), (id * 10 + lsnBranch).as("lsn"), title.as("title"),
+        content.as("content"), created.as("created_at"), author.as("author"),
+        lit(hasAfter).as("has_after"))
+
+    val inserts = row("c", "documents", id.cast("string"), 1,
+      titleRule, contentRule(col("text")), createdRule, col("source"), hasAfter = true)(d)
+    val updates = row("u", "documents", id.cast("string"), 2,
+      titleRule, contentRule(upper(col("text"))), createdRule, col("source"),
+      hasAfter = true)(d.filter(id % 3 === 0))
+    val nullAfterUpdates = row("u", "documents", id.cast("string"), 3,
+      nullStr, nullStr, nullStr, nullStr, hasAfter = false)(d.filter(id % 41 === 0))
+    val deletes = row("d", "documents", id.cast("string"), 4,
+      nullStr, nullStr, nullStr, nullStr, hasAfter = false)(d.filter(id % 7 === 0))
+    val blindDeletes = row("d", "documents", lit(""), 5,
+      nullStr, nullStr, nullStr, nullStr, hasAfter = false)(d.filter(id % 43 === 0))
+    val unmapped = row("c", "other", id.cast("string"), 6,
+      lit("X"), lit("Y"), nullStr, nullStr, hasAfter = true)(d.filter(id % 17 === 0))
+
+    inserts.unionByName(updates).unionByName(nullAfterUpdates)
+      .unionByName(deletes).unionByName(blindDeletes).unionByName(unmapped)
+  }
+
+  /** The same DuckDB-dialect change log as a CTE, prefixed to every Group A
+    * oracle query. Must stay semantically identical to [[flat]]. */
+  val cte: String =
+    """WITH changes AS (
+      |  SELECT 'c' AS op, 'public' AS schema_name, 'documents' AS table_name,
+      |         CAST(doc_id AS VARCHAR) AS pk, doc_id*10+1 AS lsn,
+      |         CASE WHEN doc_id%37=0 THEN '' WHEN doc_id%37=1 THEN NULL
+      |              ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+      |         CASE WHEN doc_id%37=0 THEN NULL WHEN doc_id%37=2 THEN ''
+      |              ELSE text END AS content,
+      |         CASE WHEN doc_id%5=0 THEN NULL
+      |              ELSE '2025-01-' || lpad(CAST(doc_id%28+1 AS VARCHAR),2,'0') END AS created_at,
+      |         source AS author, TRUE AS has_after
+      |    FROM documents
+      |  UNION ALL
+      |  SELECT 'u','public','documents',CAST(doc_id AS VARCHAR),doc_id*10+2,
+      |         CASE WHEN doc_id%37=0 THEN '' WHEN doc_id%37=1 THEN NULL
+      |              ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END,
+      |         CASE WHEN doc_id%37=0 THEN NULL WHEN doc_id%37=2 THEN ''
+      |              ELSE upper(text) END,
+      |         CASE WHEN doc_id%5=0 THEN NULL
+      |              ELSE '2025-01-' || lpad(CAST(doc_id%28+1 AS VARCHAR),2,'0') END,
+      |         source, TRUE
+      |    FROM documents WHERE doc_id%3=0
+      |  UNION ALL
+      |  SELECT 'u','public','documents',CAST(doc_id AS VARCHAR),doc_id*10+3,
+      |         NULL,NULL,NULL,NULL,FALSE
+      |    FROM documents WHERE doc_id%41=0
+      |  UNION ALL
+      |  SELECT 'd','public','documents',CAST(doc_id AS VARCHAR),doc_id*10+4,
+      |         NULL,NULL,NULL,NULL,FALSE
+      |    FROM documents WHERE doc_id%7=0
+      |  UNION ALL
+      |  SELECT 'd','public','documents','',doc_id*10+5,
+      |         NULL,NULL,NULL,NULL,FALSE
+      |    FROM documents WHERE doc_id%43=0
+      |  UNION ALL
+      |  SELECT 'c','public','other',CAST(doc_id AS VARCHAR),doc_id*10+6,
+      |         'X','Y',NULL,NULL,TRUE
+      |    FROM documents WHERE doc_id%17=0
+      |)""".stripMargin
+
+  /** Wire form: one JSON envelope string per change, mirroring
+    * `types.RowChange` (reference: internal/types/types.go:3-12). Null-valued
+    * tuple fields are omitted from the maps (pgoutput sends them as explicit
+    * NULL tags; the map form drops them — reference:
+    * internal/cdc/postgres/postgres.go:629-638). */
+  def envelopes(spark: SparkSession, dir: String): DataFrame = {
+    val f = flat(spark, dir)
+    val afterMap = map_filter(
+      map(
+        lit("id"), col("pk"),
+        lit("title"), col("title"),
+        lit("content"), col("content"),
+        lit("created_at"), col("created_at"),
+        lit("author"), col("author")),
+      (_, v) => v.isNotNull)
+    f.select(
+      to_json(struct(
+        col("op"),
+        col("schema_name").as("schema"),
+        col("table_name").as("table"),
+        col("pk").as("primary_key"),
+        when(col("op") === "d" && col("pk") =!= "", map(lit("id"), col("pk"))).as("before"),
+        when(col("has_after"), afterMap).as("after"),
+        col("lsn").cast("string").as("lsn"))).as("value"))
+  }
+
+  /** Decode the wire envelope back to RowChange columns — the engine's S2
+    * step (reference: internal/cdc/postgres/postgres.go:223-318), as a single
+    * `from_json` over [[Types.rowChangeSchema]]. */
+  def parse(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(from_json(col("value"), Types.rowChangeSchema).as("c"))
+      .select(col("c.*"))
+
+  /** Parsed change records for a fixture dir (wire roundtrip included, so the
+    * JSON codec is exercised on every Group A query). */
+  def changes(spark: SparkSession, dir: String): DataFrame =
+    parse(envelopes(spark, dir))
+}

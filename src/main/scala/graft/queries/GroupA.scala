@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.cdc.Changelog
+import graft.embed.Embedders
+import graft.ops.{TextOps, VectorOps}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Group A — batch replay of the reference's CDC → embedding → vector-store
+  * dataflow (SURVEY.md §2.3). Every query runs over the wire-envelope
+  * roundtrip ([[Changelog.changes]]) so the JSON decode path S2-S4 is always
+  * exercised; oracles run over the equivalent flat CTE.
+  */
+object GroupA {
+
+  private val mappedTables = Seq("public.documents")
+
+  /** Fully-qualified `schema.table`. */
+  private def qualified: Column = concat(col("schema"), lit("."), col("table"))
+
+  /** F1 table filter (reference: internal/pipeline/pipeline.go:117-120). */
+  private def mapped(changes: DataFrame): DataFrame =
+    changes.filter(qualified.isin(mappedTables: _*))
+
+  /** Rows with a sink effect: deletes, or upserts with a non-null After
+    * (null-After updates are skipped — reference: pipeline.go:198-201). */
+  private def effective(changes: DataFrame): DataFrame =
+    mapped(changes).filter(col("op") === "d" || col("after").isNotNull)
+
+  private def lsnLong: Column = col("lsn").cast("long").as("lsn")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_cdc_parse",
+      s"""${Changelog.cte}
+         |SELECT op, table_name, pk, lsn, title, content
+         |FROM changes ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      Changelog.changes(spark, dir).select(
+        col("op"), col("table").as("table_name"), col("primary_key").as("pk"),
+        lsnLong, element_at(col("after"), "title").as("title"),
+        element_at(col("after"), "content").as("content"))
+        .orderBy("lsn")
+    },
+
+    Q("q_table_filter",
+      s"""${Changelog.cte}
+         |SELECT op, table_name, pk, lsn FROM changes
+         |WHERE schema_name || '.' || table_name IN ('public.documents')
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      mapped(Changelog.changes(spark, dir)).select(
+        col("op"), col("table").as("table_name"), col("primary_key").as("pk"), lsnLong)
+        .orderBy("lsn")
+    },
+
+    Q("q_op_route_upsert",
+      s"""${Changelog.cte}
+         |SELECT pk, lsn, title, content, author FROM changes
+         |WHERE table_name = 'documents' AND op <> 'd' AND has_after
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      mapped(Changelog.changes(spark, dir))
+        .filter(col("op") =!= "d" && col("after").isNotNull)
+        .select(col("primary_key").as("pk"), lsnLong,
+          element_at(col("after"), "title").as("title"),
+          element_at(col("after"), "content").as("content"),
+          element_at(col("after"), "author").as("author"))
+        .orderBy("lsn")
+    },
+
+    Q("q_op_route_delete",
+      s"""${Changelog.cte}
+         |SELECT pk, lsn FROM changes
+         |WHERE table_name = 'documents' AND op = 'd'
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      mapped(Changelog.changes(spark, dir))
+        .filter(col("op") === "d")
+        .select(col("primary_key").as("pk"), lsnLong)
+        .orderBy("lsn")
+    },
+
+    Q("q_doc_id",
+      s"""${Changelog.cte}
+         |SELECT schema_name || '.' || table_name || ':' || pk AS doc_id, lsn
+         |FROM changes
+         |WHERE table_name = 'documents'
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      mapped(Changelog.changes(spark, dir))
+        .select(TextOps.docId(col("schema"), col("table"), col("primary_key")).as("doc_id"),
+          lsnLong)
+        .orderBy("lsn")
+    },
+
+    Q("q_text_concat",
+      s"""${Changelog.cte}
+         |SELECT pk, lsn,
+         |       coalesce(array_to_string(list_filter([title, content],
+         |                x -> x IS NOT NULL AND x <> ''), ' '), '') AS text
+         |FROM changes
+         |WHERE table_name = 'documents' AND op <> 'd' AND has_after
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      mapped(Changelog.changes(spark, dir))
+        .filter(col("op") =!= "d" && col("after").isNotNull)
+        .select(col("primary_key").as("pk"), lsnLong,
+          TextOps.textConcat(Seq(
+            element_at(col("after"), "title"),
+            element_at(col("after"), "content"))).as("text"))
+        .orderBy("lsn")
+    },
+
+    Q("q_empty_text_skip",
+      s"""${Changelog.cte}
+         |SELECT pk, lsn, text FROM (
+         |  SELECT pk, lsn,
+         |         array_to_string(list_filter([title, content],
+         |                                     x -> x IS NOT NULL AND x <> ''), ' ') AS text
+         |  FROM changes
+         |  WHERE table_name = 'documents' AND op <> 'd' AND has_after)
+         |WHERE length(text) > 0
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      mapped(Changelog.changes(spark, dir))
+        .filter(col("op") =!= "d" && col("after").isNotNull)
+        .select(col("primary_key").as("pk"), lsnLong,
+          TextOps.textConcat(Seq(
+            element_at(col("after"), "title"),
+            element_at(col("after"), "content"))).as("text"))
+        .filter(length(col("text")) > 0)
+        .orderBy("lsn")
+    },
+
+    Q("q_meta_project",
+      s"""${Changelog.cte}
+         |SELECT 'public.documents' AS meta_table, pk, lsn, created_at, author
+         |FROM changes
+         |WHERE table_name = 'documents' AND op <> 'd' AND has_after
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      val meta = TextOps.metaProject(col("schema"), col("table"), col("primary_key"),
+        col("after"), Seq("created_at", "author"))
+      mapped(Changelog.changes(spark, dir))
+        .filter(col("op") =!= "d" && col("after").isNotNull)
+        .withColumn("meta", meta)
+        .select(element_at(col("meta"), "table").as("meta_table"),
+          element_at(col("meta"), "pk").as("pk"), lsnLong,
+          element_at(col("meta"), "created_at").as("created_at"),
+          element_at(col("meta"), "author").as("author"))
+        .orderBy("lsn")
+    },
+
+    Q("q_latest_by_pk",
+      s"""${Changelog.cte}
+         |SELECT pk, lsn, op, title, content FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+         |  FROM changes
+         |  WHERE table_name = 'documents' AND (op = 'd' OR has_after))
+         |WHERE rn = 1 AND op <> 'd'
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("primary_key")).orderBy(col("lsn").cast("long").desc)
+      effective(Changelog.changes(spark, dir))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .select(col("primary_key").as("pk"), lsnLong, col("op"),
+          element_at(col("after"), "title").as("title"),
+          element_at(col("after"), "content").as("content"))
+        .orderBy("lsn")
+    },
+
+    Q("q_kafka_envelope",
+      s"""${Changelog.cte}
+         |SELECT schema_name || '.' || table_name || ':' || pk AS id,
+         |       CASE WHEN op = 'd' THEN 'delete' ELSE 'upsert' END AS sink_op,
+         |       schema_name || '.' || table_name AS table_ref, pk, lsn
+         |FROM changes
+         |WHERE table_name = 'documents' AND (op = 'd' OR has_after)
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      effective(Changelog.changes(spark, dir))
+        .select(
+          TextOps.docId(col("schema"), col("table"), col("primary_key")).as("id"),
+          when(col("op") === "d", lit("delete")).otherwise(lit("upsert")).as("sink_op"),
+          qualified.as("table_ref"), col("primary_key").as("pk"), lsnLong)
+        .orderBy("lsn")
+    },
+
+    Q("q_l2_normalize",
+      """SELECT vec_id,
+        |       round(CASE WHEN n = 0 THEN x1 ELSE x1/n END, 6) AS c1,
+        |       round(CASE WHEN n = 0 THEN x2 ELSE x2/n END, 6) AS c2,
+        |       round(CASE WHEN n = 0 THEN x3 ELSE x3/n END, 6) AS c3,
+        |       round(CASE WHEN n = 0 THEN x4 ELSE x4/n END, 6) AS c4
+        |FROM (
+        |  SELECT vec_id,
+        |         CAST(embedding[1] AS DOUBLE) AS x1, CAST(embedding[2] AS DOUBLE) AS x2,
+        |         CAST(embedding[3] AS DOUBLE) AS x3, CAST(embedding[4] AS DOUBLE) AS x4,
+        |         sqrt(CAST(list_sum(list_transform(embedding,
+        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
+        |              AS DOUBLE)) AS n
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val v = col("embedding")
+      val dec = DecimalType(30, 15)
+      val n = sqrt(aggregate(
+        transform(v, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
+        lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType))
+      def comp(i: Int): Column = {
+        val x = element_at(v, i).cast(DoubleType)
+        round(when(n === 0, x).otherwise(x / n), 6).as(s"c$i")
+      }
+      Q.tbl(spark, dir, "embeddings")
+        .withColumn("n", n)
+        .select(col("vec_id"), comp(1), comp(2), comp(3), comp(4))
+        .orderBy("vec_id")
+    },
+
+    // FNV-1a 64 point-id hashing (K1) — not expressible in DuckDB SQL
+    // (per-byte fold); driver applies the rows-only check.
+    Q.noOracle("q_point_id_hash") { (spark, dir) =>
+      effective(Changelog.changes(spark, dir))
+        .select(
+          TextOps.docId(col("schema"), col("table"), col("primary_key")).as("id"),
+          lsnLong)
+        .withColumn("point_id", VectorOps.fnv1a64(col("id")))
+        .orderBy("lsn")
+    },
+
+    // Deterministic test featurizer (E1 stand-in) — UDF, no oracle.
+    Q.noOracle("q_embed_det") { (spark, dir) =>
+      val embed = Embedders.embedColumn(Embedders.deterministic)
+      mapped(Changelog.changes(spark, dir))
+        .filter(col("op") =!= "d" && col("after").isNotNull)
+        .select(col("primary_key").as("pk"), lsnLong,
+          TextOps.textConcat(Seq(
+            element_at(col("after"), "title"),
+            element_at(col("after"), "content"))).as("text"))
+        .filter(length(col("text")) > 0)
+        .withColumn("embedding", embed(col("text")))
+        .withColumn("norm_embedding", VectorOps.l2normalize(col("embedding")))
+        .orderBy("lsn")
+    }
+  )
+}
