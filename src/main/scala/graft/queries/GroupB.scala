@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.queries.Q._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Group B — relational operator surface (SURVEY.md §2.3): scans, joins,
+  * aggregation, windows, sorts, set ops, scalar/date/JSON functions,
+  * sessionization. Every query is written for the plan Catalyst should pick
+  * at scale: filters/projections that push into the parquet scan, explicit
+  * `broadcast()` on dimension tables, shuffle keys that match the join keys,
+  * and deterministic ORDER BY with unique non-null tiebreaks for the oracle.
+  */
+object GroupB {
+
+  val all: Seq[Q] = Seq(
+
+    // Parquet scan + projection + predicate — both reach the scan
+    // (PushedFilters/ReadSchema); the plan reads 5 of 11 columns.
+    Q("q_scan_project_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), dstr(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Dimension join chain with explicit broadcast of the small sides —
+    // at 100 TB the fact side streams, nation/region ship to executors.
+    Q("q_join_broadcast",
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "customer")
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(spark, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(big(count(lit(1))).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("r_name")
+    },
+
+    // Fact-to-fact equi-join: shuffles both sides on the key (sort-merge /
+    // shuffled-hash under AQE); the selective price filter pushes below the
+    // join so only matching orders shuffle.
+    Q("q_join_shuffle",
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .join(tbl(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+
+    // EXISTS — left semi join (no row multiplication, no payload columns
+    // from the right side cross the shuffle).
+    Q("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "customer")
+        .join(tbl(spark, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // NOT EXISTS — left anti join.
+    Q("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "customer")
+        .join(tbl(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // TPC-H Q1 shape: hash aggregate with map-side partial aggregation;
+    // the group-by key cardinality is tiny so the shuffle is a few rows.
+    Q("q_agg_hash",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+        |         / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      val one = lit(1.0)
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (one - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (one - col("l_discount")) * (one + col("l_tax")))
+            .as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          big(count(lit(1))).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Exact distinct — expands to a two-phase aggregate.
+    Q("q_agg_distinct",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy("event_type")
+        .agg(big(countDistinct(col("user_id"))).as("users"),
+          big(count(lit(1))).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // HLL sketch — the scale path for distinct counts (single pass, no
+    // distinct shuffle). Sketch internals differ across engines → rows-only.
+    Q.noOracle("q_agg_approx_distinct") { (spark, dir) =>
+      events(spark, dir)
+        .groupBy("event_type")
+        .agg(big(approx_count_distinct(col("user_id"), 0.02)).as("approx_users"),
+          big(count(lit(1))).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // ROLLUP over (year, month) with grouping id.
+    Q("q_rollup",
+      """SELECT o_year, o_month, CAST(grouping_id(o_year, o_month) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(month(o_orderdate) AS BIGINT) AS o_month, o_totalprice
+        |      FROM orders)
+        |GROUP BY ROLLUP(o_year, o_month)
+        |ORDER BY coalesce(o_year, -1), coalesce(o_month, -1)""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .select(big(year(col("o_orderdate"))).as("o_year"),
+          big(month(col("o_orderdate"))).as("o_month"), col("o_totalprice"))
+        .rollup("o_year", "o_month")
+        .agg(big(grouping_id()).as("gid"),
+          big(count(lit(1))).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .select("o_year", "o_month", "gid", "n_orders", "total")
+        .orderBy(coalesce(col("o_year"), lit(-1L)), coalesce(col("o_month"), lit(-1L)))
+    },
+
+    // Top-3 orders per customer: rank window, unique tiebreak on orderkey.
+    Q("q_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          big(row_number().over(w)).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Running revenue per customer over time (cumulative frame, exact sum).
+    Q("q_window_running",
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+        |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dstr(col("o_orderdate")).as("order_date"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+            .over(w).cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Global top-k: TakeOrderedAndProject — per-partition top-k then a
+    // single-reducer merge of k·partitions rows, never a full sort at scale.
+    Q("q_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // UNION / INTERSECT / EXCEPT of customer segments.
+    Q("q_set_ops",
+      """SELECT 'except' AS set_op, c_custkey FROM
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'intersect', c_custkey FROM
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'union', c_custkey FROM
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY set_op, c_custkey""".stripMargin) { (spark, dir) =>
+      val c = tbl(spark, dir, "customer")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      building.except(rich).withColumn("set_op", lit("except"))
+        .unionByName(building.intersect(rich).withColumn("set_op", lit("intersect")))
+        .unionByName(building.union(rich).distinct().withColumn("set_op", lit("union")))
+        .select("set_op", "c_custkey")
+        .orderBy("set_op", "c_custkey")
+    },
+
+    // Scalar string/date/math functions over a keyed sample.
+    Q("q_string_date_math",
+      """SELECT o_orderkey,
+        |       upper(substring(o_orderpriority, 3)) AS priority_word,
+        |       lower(o_orderstatus) AS status_lc,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        |       round(o_totalprice * 0.1, 2) AS tithe,
+        |       abs(o_totalprice - 250000.0) AS dist_from_mid
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 3, 1000)).as("priority_word"),
+          lower(col("o_orderstatus")).as("status_lc"),
+          big(year(col("o_orderdate"))).as("o_year"),
+          big(month(col("o_orderdate"))).as("o_month"),
+          big(dayofmonth(col("o_orderdate"))).as("o_day"),
+          round(col("o_totalprice") * 0.1, 2).as("tithe"),
+          abs(col("o_totalprice") - 250000.0).as("dist_from_mid"))
+        .orderBy("o_orderkey")
+    },
+
+    // JSON field extraction + aggregation (events.props is a JSON string).
+    Q("q_json_extract",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"), big(sum(col("k"))).as("sum_k"),
+          big(min(col("k"))).as("min_k"), big(max(col("k"))).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Sessionization (30-min inactivity gap) in batch form: lag + cumulative
+    // sum of session starts. Streaming twin: session_window (see streaming/).
+    Q("q_sessionize",
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                       ORDER BY ts, event_id) AS prev_us
+        |        FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(big(count(lit(1))).as("n_events"),
+          tstr(min(col("ts"))).as("session_start"),
+          tstr(max(col("ts"))).as("session_end"))
+        .select(col("user_id"), big(col("session_id")).as("session_id"),
+          col("n_events"), col("session_start"), col("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Tumbling 5-minute event-time windows (batch twin of the streaming
+    // windowed aggregation; epoch-aligned in both engines).
+    Q("q_tumbling_window",
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+        |         AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(big(count(lit(1))).as("n"), dsum(col("value")).as("total_value"))
+        .select(tstr(col("w.start")).as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }
+  )
+}
