@@ -1,0 +1,388 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import graft.ops.{DedupOps, Lsh, TextAnalysis, TextOps, VectorOps}
+import graft.queries.Q._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Training-data pipeline operators (builder prompt + SURVEY.md §2.3 Group
+  * B tail): deduplication (exact, MinHash+LSH, SimHash, token-set Jaccard,
+  * embedding near-dup), similarity search (brute-force cosine top-k oracle
+  * baseline, LSH-bucketed ANN scale path), text analysis (language ID,
+  * quality score, token counts, fingerprints), multimodal columns.
+  *
+  * Scale notes: every pairwise operator goes through a blocking key (lang,
+  * LSH band, simhash chunk, hyperplane bucket) so the join is an equi-join
+  * on the block — never an all-pairs cross join; verification (true
+  * Jaccard/cosine) runs only on bucket-collision candidates.
+  */
+object PipelineQueries {
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), DedupOps.tokenSet(col("text")).as("toks"))
+
+  /** Exact-decimal L2 norm (deterministic across engines). */
+  private def normExact(v: Column): Column = {
+    val dec = DecimalType(30, 15)
+    sqrt(aggregate(
+      transform(v, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
+      lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deduplication ---------------------------------------------------
+
+    Q("q_dedup_exact",
+      """SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count FROM (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY norm) AS dup_count
+        |  FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |        FROM documents))
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val norm = TextOps.normalizeText(col("text"))
+      val byNorm = Window.partitionBy(col("norm"))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), norm.as("norm"))
+        .withColumn("rn", row_number().over(byNorm.orderBy(col("doc_id"))))
+        .withColumn("dup_count", big(count(lit(1)).over(byNorm)))
+        .filter(col("rn") === 1)
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    },
+
+    // Token-set Jaccard near-dup with language blocking — the equi-join is
+    // on lang, candidates verified with exact set arithmetic.
+    Q("q_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents)
+        |SELECT a_id, b_id, jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |               / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) AS jac
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val t = docTokens(spark, dir)
+      t.as("a").join(t.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          round(DedupOps.jaccard(col("a.toks"), col("b.toks")), 6).as("jac"))
+        .filter(col("jac") >= 0.95)
+        .orderBy("a_id", "b_id")
+    },
+
+    // MinHash + LSH banding: 16 salted-hash permutations, 4 bands × 4 rows;
+    // candidate pairs come from band-bucket equi-joins, then true Jaccard
+    // verification. xxhash64 has no DuckDB twin → rows-only check.
+    Q.noOracle("q_dedup_minhash") { (spark, dir) =>
+      val docs = docTokens(spark, dir)
+      val banded = docs
+        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
+        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 4, 4)))
+        .select("doc_id", "band")
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      pairs
+        .join(docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+        .withColumn("jac", round(DedupOps.jaccard(col("a_toks"), col("b_toks")), 6))
+        .filter(col("jac") >= 0.5)
+        .select("a_id", "b_id", "jac")
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash near-dup: 64-bit signatures, pigeonhole 16-bit chunk blocking
+    // (hamming ≤ 3 guarantees a shared chunk), verified by exact hamming.
+    Q.noOracle("q_dedup_simhash") { (spark, dir) =>
+      val sims = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          DedupOps.simhash(DedupOps.tokens(col("text"))).as("sim"))
+      val chunked = sims
+        .withColumn("chunk", explode(DedupOps.simhashChunks(col("sim"))))
+        .select("doc_id", "chunk")
+      val pairs = chunked.as("a")
+        .join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      pairs
+        .join(sims.select(col("doc_id").as("a_id"), col("sim").as("a_sim")), "a_id")
+        .join(sims.select(col("doc_id").as("b_id"), col("sim").as("b_sim")), "b_id")
+        .withColumn("hamming", big(DedupOps.hamming(col("a_sim"), col("b_sim"))))
+        .filter(col("hamming") <= 6)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    },
+
+    // Embedding near-dup: random-hyperplane buckets (multi-probe on one
+    // side), candidates verified with exact cosine.
+    Q.noOracle("q_dedup_embedding") { (spark, dir) =>
+      val planes = Lsh.hyperplanes(numPlanes = 4, dim = 64)
+      val e = tbl(spark, dir, "embeddings")
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        Lsh.bucket(col("embedding"), planes).as("bucket"))
+      val probed = e.select(col("vec_id"), col("embedding"),
+        explode(Lsh.probeBuckets(col("embedding"), planes)).as("bucket"))
+      probed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(VectorOps.cosineExact(col("a.embedding"), col("b.embedding")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .distinct()
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- similarity search ----------------------------------------------
+
+    // Brute-force cosine top-k: oracle baseline. The 10-query side is
+    // broadcast; candidates stream — no shuffle of the big side.
+    Q("q_cosine_topk",
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(CAST(list_sum(list_transform(embedding,
+        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
+        |              AS DOUBLE)) AS n
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |              i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+        |                        AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n) AS cos
+        |  FROM norms q JOIN norms c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, round(cos, 6) AS sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY round(cos, 6) DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(queries)
+        .join(cands, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(VectorOps.cosineExact(col("qv"), col("cv")), 6))
+        .withColumn("rn", big(row_number().over(w)))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    },
+
+    // LSH-bucketed ANN — the scale path: probe buckets on the query side,
+    // equi-join on bucket, rank only collision candidates.
+    Q.noOracle("q_ann_lsh") { (spark, dir) =>
+      val planes = Lsh.hyperplanes(numPlanes = 6, dim = 64, seed = 7L)
+      val e = tbl(spark, dir, "embeddings")
+      val cands = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        Lsh.bucket(col("embedding"), planes).as("bucket"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(Lsh.probeBuckets(col("embedding"), planes)).as("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(queries)
+        .join(cands, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorOps.cosineExact(col("qv"), col("cv")), 6).as("sim"))
+        .distinct() // multi-probe may hit the same pair via several buckets
+        .withColumn("rn", big(row_number().over(w)))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+
+    // Per-label centroid: posexplode + exact-decimal mean per component —
+    // the UDAF-shaped aggregation, expressed as a first-class hash agg.
+    Q("q_vector_centroid",
+      """SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |       round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(30, 12)
+      tbl(spark, dir, "embeddings")
+        .select(big(col("label")).as("label"), posexplode(col("embedding")))
+        .select(col("label"), big(col("pos") + 1).as("pos"),
+          col("col").cast(DoubleType).cast(dec).as("x"))
+        .groupBy("label", "pos")
+        // float-derived doubles can tie exactly at the decimal scale (and
+        // Spark HALF_UPs where DuckDB half-evens), so the oracle contract
+        // rounds the final mean to 6 decimals.
+        .agg(round(sum(col("x")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("centroid"))
+        .orderBy("label", "pos")
+    },
+
+    // ---- text analysis ---------------------------------------------------
+
+    Q("q_text_analysis",
+      """SELECT term, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT t AS term, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0
+        |    AND t NOT IN ('the','a','an','and','or','of','to','in','is','it')
+        |  GROUP BY t)
+        |ORDER BY n DESC, term LIMIT 50""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(explode(DedupOps.tokens(col("text"))).as("term"))
+        .filter(!col("term").isin(TextAnalysis.stopwords: _*))
+        .groupBy("term")
+        .agg(big(count(lit(1))).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(50)
+    },
+
+    Q("q_lang_id",
+      """SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+        |  CAST(s_en AS BIGINT) AS s_en, CAST(s_es AS BIGINT) AS s_es,
+        |  CAST(s_de AS BIGINT) AS s_de, CAST(s_fr AS BIGINT) AS s_fr,
+        |  CAST(s_zh AS BIGINT) AS s_zh
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(t, ['the','and','is','of','to'])) AS s_en,
+        |    len(list_intersect(t, ['el','la','de','que','y'])) AS s_es,
+        |    len(list_intersect(t, ['der','die','und','das','ist'])) AS s_de,
+        |    len(list_intersect(t, ['le','la','et','les','des'])) AS s_fr,
+        |    len(list_intersect(t, ['的','是','了','在','和'])) AS s_zh
+        |  FROM (SELECT doc_id, lang,
+        |               list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                         x -> x <> '')) AS t
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val t = DedupOps.tokenSet(col("text"))
+      val scored = tbl(spark, dir, "documents")
+        .withColumn("t", t)
+        .select(col("doc_id") +: col("lang") +:
+          TextAnalysis.langMarkers.map { case (l, _) =>
+            big(TextAnalysis.markerHits(col("t"), l)).as(s"s_$l")
+          } :+ TextAnalysis.predictedLang(col("t")).as("predicted"): _*)
+      scored.select("doc_id", "lang", "predicted",
+          "s_en", "s_es", "s_de", "s_fr", "s_zh")
+        .orderBy("doc_id")
+    },
+
+    Q("q_quality_score",
+      """SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  round(CAST(punct AS DOUBLE)/CAST(n_char AS DOUBLE), 6) AS punct_ratio,
+        |  round(CAST(stop AS DOUBLE)/CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
+        |  round(CAST(n_char - spaces AS DOUBLE)/CAST(n_tok AS DOUBLE), 6) AS avg_word_len,
+        |  (n_tok >= 10 AND n_tok <= 1000
+        |   AND CAST(punct AS DOUBLE)/CAST(n_char AS DOUBLE) < 0.1) AS is_quality
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_char,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
+        |    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = DedupOps.tokens(lower(col("text")))
+      val nTok = size(toks).cast(DoubleType)
+      val nChar = length(col("text")).cast(DoubleType)
+      val punct = TextAnalysis.punctCount(col("text")).cast(DoubleType)
+      val stop = TextAnalysis.stopwordCount(toks).cast(DoubleType)
+      val spaces = (length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).cast(DoubleType)
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          big(size(toks)).as("n_tokens"),
+          round(punct / nChar, 6).as("punct_ratio"),
+          round(stop / nTok, 6).as("stopword_ratio"),
+          round((nChar - spaces) / nTok, 6).as("avg_word_len"),
+          (size(toks) >= 10 && size(toks) <= 1000 && punct / nChar < 0.1)
+            .as("is_quality"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_token_count",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          big(size(filter(split(col("text"), "\\s+"), t => t =!= "")))
+            .as("ws_tokens"),
+          big(length(col("text"))).as("n_chars_measured"),
+          TextAnalysis.bpeEstimate(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_doc_fingerprint",
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(length(norm)-7, 1)+1),
+        |           i -> md5(substring(norm, i, 8)))) AS fp
+        |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(TextOps.normalizeText(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal ------------------------------------------------------
+
+    Q("q_multimodal_join",
+      """SELECT d.doc_id, CAST(e.label AS BIGINT) AS label,
+        |       CAST(d.n_chars AS BIGINT) AS n_chars,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |       substring(d.text, 1, 20) AS text_prefix,
+        |       round(sqrt(CAST(list_sum(list_transform(e.embedding,
+        |             x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
+        |             AS DOUBLE)), 6) AS vec_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .join(tbl(spark, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), big(col("label")).as("label"),
+          big(col("n_chars")).as("n_chars"),
+          big(octet_length(col("text"))).as("n_bytes"),
+          substring(col("text"), 1, 20).as("text_prefix"),
+          round(normExact(col("embedding")), 6).as("vec_norm"))
+        .orderBy("doc_id")
+    },
+
+    // Binary media payloads through per-partition decoders (stubbed decode,
+    // real distribution plumbing) — no SQL twin, rows-only.
+    Q.noOracle("q_multimodal_extract") { (spark, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
+        .toDF()
+        .select("doc_id", "modality", "n_bytes", "width", "height",
+          "n_frames", "checksum")
+        .orderBy("doc_id")
+    }
+  )
+}
