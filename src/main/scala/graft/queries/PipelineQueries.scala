@@ -27,12 +27,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), DedupOps.tokenSet(col("text")).as("toks"))
 
   /** Exact-decimal L2 norm (deterministic across engines). */
-  private def normExact(v: Column): Column = {
-    val dec = DecimalType(30, 15)
-    sqrt(aggregate(
-      transform(v, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
-      lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType))
-  }
+  private def normExact(v: Column): Column = VectorOps.l2normExact(v)
 
   val all: Seq[Q] = Seq(
 
@@ -73,11 +68,17 @@ object PipelineQueries {
         |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val t = docTokens(spark, dir)
-      t.as("a").join(t.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          round(DedupOps.jaccard(col("a.toks"), col("b.toks")), 6).as("jac"))
+      val masks = DedupOps.setMasks(docTokens(spark, dir),
+        Seq("doc_id", "lang"), "toks")
+      def side(p: String) = masks.select(
+        col("doc_id").as(s"${p}id") +: col("lang").as(s"${p}lang") +:
+          col("sz").as(s"${p}sz") +:
+          (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
+      val inter = DedupOps.maskIntersect("a", "b")
+      side("a").join(side("b"),
+          col("alang") === col("blang") && col("aid") < col("bid"))
+        .select(col("aid").as("a_id"), col("bid").as("b_id"),
+          round(DedupOps.maskJaccard(inter, col("asz"), col("bsz")), 6).as("jac"))
         .filter(col("jac") >= 0.95)
         .orderBy("a_id", "b_id")
     },
@@ -96,10 +97,17 @@ object PipelineQueries {
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
+      // verification carries 5-long set masks, not token arrays
+      val masks = DedupOps.setMasks(docs, Seq("doc_id"), "toks")
+      def side(p: String) = masks.select(
+        col("doc_id").as(s"${p}_id") +: col("sz").as(s"${p}sz") +:
+          (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
+      val inter = DedupOps.maskIntersect("a", "b")
       pairs
-        .join(docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
-        .withColumn("jac", round(DedupOps.jaccard(col("a_toks"), col("b_toks")), 6))
+        .join(side("a"), "a_id")
+        .join(side("b"), "b_id")
+        .withColumn("jac",
+          round(DedupOps.maskJaccard(inter, col("asz"), col("bsz")), 6))
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
         .orderBy("a_id", "b_id")
@@ -111,20 +119,18 @@ object PipelineQueries {
       val sims = tbl(spark, dir, "documents")
         .select(col("doc_id"),
           DedupOps.simhash(DedupOps.tokens(col("text"))).as("sim"))
+      // signatures ride along the chunk join (8 bytes/row), so candidate
+      // pairs verify inline — no join back to the documents
       val chunked = sims
         .withColumn("chunk", explode(DedupOps.simhashChunks(col("sim"))))
-        .select("doc_id", "chunk")
-      val pairs = chunked.as("a")
+        .select("doc_id", "sim", "chunk")
+      chunked.as("a")
         .join(chunked.as("b"),
           col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      pairs
-        .join(sims.select(col("doc_id").as("a_id"), col("sim").as("a_sim")), "a_id")
-        .join(sims.select(col("doc_id").as("b_id"), col("sim").as("b_sim")), "b_id")
-        .withColumn("hamming", big(DedupOps.hamming(col("a_sim"), col("b_sim"))))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          big(DedupOps.hamming(col("a.sim"), col("b.sim"))).as("hamming"))
         .filter(col("hamming") <= 6)
-        .select("a_id", "b_id", "hamming")
+        .distinct()
         .orderBy("a_id", "b_id")
     },
 
@@ -133,18 +139,31 @@ object PipelineQueries {
     Q.noOracle("q_dedup_embedding") { (spark, dir) =>
       val planes = Lsh.hyperplanes(numPlanes = 4, dim = 64)
       val e = tbl(spark, dir, "embeddings")
-      val bucketed = e.select(col("vec_id"), col("embedding"),
+      // norms computed once per vector; multi-probe duplicate pairs removed
+      // BEFORE the O(d) per-pair dot product; plain double math (rows-only
+      // query — no cross-engine decimal contract to honor)
+      val bucketed = e.select(col("vec_id"),
         Lsh.bucket(col("embedding"), planes).as("bucket"))
-      val probed = e.select(col("vec_id"), col("embedding"),
+      val probed = e.select(col("vec_id"),
         explode(Lsh.probeBuckets(col("embedding"), planes)).as("bucket"))
-      probed.as("a")
+      // the dedupe shuffle moves bare id pairs (16 bytes/row); vectors are
+      // broadcast-joined back only for the surviving candidates
+      val pairs = probed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorOps.cosineExact(col("a.embedding"), col("b.embedding")), 6)
-            .as("cos"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val side = e.select(col("vec_id"), col("embedding"),
+        VectorOps.l2norm(col("embedding")).as("n"))
+      pairs
+        .join(broadcast(side.select(col("vec_id").as("a_id"),
+          col("embedding").as("av"), col("n").as("na"))), "a_id")
+        .join(broadcast(side.select(col("vec_id").as("b_id"),
+          col("embedding").as("bv"), col("n").as("nb"))), "b_id")
+        .withColumn("cos",
+          round(VectorOps.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.35)
-        .distinct()
+        .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
     },
 
@@ -173,15 +192,22 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
+      // per-vector exact norms computed once (the oracle divides by the
+      // same precomputed sqrt), so only the dot product is per-pair work
       val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.l2normExact(col("embedding")).as("n"))
       val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("n").as("qn"))
+      val cands = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("n").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       broadcast(queries)
         .join(cands, col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(VectorOps.cosineExact(col("qv"), col("cv")), 6))
+        .withColumn("sim", round(
+          VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
         .select("query_id", "neighbor_id", "sim", "rn")
@@ -195,20 +221,25 @@ object PipelineQueries {
       val e = tbl(spark, dir, "embeddings")
       val cands = e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv"),
+        VectorOps.l2norm(col("embedding")).as("cn"),
         Lsh.bucket(col("embedding"), planes).as("bucket"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          VectorOps.l2norm(col("embedding")).as("qn"),
           explode(Lsh.probeBuckets(col("embedding"), planes)).as("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       broadcast(queries)
         .join(cands, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(VectorOps.cosineExact(col("qv"), col("cv")), 6).as("sim"))
-        .distinct() // multi-probe may hit the same pair via several buckets
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+          col("qn"), col("cn"))
+        .dropDuplicates("query_id", "neighbor_id") // multi-probe dups out first
+        .withColumn("sim",
+          round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "sim", "rn")
         .orderBy("query_id", "rn")
     },
 
