@@ -414,6 +414,61 @@ object PipelineQueries {
         .select("doc_id", "modality", "n_bytes", "width", "height",
           "n_frames", "checksum")
         .orderBy("doc_id")
+    },
+
+    // Token-window chunking (50-token windows, stride 40): the
+    // context-window preparation step of a training pipeline, as a pure
+    // explode — one row in, ⌈(n-50)/40⌉+1 rows out, no shuffle.
+    Q("q_text_chunk",
+      """SELECT doc_id, ci AS chunk_idx,
+        |       array_to_string(t[ci*40+1 : ci*40+50], ' ') AS chunk_text,
+        |       CAST(len(t[ci*40+1 : ci*40+50]) AS BIGINT) AS chunk_tokens
+        |FROM (
+        |  SELECT doc_id, t, unnest(range(0, nchunks)) AS ci
+        |  FROM (SELECT doc_id, t,
+        |               CASE WHEN len(t) <= 50 THEN 1
+        |                    ELSE CAST(ceil((len(t)-50)/40.0) AS BIGINT)+1 END AS nchunks
+        |        FROM (SELECT doc_id,
+        |                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |              FROM documents)))
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+      val n = size(col("t"))
+      val nchunks = when(n <= 50, lit(1L))
+        .otherwise(ceil((n - lit(50)).cast(DoubleType) / 40.0).cast("long") + 1L)
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), DedupOps.tokens(lower(col("text"))).as("t"))
+        .withColumn("ci", explode(sequence(lit(0L), nchunks - 1L)))
+        .select(col("doc_id"), col("ci").as("chunk_idx"),
+          array_join(slice(col("t"), col("ci").cast("int") * 40 + 1, lit(50)), " ")
+            .as("chunk_text"),
+          big(size(slice(col("t"), col("ci").cast("int") * 40 + 1, lit(50))))
+            .as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Deterministic stratified train/val/test split (hash-free: the split
+    // key is a pure function of the stable doc id, so replays assign
+    // identically) with per-language counts.
+    Q("q_train_split",
+      """SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM (SELECT lang, doc_id,
+        |             CASE WHEN doc_id % 10 <= 7 THEN 'train'
+        |                  WHEN doc_id % 10 = 8 THEN 'validation'
+        |                  ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          when(col("doc_id") % 10 <= 7, "train")
+            .when(col("doc_id") % 10 === 8, "validation")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(big(count(lit(1))).as("n"), big(min(col("doc_id"))).as("min_id"),
+          big(max(col("doc_id"))).as("max_id"))
+        .orderBy("lang", "split")
     }
   )
 }

@@ -26,10 +26,12 @@ object CdcDemo {
     Changelog.envelopes(spark, sfDir).coalesce(1)
       .write.mode("overwrite").text(src)
 
+    val health = new Health().register(spark) // O1: /healthz equivalent
     val q = CdcStream.run(spark, src, s"$workDir/store", s"$workDir/ckpt",
       Mapping.documents)
     q.processAllAvailable()
     q.stop()
+    println(s"[cdc-demo] health: ${health.statusJson}")
 
     val state = new ParquetVectorStore(s"$workDir/store").current(spark)
     println(s"[cdc-demo] vector-store state rows: ${state.count()}")

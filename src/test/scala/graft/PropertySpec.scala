@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.MeanVector
+import graft.ops.{TextOps, VectorOps}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-style tests (SURVEY.md §5.3.3): ScalaCheck generates the data,
+  * one DataFrame pass evaluates the property over every sample (running a
+  * Spark job per ScalaCheck case would be pathological). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("property: ‖l2normalize(v)‖ ≈ 1 for all non-zero vectors") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-100.0f, 100.0f))
+      .suchThat(_.exists(x => x != 0.0f))
+    val data = samples(gen, 200).map(_.toArray)
+    val norms = data.toDF("v")
+      .select(VectorOps.l2norm(VectorOps.l2normalize($"v")).as("n"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4),
+      s"worst: ${norms.map(n => math.abs(n - 1.0)).max}")
+  }
+
+  test("property: textConcat never produces double spaces or edge spaces") {
+    val token = Gen.alphaNumStr.map(_.take(8))
+    val cell = Gen.oneOf(token.map(Option(_)), Gen.const(Option("")),
+      Gen.const(Option.empty[String]))
+    val rows = samples(Gen.zip(cell, cell, cell), 300)
+    val out = rows.toDF("a", "b", "c")
+      .select(TextOps.textConcat(Seq($"a", $"b", $"c")).as("t"))
+      .as[String].collect()
+    assert(out.forall(t => !t.contains("  ") && !t.startsWith(" ") && !t.endsWith(" ")))
+  }
+
+  test("property: fnv1a64 expression equals the reference implementation") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('€', 'ß', '中', '\n')))
+      .map(_.mkString)
+    val strs = samples(gen, 300)
+    val fromSpark = strs.toDF("s")
+      .select($"s", VectorOps.fnv1a64($"s").as("h"))
+      .as[(String, Long)].collect().toMap
+    strs.foreach { s =>
+      assert(fromSpark(s) == graft.ops.expr.Fnv1a64.hash(s))
+    }
+  }
+
+  test("MeanVector aggregator: correct mean, stable under repartitioning") {
+    val vecs = samples(Gen.listOfN(4, Gen.chooseNum(-10.0f, 10.0f)), 100)
+      .map(_.toArray)
+    val expected = (0 until 4).map { i =>
+      vecs.map(_(i).toDouble).sum / vecs.size
+    }
+    def run(parts: Int): Seq[Float] =
+      vecs.toDS().repartition(parts)
+        .groupByKey(_ => 1).agg(MeanVector.column).collect().head._2.toSeq
+    val m1 = run(1)
+    val m8 = run(8)
+    (0 until 4).foreach { i =>
+      assert(math.abs(m1(i) - expected(i)) < 1e-3)
+      // merge order may differ across partition layouts; equal within float tolerance
+      assert(math.abs(m1(i) - m8(i)) < 1e-4)
+    }
+  }
+}
