@@ -324,6 +324,23 @@ object GroupB {
         .orderBy("user_id", "session_id")
     },
 
+    // Exact percentiles (sort-based, linearly interpolated in both engines).
+    Q("q_percentiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // Tumbling 5-minute event-time windows (batch twin of the streaming
     // windowed aggregation; epoch-aligned in both engines).
     Q("q_tumbling_window",

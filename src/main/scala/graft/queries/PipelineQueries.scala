@@ -446,6 +446,31 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // PII scrubbing: regex redaction with per-doc match counts — a standard
+    // pre-training curation pass, single scan, fully codegen'd.
+    Q("q_pii_redact",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |            '\d{3}[- ]\d{3,4}[- ]\d{4}')) AS BIGINT) AS n_phones,
+        |       substring(regexp_replace(regexp_replace(text,
+        |            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |            '\d{3}[- ]\d{3,4}[- ]\d{4}', '[PHONE]', 'g'), 1, 40) AS preview
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "\\d{3}[- ]\\d{3,4}[- ]\\d{4}"
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          big(regexp_count(col("text"), lit(email))).as("n_emails"),
+          big(regexp_count(col("text"), lit(phone))).as("n_phones"),
+          substring(regexp_replace(
+            regexp_replace(col("text"), email, "[EMAIL]"),
+            phone, "[PHONE]"), 1, 40).as("preview"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified train/val/test split (hash-free: the split
     // key is a pure function of the stable doc id, so replays assign
     // identically) with per-language counts.

@@ -37,6 +37,23 @@ final class ParquetVectorStore(path: String) extends Serializable {
       .filter(col("rn") === 1 && col("op") === "upsert")
       .select("id", "vector", "metadata")
   }
+
+  /** Rewrite the op log down to current state. The log grows with every
+    * micro-batch; at scale a periodic compaction (cheap latest-by-id shuffle
+    * over the log, tiny result) keeps [[current]] reads O(state), not
+    * O(history). `batchId` must exceed all live batch ids. */
+  def compact(spark: SparkSession, batchId: Long): Unit = {
+    val tmp = path + ".compact"
+    current(spark)
+      .select(col("id"), col("vector"), col("metadata"),
+        lit("upsert").as("op"), lit(batchId).as("batch_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 }
 
 /** Qdrant HTTP sink (reference: internal/sink/qdrant/qdrant.go). Point ids
