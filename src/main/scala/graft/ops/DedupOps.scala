@@ -42,17 +42,20 @@ object DedupOps {
     }: _*)
 
   /** 64-bit SimHash over a token array: bit k is set iff the sum over tokens
-    * of ±1 (sign from bit k of the token's hash) is non-negative. The token
-    * hashes are a shared subexpression across the 64 per-bit aggregates;
-    * codegen subexpression elimination computes them once per row. */
+    * of ±1 (sign from bit k of the token's hash) is non-negative.
+    * Single-pass fold: one hash per token, and per token a zip against the
+    * constant bit-mask array updates all 64 counters — O(tokens·64) cheap
+    * bit ops instead of 64 separate folds that each re-hash every token. */
   def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { k =>
-      when(aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftrightunsigned(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-      ) >= 0, lit(1L << k)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val masks = typedLit((0 until 64).map(k => 1L << k))
+    val counts = aggregate(
+      transform(toks, t => xxhash64(t)),
+      typedLit(Seq.fill(64)(0L)),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) === m, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c >= 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** Pigeonhole blocks for hamming-distance search: 4 16-bit chunks of the

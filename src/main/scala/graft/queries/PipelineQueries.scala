@@ -92,10 +92,14 @@ object PipelineQueries {
         .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
         .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 4, 4)))
         .select("doc_id", "band")
-      val pairs = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // star-edge candidates: each bucket member pairs with the bucket's
+      // min-id representative (what connected-component dedup consumes),
+      // so a near-dup cluster of n docs yields n-1 edges, not n²/2 — the
+      // all-pairs form of the same corpus produced 50× the volume
+      val reps = banded.groupBy("band").agg(min(col("doc_id")).as("a_id"))
+      val pairs = banded.join(reps, "band")
+        .filter(col("doc_id") =!= col("a_id"))
+        .select(col("a_id"), col("doc_id").as("b_id"))
         .distinct()
       // verification carries 5-long set masks, not token arrays
       val masks = DedupOps.setMasks(docs, Seq("doc_id"), "toks")
@@ -119,16 +123,19 @@ object PipelineQueries {
       val sims = tbl(spark, dir, "documents")
         .select(col("doc_id"),
           DedupOps.simhash(DedupOps.tokens(col("text"))).as("sim"))
-      // signatures ride along the chunk join (8 bytes/row), so candidate
-      // pairs verify inline — no join back to the documents
+      // star-edge candidates per chunk bucket (see q_dedup_minhash):
+      // members verify against the bucket's min-id representative, with
+      // signatures riding the join inline (8 bytes/row)
       val chunked = sims
         .withColumn("chunk", explode(DedupOps.simhashChunks(col("sim"))))
         .select("doc_id", "sim", "chunk")
-      chunked.as("a")
-        .join(chunked.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          big(DedupOps.hamming(col("a.sim"), col("b.sim"))).as("hamming"))
+      val reps = chunked.groupBy("chunk").agg(min(col("doc_id")).as("a_id"))
+      chunked
+        .join(reps, "chunk")
+        .filter(col("doc_id") =!= col("a_id"))
+        .join(sims.select(col("doc_id").as("a_id"), col("sim").as("rep_sim")), "a_id")
+        .select(col("a_id"), col("doc_id").as("b_id"),
+          big(DedupOps.hamming(col("rep_sim"), col("sim"))).as("hamming"))
         .filter(col("hamming") <= 6)
         .distinct()
         .orderBy("a_id", "b_id")
