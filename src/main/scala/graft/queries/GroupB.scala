@@ -249,7 +249,7 @@ object GroupB {
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
         |       CAST(day(o_orderdate) AS BIGINT) AS o_day,
-        |       round(o_totalprice * 0.1, 2) AS tithe,
+        |       round(o_totalprice * 0.1, 4) AS tithe,
         |       abs(o_totalprice - 250000.0) AS dist_from_mid
         |FROM orders
         |WHERE o_orderkey % 100 = 0
@@ -262,7 +262,11 @@ object GroupB {
           big(year(col("o_orderdate"))).as("o_year"),
           big(month(col("o_orderdate"))).as("o_month"),
           big(dayofmonth(col("o_orderdate"))).as("o_day"),
-          round(col("o_totalprice") * 0.1, 2).as("tithe"),
+          // scale 4, not 2: the product has 3 true decimals, and rounding a
+          // computed double at a coarser scale is engine-dependent (Spark
+          // rounds the shortest decimal repr, DuckDB the exact binary value
+          // - they disagree on boundary cases like 171785.65 * 0.1)
+          round(col("o_totalprice") * 0.1, 4).as("tithe"),
           abs(col("o_totalprice") - 250000.0).as("dist_from_mid"))
         .orderBy("o_orderkey")
     },
