@@ -330,9 +330,9 @@ object PipelineQueries {
     Q("q_quality_score",
       """SELECT doc_id,
         |  CAST(n_tok AS BIGINT) AS n_tokens,
-        |  round(CAST(punct AS DOUBLE)/CAST(n_char AS DOUBLE), 6) AS punct_ratio,
-        |  round(CAST(stop AS DOUBLE)/CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
-        |  round(CAST(n_char - spaces AS DOUBLE)/CAST(n_tok AS DOUBLE), 6) AS avg_word_len,
+        |  round(CAST(punct AS DOUBLE)/CAST(n_char AS DOUBLE), 9) AS punct_ratio,
+        |  round(CAST(stop AS DOUBLE)/CAST(n_tok AS DOUBLE), 9) AS stopword_ratio,
+        |  round(CAST(n_char - spaces AS DOUBLE)/CAST(n_tok AS DOUBLE), 9) AS avg_word_len,
         |  (n_tok >= 10 AND n_tok <= 1000
         |   AND CAST(punct AS DOUBLE)/CAST(n_char AS DOUBLE) < 0.1) AS is_quality
         |FROM (
@@ -354,9 +354,13 @@ object PipelineQueries {
       tbl(spark, dir, "documents")
         .select(col("doc_id"),
           big(size(toks)).as("n_tokens"),
-          round(punct / nChar, 6).as("punct_ratio"),
-          round(stop / nTok, 6).as("stopword_ratio"),
-          round((nChar - spaces) / nTok, 6).as("avg_word_len"),
+          // scale 9, not 6: small-integer ratios can be exactly
+          // representable doubles AT a coarser tie boundary (1/128 =
+          // 0.0078125), where Spark HALF_UP != DuckDB half-even; at scale 9
+          // no 2^a*5^b denominator <= 1024 produces a tie
+          round(punct / nChar, 9).as("punct_ratio"),
+          round(stop / nTok, 9).as("stopword_ratio"),
+          round((nChar - spaces) / nTok, 9).as("avg_word_len"),
           (size(toks) >= 10 && size(toks) <= 1000 && punct / nChar < 0.1)
             .as("is_quality"))
         .orderBy("doc_id")
