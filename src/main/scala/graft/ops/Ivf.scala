@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style coarse quantization for ANN search: k coarse centroids
+  * partition the vector space; each vector is indexed under its nearest
+  * centroid; a query probes only the `nprobe` nearest cells. The index build
+  * is a distributed Lloyd iteration (assignment = broadcast-join against k
+  * centroids, update = posexplode + hash agg); only the k×dim centroid
+  * table ever reaches the driver. Complements [[Lsh]]: IVF adapts to the
+  * data distribution where hyperplane LSH is oblivious.
+  */
+object Ivf {
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def dist2(v: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, typedLit(centroid), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Nearest-centroid id for a vector column (ties → lowest id). Min-by is
+    * `array_min` over (distance, id) structs — linear expression size; a
+    * when-chain fold duplicates subtrees exponentially in k. */
+  def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(dist2(v, c).as("d2"), lit(cid).as("cluster"))
+    }: _*)).getField("cluster")
+
+  /** Train k coarse centroids: deterministic seeds (first k vectors by id),
+    * then `iterations` Lloyd steps executed as DataFrame jobs. Returns the
+    * k×dim table (small; safe to collect/broadcast). */
+  def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+            iterations: Int = 1): Seq[(Int, Seq[Double])] = {
+    val seeds = vectors.orderBy(col(idCol)).limit(k).select(col(vecCol))
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble) }
+    (0 until iterations).foldLeft(seeds.toSeq) { (centroids, _) =>
+      val assigned = vectors.withColumn("__c", nearestCentroid(col(vecCol), centroids))
+      val updated = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy("__c", "__p")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty cells keep their previous centroid
+      centroids.map { case (c, prev) => c -> updated.getOrElse(c, prev) }
+    }
+  }
+
+  /** Index: (id, cluster) assignment of every vector. */
+  def index(vectors: DataFrame, idCol: String, vecCol: String,
+            centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).as("cluster"))
+
+  /** Top-`nprobe` nearest cells per query vector (`idCol` identifies the
+    * query row). */
+  def probes(queries: DataFrame, idCol: String, vecCol: String,
+             centroids: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val cells = queries.select(
+      col("*"),
+      explode(array(centroids.map { case (cid, c) =>
+        struct(lit(cid).as("cluster"), dist2(col(vecCol), c).as("d2"))
+      }: _*)).as("probe"))
+      .select(col("*"), col("probe.cluster").as("cluster"), col("probe.d2").as("d2"))
+      .drop("probe")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cluster"))
+    cells.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nprobe)
+      .drop("__pr", "d2")
+  }
+}

@@ -250,6 +250,33 @@ object PipelineQueries {
         .orderBy("query_id", "rn")
     },
 
+    // IVF-style ANN: coarse centroids from one distributed Lloyd iteration,
+    // cluster-assignment index, queries probe their 4 nearest cells only —
+    // the data-adaptive counterpart to the hyperplane-LSH path.
+    Q.noOracle("q_ann_ivf") { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val centroids = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16)
+      val indexed = graft.ops.Ivf.index(e, "vec_id", "embedding", centroids)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          VectorOps.l2norm(col("embedding")).as("cn"), col("cluster"))
+      val queries = graft.ops.Ivf.probes(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            VectorOps.l2norm(col("embedding")).as("qn")),
+        "query_id", "qv", centroids, nprobe = 4)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(queries)
+        .join(indexed, Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+            .as("sim"))
+        .withColumn("rn", big(row_number().over(w)))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+
     // Per-label centroid: posexplode + exact-decimal mean per component —
     // the UDAF-shaped aggregation, expressed as a first-class hash agg.
     Q("q_vector_centroid",
