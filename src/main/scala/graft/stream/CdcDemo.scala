@@ -26,11 +26,15 @@ object CdcDemo {
     Changelog.envelopes(spark, sfDir).coalesce(1)
       .write.mode("overwrite").text(src)
 
+    val nChanges = spark.read.text(src).count()
     val health = new Health().register(spark) // O1: /healthz equivalent
+    val t0 = System.nanoTime()
     val q = CdcStream.run(spark, src, s"$workDir/store", s"$workDir/ckpt",
       Mapping.documents)
     q.processAllAvailable()
     q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[cdc-demo] $nChanges changes in $secs%.1f s = ${nChanges / secs}%.0f changes/s")
     println(s"[cdc-demo] health: ${health.statusJson}")
 
     val state = new ParquetVectorStore(s"$workDir/store").current(spark)
