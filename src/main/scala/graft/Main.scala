@@ -34,10 +34,12 @@ object Main {
 
     val embedder = mkEmbedder(cfg)
     val health = new Health().register(spark)
-    val mapping = cfg.mappings.head
 
     sys.addShutdownHook { // O3 graceful shutdown (main.go:153-199)
-      spark.streams.active.foreach(_.stop())
+      // Spark's own shutdown hook may already have stopped the context
+      if (!spark.sparkContext.isStopped)
+        try spark.streams.active.foreach(_.stop())
+        catch { case _: IllegalStateException => }
     }
 
     Supervisor.runWithRestarts(backoffMs = 5000L) { () =>
@@ -48,10 +50,19 @@ object Main {
           else s"$storeDir/_checkpoint")
         .trigger(Trigger.ProcessingTime(cfg.flushIntervalMs))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val upserts = VectorPipeline.vectorPoints(
-            batch, mapping, embedder, cfg.normalize)
-          val deletes = VectorPipeline.deletions(batch, mapping)
-          writeBatch(cfg, storeDir, upserts, deletes, batchId)
+          // one materialization of the micro-batch feeds every mapping and
+          // sink (without this, each sink re-runs the whole chain up to and
+          // including the per-row embedding calls)
+          batch.persist()
+          try {
+            cfg.mappings.foreach { mapping => // ALL configured tables
+              val upserts = VectorPipeline.vectorPoints(
+                batch, mapping, embedder, cfg.normalize).persist()
+              val deletes = VectorPipeline.deletions(batch, mapping)
+              try writeBatch(cfg, storeDir, upserts, deletes, batchId)
+              finally upserts.unpersist()
+            }
+          } finally batch.unpersist()
           System.err.println(s"[graft] batch $batchId → ${health.statusJson}")
         }
         .start()
@@ -62,7 +73,7 @@ object Main {
     // accepts the reference's provider names (embeddings.go:85-104)
     case "ollama_http" | "gorag_ollama" =>
       new OllamaHttpEmbedder(cfg.embeddingUrl, cfg.embeddingModel, cfg.vectorSize)
-    case _ => new DeterministicHashEmbedder(16)
+    case _ => new DeterministicHashEmbedder(cfg.vectorSize)
   }
 
   /** Route one micro-batch to the configured sink (reference sink switch:

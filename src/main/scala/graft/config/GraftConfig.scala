@@ -88,8 +88,10 @@ object Yaml {
 
   def parse(text: String): Map[String, Any] = {
     val lines = text.linesIterator
-      .map(_.replaceAll("#.*$", "").stripTrailing())
-      .filter(_.trim.nonEmpty)
+      // a comment '#' only counts at line start or after whitespace, so
+      // values like "http://host/#frag" survive
+      .map(_.replaceAll("(^|\\s)#.*$", "").stripTrailing())
+      .filter(l => l.trim.nonEmpty && l.trim != "---" && l.trim != "...")
       .toVector
     parseBlock(lines, 0)._1
   }
@@ -114,6 +116,8 @@ object Yaml {
       !lines(i).trim.startsWith("-")) {
       val line = lines(i).trim
       val colon = line.indexOf(':')
+      if (colon < 0)
+        throw new IllegalArgumentException(s"unparseable config line: '$line'")
       val key = line.substring(0, colon).trim
       val rest = line.substring(colon + 1).trim
       if (rest.nonEmpty) { out(key) = scalar(rest); i += 1 }

@@ -78,18 +78,10 @@ final class OllamaHttpEmbedder(baseUrl: String, model: String, val dim: Int = 76
 }
 
 object OllamaHttpEmbedder {
-  /** `{"model": ..., "prompt": ...}` with minimal JSON string escaping. */
+  /** `{"model": ..., "prompt": ...}` with JSON string escaping. */
   def requestJson(model: String, prompt: String): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    s"""{"model":"${esc(model)}","prompt":"${esc(prompt)}"}"""
+    import graft.util.Json.escape
+    s"""{"model":"${escape(model)}","prompt":"${escape(prompt)}"}"""
   }
 
   /** Extract the `embedding` number array from an Ollama response body. */

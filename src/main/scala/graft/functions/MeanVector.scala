@@ -25,6 +25,8 @@ object MeanVector extends Aggregator[Array[Float], (Array[Double], Long), Array[
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
     if (a._1.isEmpty) return b
     if (b._1.isEmpty) return a
+    require(a._1.length == b._1.length,
+      s"mean_vector: mixed dimensions ${a._1.length} vs ${b._1.length}")
     var i = 0
     while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
     (a._1, a._2 + b._2)

@@ -28,13 +28,22 @@ object TextOps {
     * silently omitted (reference: internal/pipeline/pipeline.go:234-241). */
   def metaProject(schemaCol: Column, tableCol: Column, pkCol: Column,
                   afterMap: Column, metadataColumns: Seq[String]): Column = {
-    val base = map(
-      lit("table"), concat(schemaCol, lit("."), tableCol),
-      lit("pk"), coalesce(pkCol, lit("")))
-    if (metadataColumns.isEmpty) base
+    // A metadata column literally named "table"/"pk" overwrites the base
+    // entry (Go map assignment semantics in the reference); building the
+    // base without shadowed keys avoids map_concat's duplicate-key error
+    // under Spark's default mapKeyDedupPolicy=EXCEPTION.
+    val baseEntries = Seq(
+      "table" -> concat(schemaCol, lit("."), tableCol),
+      "pk" -> coalesce(pkCol, lit("")))
+      .filterNot { case (k, _) => metadataColumns.contains(k) }
+      .flatMap { case (k, v) => Seq(lit(k), v) }
+    val base = if (baseEntries.isEmpty) null else map(baseEntries: _*)
+    if (metadataColumns.isEmpty) map(baseEntries: _*)
     else {
-      val extras = metadataColumns.flatMap(c => Seq(lit(c), element_at(afterMap, c)))
-      map_concat(base, map_filter(map(extras: _*), (_, v) => v.isNotNull))
+      val extras = metadataColumns.distinct
+        .flatMap(c => Seq(lit(c), element_at(afterMap, c)))
+      val extrasMap = map_filter(map(extras: _*), (_, v) => v.isNotNull)
+      if (base == null) extrasMap else map_concat(base, extrasMap)
     }
   }
 

@@ -197,16 +197,12 @@ object GroupA {
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       val v = col("embedding")
-      val dec = DecimalType(30, 15)
-      val n = sqrt(aggregate(
-        transform(v, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
-        lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType))
+      val n = VectorOps.l2normExact(v)
       def comp(i: Int): Column = {
         val x = element_at(v, i).cast(DoubleType)
         round(when(n === 0, x).otherwise(x / n), 6).as(s"c$i")
       }
       Q.tbl(spark, dir, "embeddings")
-        .withColumn("n", n)
         .select(col("vec_id"), comp(1), comp(2), comp(3), comp(4))
         .orderBy("vec_id")
     },

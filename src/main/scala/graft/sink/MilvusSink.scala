@@ -55,15 +55,7 @@ final class MilvusSink(baseUrl: String, collection: String,
 }
 
 object MilvusSink {
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def esc(s: String): String = graft.util.Json.escape(s)
 
   /** `{"collectionName":…,"data":[{"id":…,"vector":[…],"payload":{…}}]}` */
   def upsertBody(collection: String,
@@ -76,10 +68,14 @@ object MilvusSink {
     s"""{"collectionName":"${esc(collection)}","data":[$data]}"""
   }
 
-  /** Delete filter with every id JSON-escaped before it enters the filter
-    * expression (the reference splices raw ids, milvus.go:166). */
+  /** Delete filter built in two escape layers: ids are escaped for the
+    * Milvus filter expression (the reference splices raw ids,
+    * milvus.go:166), then the whole expression is JSON-escaped so the
+    * quotes around each id survive as part of the JSON string value. */
   def deleteBody(collection: String, ids: Seq[String]): String = {
-    val arr = ids.map(id => s""""${esc(id)}"""").mkString(",")
-    s"""{"collectionName":"${esc(collection)}","filter":"id in [$arr]"}"""
+    val filterExpr = ids
+      .map(id => "\"" + id.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("id in [", ",", "]")
+    s"""{"collectionName":"${esc(collection)}","filter":"${esc(filterExpr)}"}"""
   }
 }

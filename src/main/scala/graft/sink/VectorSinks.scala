@@ -48,9 +48,10 @@ final class ParquetVectorStore(path: String) extends Serializable {
       .select(col("id"), col("vector"), col("metadata"),
         lit("upsert").as("op"), lit(batchId).as("batch_id"))
       .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // resolve the filesystem FROM the store path (fs.defaultFS would break
+    // s3a://-style stores)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
@@ -123,15 +124,7 @@ object QdrantSink {
   def pointId(extId: String): String =
     java.lang.Long.toUnsignedString(graft.ops.expr.Fnv1a64.hash(extId))
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def esc(s: String): String = graft.util.Json.escape(s)
 
   /** `{"points":[{"id":…,"vector":[…],"payload":{…,"ext_id":…}}]}` */
   def upsertBody(points: Seq[(String, Seq[Float], Map[String, String])]): String =

@@ -49,10 +49,14 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(flushIntervalMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.write(
+        // upserts and deletions both derive from the micro-batch; persist it
+        // so the source isn't re-scanned (and rows re-embedded) per output
+        batch.persist()
+        try store.write(
           VectorPipeline.vectorPoints(batch, mapping),
           VectorPipeline.deletions(batch, mapping),
           batchId)
+        finally batch.unpersist()
       }
       .start()
   }

@@ -58,10 +58,24 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.mappings.head.idColumn == "id")
   }
 
-  test("milvus bodies: upsert batch + escaped delete filter") {
+  test("milvus bodies: upsert batch + escaped delete filter are valid JSON") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val up = MilvusSink.upsertBody("c", Seq(("a:1", Seq(1.0f), Map("pk" -> "1"))))
     assert(up == """{"collectionName":"c","data":[{"id":"a:1","vector":[1.0],"payload":{"pk":"1"}}]}""")
-    val del = MilvusSink.deleteBody("c", Seq("""x" or 1=1"""))
-    assert(del.contains("\\\"")) // quote escaped, no raw splice
+    mapper.readTree(up) // throws on malformed JSON
+
+    val del = MilvusSink.deleteBody("c", Seq("a:1", """x" or 1=1"""))
+    val tree = mapper.readTree(del) // the quotes around ids must be escaped
+    assert(tree.get("filter").asText() == """id in ["a:1","x\" or 1=1"]""")
+  }
+
+  test("yaml parser: document markers, comments in URLs, colon-less lines") {
+    val cfg = GraftConfig.fromYaml(
+      "---\nsink:\n  url: http://h:6333/#frag # trailing comment\nmappings:\n  - table: t\n")
+    assert(cfg.sinkUrl == "http://h:6333/#frag")
+    assert(cfg.mappings.map(_.table) == Seq("t"))
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYaml("sink:\n  just a stray line\n")
+    }
   }
 }

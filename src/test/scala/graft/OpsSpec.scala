@@ -44,6 +44,17 @@ class OpsSpec extends SparkSpec {
     assert(got == "public.documents:")
   }
 
+  test("metaProject: metadata column named 'table' overwrites, not crashes") {
+    // Go map-assignment semantics (reference: pipeline.go:234-241); Spark's
+    // map_concat would throw under mapKeyDedupPolicy=EXCEPTION
+    val df = Seq(("public", "documents", "1", Map("table" -> "shadow", "author" -> "ada")))
+      .toDF("s", "t", "p", "after")
+    val meta = df.select(TextOps.metaProject($"s", $"t", $"p", $"after",
+      Seq("table", "author")).as("m")).as[Map[String, String]].head()
+    assert(meta("table") == "shadow")
+    assert(meta("pk") == "1" && meta("author") == "ada")
+  }
+
   test("l2normalize yields unit norm; zero vector passes through") {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),
