@@ -328,6 +328,24 @@ object GroupB {
         .orderBy("user_id", "session_id")
     },
 
+    // Skew-guarded aggregation: two-stage salted sum/count. The oracle is
+    // the PLAIN aggregate — decimal partials make the salted two-stage
+    // merge bit-identical to the direct form, which is the whole point.
+    Q("q_agg_salted",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir).select("event_type", "value")
+      graft.ops.Skew.saltedAgg(ev, Seq("event_type"), saltFactor = 16,
+        Map(
+          "n" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => big(sum(c))),
+          "total" -> (
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6))),
+            (c: org.apache.spark.sql.Column) => sum(c).cast(DoubleType))))
+        .select("event_type", "n", "total")
+        .orderBy("event_type")
+    },
+
     // Exact percentiles (sort-based, linearly interpolated in both engines).
     Q("q_percentiles",
       """SELECT l_returnflag,
