@@ -206,6 +206,30 @@ object GroupB {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Offset window functions: lag/lead/first_value + consecutive-order
+    // price delta (exact double subtraction of identical operands).
+    Q("q_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey) OVER w AS prev_order,
+        |       lead(o_orderkey) OVER w AS next_order,
+        |       first_value(o_orderkey) OVER w AS first_order,
+        |       o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0) AS price_delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          (col("o_totalprice") -
+            coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+            .as("price_delta"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Global top-k: TakeOrderedAndProject — per-partition top-k then a
     // single-reducer merge of k·partitions rows, never a full sort at scale.
     Q("q_topk",
