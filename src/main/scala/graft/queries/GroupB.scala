@@ -370,6 +370,26 @@ object GroupB {
         .orderBy("event_type")
     },
 
+    // Statistical aggregates (rounded at 4: both engines compute the same
+    // textbook estimators in double; only last-bit accumulation differs).
+    Q("q_stats",
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_extendedprice), 4) AS var_price,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Exact percentiles (sort-based, linearly interpolated in both engines).
     Q("q_percentiles",
       """SELECT l_returnflag,
