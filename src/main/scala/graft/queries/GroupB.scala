@@ -168,6 +168,88 @@ object GroupB {
         .orderBy(coalesce(col("o_year"), lit(-1L)), coalesce(col("o_month"), lit(-1L)))
     },
 
+    // CUBE over (status, priority): all four grouping-set combinations.
+    Q("q_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY coalesce(o_orderstatus, 'zz'), coalesce(o_orderpriority, 'zz')""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(big(grouping_id()).as("gid"), big(count(lit(1))).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(coalesce(col("o_orderstatus"), lit("zz")),
+          coalesce(col("o_orderpriority"), lit("zz")))
+    },
+
+    // Quartile assignment via ntile + per-bucket aggregation.
+    Q("q_ntile",
+      """SELECT quartile, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        |       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        |FROM (SELECT o_totalprice,
+        |             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |               AS quartile
+        |      FROM orders)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin) { (spark, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      tbl(spark, dir, "orders")
+        .select(col("o_totalprice"), big(ntile(4).over(w)).as("quartile"))
+        .groupBy("quartile")
+        .agg(big(count(lit(1))).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("quartile")
+    },
+
+    // Date arithmetic: datediff / date_add / truncation round-trips.
+    Q("q_date_math",
+      """SELECT o_orderkey,
+        |       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+        |         AS days_since_epoch_start,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+        |       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+        |FROM orders WHERE o_orderkey % 250 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .filter(col("o_orderkey") % 250 === 0)
+        .select(col("o_orderkey"),
+          big(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")))
+            .as("days_since_epoch_start"),
+          dstr(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+          dstr(date_trunc("quarter", col("o_orderdate"))).as("quarter_start"),
+          big(dayofweek(col("o_orderdate")) - 1).as("dow"))
+        .orderBy("o_orderkey")
+    },
+
+    // Conditional scalar functions: greatest/least/nullif/coalesce/if.
+    Q("q_conditional",
+      """SELECT o_orderkey,
+        |       greatest(o_totalprice, 100000.0) AS floor_price,
+        |       least(o_totalprice, 400000.0) AS cap_price,
+        |       nullif(o_orderstatus, 'O') AS status_or_null,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+        |       CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS size_label
+        |FROM orders WHERE o_orderkey % 250 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .filter(col("o_orderkey") % 250 === 0)
+        .select(col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+          least(col("o_totalprice"), lit(400000.0)).as("cap_price"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_label"),
+          when(col("o_totalprice") > 300000, "big").otherwise("small")
+            .as("size_label"))
+        .orderBy("o_orderkey")
+    },
+
     // Top-3 orders per customer: rank window, unique tiebreak on orderkey.
     Q("q_window_rank",
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
