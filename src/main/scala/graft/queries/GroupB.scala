@@ -323,6 +323,44 @@ object GroupB {
         .limit(10)
     },
 
+    // Array aggregation: per-customer sorted set of active years, rendered
+    // as a string (collect_set order is engine-dependent; array_sort makes
+    // the contract deterministic).
+    Q("q_array_agg",
+      """SELECT c_custkey,
+        |       array_to_string(list_sort(list_distinct(list(y))), ',') AS years
+        |FROM (SELECT o_custkey AS c_custkey,
+        |             CAST(year(o_orderdate) AS BIGINT) AS y FROM orders)
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          big(year(col("o_orderdate"))).as("y"))
+        .groupBy("c_custkey")
+        .agg(array_join(array_sort(collect_set(col("y"))), ",").as("years"))
+        .orderBy("c_custkey")
+    },
+
+    // Manual pivot: one row per user, one column per event type
+    // (conditional aggregation — the shuffle-stable form of PIVOT).
+    Q("q_pivot",
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+        |                     AS DECIMAL(25,6))) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      def cnt(t: String) = big(count(when(col("event_type") === t, 1))).as(t + "s")
+      events(spark, dir)
+        .groupBy("user_id")
+        .agg(cnt("click"), cnt("view"), cnt("purchase"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+            .as("purchase_value"))
+        .orderBy("user_id")
+    },
+
     // UNION / INTERSECT / EXCEPT of customer segments.
     Q("q_set_ops",
       """SELECT 'except' AS set_op, c_custkey FROM
