@@ -88,6 +88,31 @@ class StreamSpec extends SparkSpec {
       ("2024-01-01 00:05:00", 1L, 4.0)))
   }
 
+  test("watermark drops late data in append mode") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // window [00:00, 00:05) gets one event; then the watermark advances
+    // far past it, closing the window
+    mem.addData((Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // a late event for the closed window must be dropped, not re-emitted
+    mem.addData((Timestamp.valueOf("2024-01-01 00:02:00"), "click", 99.0))
+    q.processAllAvailable()
+    val rows = spark.table("late_out")
+      .select($"window_start".cast("string"), $"n", $"total_value")
+      .as[(String, Long, Double)].collect().toSeq
+    q.stop()
+    // the first window was finalized with exactly its on-time event
+    assert(rows.contains(("2024-01-01 00:00:00", 1L, 1.0)))
+    // and the late 99.0 never surfaced anywhere
+    assert(!rows.exists(_._3 == 99.0))
+  }
+
   test("session_window merges events within the gap") {
     val mem = MemoryStream[(Timestamp, Long)](spark)
     val df = mem.toDF().toDF("ts", "user_id")
