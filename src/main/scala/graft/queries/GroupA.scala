@@ -207,9 +207,31 @@ object GroupA {
         .orderBy("vec_id")
     },
 
-    // FNV-1a 64 point-id hashing (K1) — not expressible in DuckDB SQL
-    // (per-byte fold); driver applies the rows-only check.
-    Q.noOracle("q_point_id_hash") { (spark, dir) =>
+    // FNV-1a 64 point-id hashing (K1). The oracle folds the hash per
+    // character with a recursive CTE in HUGEINT arithmetic (wrapping mult
+    // emulated by % 2^64, result mapped back to the signed 64-bit value the
+    // Catalyst expression produces). Ids are ASCII by construction.
+    Q("q_point_id_hash",
+      s"""${Changelog.cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ids AS (
+         |  SELECT schema_name || '.' || table_name || ':' || pk AS id, lsn
+         |  FROM changes WHERE table_name = 'documents' AND (op = 'd' OR has_after)
+         |),
+         |fnv AS (
+         |  SELECT id, lsn, 1 AS pos,
+         |         CAST(14695981039346656037 AS HUGEINT) AS h FROM ids
+         |  UNION ALL
+         |  SELECT id, lsn, pos+1,
+         |         (xor(h, CAST(ascii(substr(id, pos, 1)) AS HUGEINT))
+         |          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+         |  FROM fnv WHERE pos <= length(id)
+         |)
+         |SELECT id, lsn,
+         |       CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+         |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
+         |                 ELSE h END AS BIGINT) AS point_id
+         |FROM fnv WHERE pos = length(id) + 1
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
       effective(Changelog.changes(spark, dir))
         .select(
           TextOps.docId(col("schema"), col("table"), col("primary_key")).as("id"),
