@@ -240,9 +240,15 @@ object GroupA {
         .orderBy("lsn")
     },
 
-    // Deterministic test featurizer (E1 stand-in) — UDF, no oracle.
+    // Deterministic test featurizer (E1 stand-in) — UDF, no oracle. The
+    // declared output projects the array<float> vectors to stable scalars
+    // (dimension, rounded L2 norms, an fnv1a64 digest of the rounded
+    // components) so the driver's rows-only pandas sort can handle every
+    // column; the raw arrays stay internal to the pipeline paths.
     Q.noOracle("q_embed_det") { (spark, dir) =>
       val embed = Embedders.embedColumn(Embedders.deterministic)
+      def digest(c: Column): Column =
+        VectorOps.fnv1a64(to_json(transform(c, x => round(x.cast(DoubleType), 6))))
       mapped(Changelog.changes(spark, dir))
         .filter(col("op") =!= "d" && col("after").isNotNull)
         .select(col("primary_key").as("pk"), lsnLong,
@@ -252,6 +258,12 @@ object GroupA {
         .filter(length(col("text")) > 0)
         .withColumn("embedding", embed(col("text")))
         .withColumn("norm_embedding", VectorOps.l2normalize(col("embedding")))
+        .select(col("pk"), col("lsn"),
+          size(col("embedding")).as("dim"),
+          round(VectorOps.l2normExact(col("embedding")), 6).as("l2_norm"),
+          round(VectorOps.l2normExact(col("norm_embedding")), 6).as("unit_norm"),
+          digest(col("embedding")).as("embed_digest"),
+          digest(col("norm_embedding")).as("norm_digest"))
         .orderBy("lsn")
     }
   )

@@ -196,9 +196,42 @@ object GroupB {
         |               AS quartile
         |      FROM orders)
         |GROUP BY quartile ORDER BY quartile""".stripMargin) { (spark, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      tbl(spark, dir, "orders")
-        .select(col("o_totalprice"), big(ntile(4).over(w)).as("quartile"))
+      // Scale-safe exact ntile: a partition-less `ntile(4) OVER (ORDER BY …)`
+      // funnels the whole table through one task. Instead, derive the global
+      // row number distributively: range-repartition on the sort key, number
+      // rows within each partition, and add per-partition offsets computed
+      // from a partition-count table that is only `shuffle.partitions` rows
+      // (its prefix-sum window is bounded, not data-sized). Correctness does
+      // not depend on where the range boundaries fall — the composite key
+      // (o_totalprice, o_orderkey) is unique and range partitions are totally
+      // ordered, so offset + local row number is the exact global rank.
+      // The per-partition count table is ≤ shuffle.partitions rows — its
+      // prefix sum is driver-side bounded work (same pattern as Ivf's k×dim
+      // centroid collects), which also keeps every remaining window
+      // partitioned. Range partitioning is deterministic, so the pid seen by
+      // the count job and by the main job agree.
+      import spark.implicits._
+      val ranged = tbl(spark, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2))
+        .toSeq.toDF("pid", "offset")
+      // ntile(4) bucket b ends at global rank b*floor(N/4) + least(b, N%4).
+      def bucketEnd(b: Int): Long = b * (n / 4) + math.min(b.toLong, n % 4)
+      val localW = Window.partitionBy(col("pid"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val rn = col("offset") + col("local_rn")
+      ranged
+        .withColumn("local_rn", row_number().over(localW))
+        .join(broadcast(offsets), "pid")
+        .withColumn("quartile",
+          when(rn <= bucketEnd(1), 1L).when(rn <= bucketEnd(2), 2L)
+            .when(rn <= bucketEnd(3), 3L).otherwise(4L))
         .groupBy("quartile")
         .agg(big(count(lit(1))).as("n"),
           min(col("o_totalprice")).as("min_price"),

@@ -53,8 +53,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Token-set Jaccard near-dup with language blocking — the equi-join is
-    // on lang, candidates verified with exact set arithmetic.
+    // Token-set Jaccard near-dup. Candidates come from MinHash band buckets
+    // (16 salted-hash perms, 8 bands × 2 rows, lang folded into the bucket
+    // key), NOT from a within-language all-pairs join — per-language blocking
+    // is quadratic in corpus size, band buckets keep the join linear-ish.
+    // At the 0.95 threshold a true pair misses all 8 bands with probability
+    // (1 - 0.95²)⁸ ≈ 1e-8, so the band filter is recall-safe for the oracle,
+    // which recomputes the exact pair set its own all-pairs way; survivors
+    // are verified with exact popcount set-mask Jaccard.
     Q("q_ngram_jaccard",
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -68,18 +74,32 @@ object PipelineQueries {
         |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val masks = DedupOps.setMasks(docTokens(spark, dir),
-        Seq("doc_id", "lang"), "toks")
-      def side(p: String) = masks.select(
-        col("doc_id").as(s"${p}id") +: col("lang").as(s"${p}lang") +:
-          col("sz").as(s"${p}sz") +:
+      val docs = docTokens(spark, dir)
+      // the 5-long set masks ride INTO the band self-join (40 bytes/row on a
+      // bands×docs input), so candidates are verified inline as popcount
+      // math and only the ~true-pair set reaches the final dedupe — no
+      // multi-million-row candidate distinct() or post-join mask lookups
+      val masks = DedupOps.setMasks(docs, Seq("doc_id"), "toks")
+      val banded = docs
+        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
+        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
+        .select(col("doc_id"),
+          concat_ws("|", col("lang"), col("band")).as("band"))
+        .join(masks, "doc_id")
+      def side(p: String) = banded.select(
+        col("doc_id").as(s"${p}_id") +: col("band") +: col("sz").as(s"${p}sz") +:
           (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
       val inter = DedupOps.maskIntersect("a", "b")
-      side("a").join(side("b"),
-          col("alang") === col("blang") && col("aid") < col("bid"))
-        .select(col("aid").as("a_id"), col("bid").as("b_id"),
+      // all qualifying pairs are reported (the oracle recomputes the full
+      // pair set all-pairs its own way, so star-edge reduction cannot
+      // apply); a pair colliding in several bands dedupes after the ≥0.95
+      // filter, when only true pairs remain
+      side("a").join(side("b"), Seq("band"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
           round(DedupOps.maskJaccard(inter, col("asz"), col("bsz")), 6).as("jac"))
         .filter(col("jac") >= 0.95)
+        .distinct()
         .orderBy("a_id", "b_id")
     },
 
