@@ -5,7 +5,7 @@ import graft.embed.{DeterministicHashEmbedder, Embedder, OllamaHttpEmbedder}
 import graft.model.Mapping
 import graft.pipeline.VectorPipeline
 import graft.sink.{MilvusSink, ParquetVectorStore, QdrantSink}
-import graft.stream.{CdcStream, Health, Supervisor}
+import graft.stream.{CdcStream, Health, HealthServer, Supervisor}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
@@ -34,8 +34,11 @@ object Main {
 
     val embedder = mkEmbedder(cfg)
     val health = new Health().register(spark)
+    // O1: real /healthz listener (reference: main.go:136-151)
+    val healthServer = new HealthServer(health, cfg.httpAddr).start()
 
     sys.addShutdownHook { // O3 graceful shutdown (main.go:153-199)
+      healthServer.stop()
       // Spark's own shutdown hook may already have stopped the context
       if (!spark.sparkContext.isStopped)
         try spark.streams.active.foreach(_.stop())

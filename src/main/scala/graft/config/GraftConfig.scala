@@ -22,6 +22,7 @@ final case class GraftConfig(
     sinkCollection: String = "vectors",
     batchSize: Int = 64,
     flushIntervalMs: Long = 500L,
+    httpAddr: String = ":8080",
     mappings: Seq[Mapping] = Nil)
 
 object GraftConfig {
@@ -73,6 +74,7 @@ object GraftConfig {
       sinkCollection = str(sink, "collection", "vectors"),
       batchSize = num(pipe, "batch_size", 64L).toInt,
       flushIntervalMs = num(pipe, "flush_interval_ms", 500L),
+      httpAddr = str(section("http"), "addr", ":8080"),
       mappings = mappings)
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.DataFrame
   * injection-prone).
   */
 final class MilvusSink(baseUrl: String, collection: String,
-                       requestBatchSize: Int = 128) extends Serializable {
+                       requestBatchSize: Int = 128,
+                       metric: String = "IP") extends Serializable {
 
-  private def post(path: String, body: String): Unit = {
+  private def post(path: String, body: String): String = {
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(s"$baseUrl$path"))
@@ -24,10 +25,41 @@ final class MilvusSink(baseUrl: String, collection: String,
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"milvus $path failed: HTTP ${resp.statusCode()}")
+    resp.body()
   }
 
-  /** Distributed upsert: per-partition client, batched requests. */
+  /** Dimension of the ensured collection; 0 = not yet checked (driver-side
+    * cache, reference: milvus.go:53-57). */
+  @volatile private var knownDim: Int = 0
+
+  /** Lazy collection bootstrap (reference: milvus.go:53-120): if the
+    * collection is missing, create it with the reference schema
+    * (`id VARCHAR(512) PRIMARY KEY, vector FLOAT_VECTOR(dim), payload
+    * JSON`), build the HNSW index (M=16, efConstruction=200, metric default
+    * IP — milvus.go:93), then load; if present, just load. */
+  def ensureCollection(dim: Int): Unit = {
+    if (knownDim > 0 && knownDim == dim) return
+    val has = MilvusSink.parseHas(
+      post("/v2/vectordb/collections/has", MilvusSink.collectionBody(collection)))
+    if (!has) {
+      post("/v2/vectordb/collections/create",
+        MilvusSink.createCollectionBody(collection, dim))
+      post("/v2/vectordb/indexes/create",
+        MilvusSink.createIndexBody(collection, metric))
+    }
+    post("/v2/vectordb/collections/load", MilvusSink.collectionBody(collection))
+    knownDim = dim
+  }
+
+  /** Distributed upsert: per-partition client, batched requests. The
+    * collection is ensured once, driver-side, from the first row's
+    * dimension (one bounded limit-1 job, then cached). */
   def upsert(points: DataFrame): Unit = {
+    if (knownDim == 0)
+      points.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("vector")).as("d"))
+        .limit(1).collect()
+        .headOption.foreach(r => ensureCollection(r.getInt(0)))
     val (url, coll, bs) = (baseUrl, collection, requestBatchSize)
     points.select("id", "vector", "metadata").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -56,6 +88,31 @@ final class MilvusSink(baseUrl: String, collection: String,
 
 object MilvusSink {
   private def esc(s: String): String = graft.util.Json.escape(s)
+
+  /** `{"collectionName":…}` — shared by has/load requests. */
+  def collectionBody(collection: String): String =
+    s"""{"collectionName":"${esc(collection)}"}"""
+
+  /** Reference schema (milvus.go:77-82): `id VARCHAR(512) PRIMARY KEY,
+    * vector FLOAT_VECTOR(dim), payload JSON`. */
+  def createCollectionBody(collection: String, dim: Int): String =
+    s"""{"collectionName":"${esc(collection)}","schema":{"fields":[""" +
+      """{"fieldName":"id","dataType":"VarChar","isPrimary":true,""" +
+      """"elementTypeParams":{"max_length":"512"}},""" +
+      s"""{"fieldName":"vector","dataType":"FloatVector","elementTypeParams":{"dim":"$dim"}},""" +
+      """{"fieldName":"payload","dataType":"JSON"}]}}"""
+
+  /** HNSW index on `vector`, M=16 / efConstruction=200 (milvus.go:93). */
+  def createIndexBody(collection: String, metric: String): String =
+    s"""{"collectionName":"${esc(collection)}","indexParams":[""" +
+      s"""{"fieldName":"vector","indexName":"vector","metricType":"${esc(metric)}",""" +
+      """"params":{"index_type":"HNSW","M":16,"efConstruction":200}}]}"""
+
+  /** `{"data":{"has":bool}}` from the has-collection response. */
+  def parseHas(respJson: String): Boolean =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(respJson).path("data").path("has").asBoolean(false)
+    catch { case _: Exception => false }
 
   /** `{"collectionName":…,"data":[{"id":…,"vector":[…],"payload":{…}}]}` */
   def upsertBody(collection: String,

@@ -41,7 +41,13 @@ final class ParquetVectorStore(path: String) extends Serializable {
   /** Rewrite the op log down to current state. The log grows with every
     * micro-batch; at scale a periodic compaction (cheap latest-by-id shuffle
     * over the log, tiny result) keeps [[current]] reads O(state), not
-    * O(history). `batchId` must exceed all live batch ids. */
+    * O(history). `batchId` must exceed all live batch ids.
+    *
+    * Crash safety: the live log is renamed aside BEFORE the compacted copy
+    * takes its place, so a crash at any step leaves either the old log (at
+    * `path` or recoverable at `path + ".old"`) or the already-complete new
+    * one — never nothing. Must not run concurrently with [[write]]: a batch
+    * appended between the snapshot read and the swap would be lost. */
   def compact(spark: SparkSession, batchId: Long): Unit = {
     val tmp = path + ".compact"
     current(spark)
@@ -49,11 +55,18 @@ final class ParquetVectorStore(path: String) extends Serializable {
         lit("upsert").as("op"), lit(batchId).as("batch_id"))
       .write.mode("overwrite").parquet(tmp)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     // resolve the filesystem FROM the store path (fs.defaultFS would break
     // s3a://-style stores)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true) // leftover from a prior crashed compaction
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: could not move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // restore the live log before failing
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    fs.delete(old, true)
   }
 }
 
@@ -68,11 +81,62 @@ final class ParquetVectorStore(path: String) extends Serializable {
   * (zero-egress environment), mirroring the reference's own mocked-server
   * strategy.
   */
-final class QdrantSink(baseUrl: String, collection: String,
-                       requestBatchSize: Int = 128) extends Serializable {
+final class QdrantSink(rawBaseUrl: String, collection: String,
+                       requestBatchSize: Int = 128,
+                       distance: String = "Cosine") extends Serializable {
 
-  /** Distributed write: per-partition client, batched PUTs. */
+  /** Scheme/port-normalized base (reference: qdrant.go:47-68). */
+  val baseUrl: String = QdrantSink.normalizeBaseUrl(rawBaseUrl)
+
+  /** Dimension of the (verified-or-created) collection; 0 = not yet checked.
+    * Driver-side cache — repeat batches skip the info round trip
+    * (reference: qdrant.go:70-77). */
+  @volatile private var knownDim: Int = 0
+
+  /** Lazily create the collection (reference: qdrant.go:70-145): GET the
+    * collection info; if it exists, a mismatched vector size is a hard error
+    * (`drop or recreate`), otherwise PUT `{"vectors":{size,distance}}`. */
+  def ensureCollection(dim: Int): Unit = {
+    if (knownDim > 0 && knownDim == dim) return
+    val client = java.net.http.HttpClient.newHttpClient()
+    val infoUri = java.net.URI.create(s"$baseUrl/collections/$collection")
+    val info =
+      try {
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder().uri(infoUri).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() == 200) Some(r.body()) else None
+      } catch { case _: java.io.IOException => None } // fall through to create
+    info match {
+      case Some(body) =>
+        val existing = QdrantSink.extractVectorSize(body)
+        if (existing > 0 && dim > 0 && existing != dim)
+          throw new IllegalStateException(
+            s"collection exists with size=$existing but payload has dim=$dim; " +
+              "drop or recreate the collection")
+        knownDim = if (existing > 0) existing else dim
+      case None =>
+        val req = java.net.http.HttpRequest.newBuilder().uri(infoUri)
+          .header("Content-Type", "application/json")
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+            QdrantSink.createCollectionBody(dim, distance)))
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() != 200)
+          throw new java.io.IOException(
+            s"failed to create collection: HTTP ${resp.statusCode()} ${resp.body()}")
+        knownDim = dim
+    }
+  }
+
+  /** Distributed write: per-partition client, batched PUTs. The collection
+    * is verified/created once, driver-side, from the first row's dimension
+    * (one bounded limit-1 job, then cached). */
   def upsert(points: DataFrame): Unit = {
+    if (knownDim == 0)
+      points.select(size(col("vector")).as("d")).limit(1).collect()
+        .headOption.foreach(r => ensureCollection(r.getInt(0)))
     val url = s"$baseUrl/collections/$collection/points"
     val bs = requestBatchSize
     points.select("id", "vector", "metadata").foreachPartition {
@@ -123,6 +187,39 @@ object QdrantSink {
   /** Unsigned FNV-1a 64 point id (reference: qdrant.go:174-179). */
   def pointId(extId: String): String =
     java.lang.Long.toUnsignedString(graft.ops.expr.Fnv1a64.hash(extId))
+
+  /** Address normalization (reference: qdrant.go:47-68): scheme defaults to
+    * http, port defaults to 6333, and HTTP against the gRPC port is
+    * rejected outright. */
+  def normalizeBaseUrl(raw: String): String = {
+    val withScheme =
+      if (raw.startsWith("http://") || raw.startsWith("https://")) raw
+      else "http://" + raw
+    val u = java.net.URI.create(withScheme)
+    val (host, path) = Option(u.getAuthority) match {
+      case Some(a) if a.nonEmpty => (a, Option(u.getPath).getOrElse(""))
+      case _ => (Option(u.getPath).getOrElse(""), "") // "http://" + bare word
+    }
+    require(host.nonEmpty, s"qdrant url has no host: $raw")
+    val hostPort = if (host.contains(":")) host else s"$host:6333"
+    require(!hostPort.endsWith(":6334"), "use 6333 for HTTP; 6334 is gRPC")
+    s"${u.getScheme}://$hostPort${path.stripSuffix("/")}"
+  }
+
+  /** `{"vectors":{"size":…,"distance":…}}` (reference: qdrant.go:119-125). */
+  def createCollectionBody(dim: Int, distance: String): String =
+    s"""{"vectors":{"size":$dim,"distance":"${esc(distance)}"}}"""
+
+  /** Existing dimension from a collection-info response
+    * (`result.config.params.vectors.size` — reference: qdrant.go:146-168);
+    * 0 when absent/unparseable. */
+  def extractVectorSize(infoJson: String): Int =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(infoJson)
+        .path("result").path("config").path("params").path("vectors").path("size")
+      if (node.isInt) node.asInt else 0
+    } catch { case _: Exception => 0 }
 
   private def esc(s: String): String = graft.util.Json.escape(s)
 

@@ -55,6 +55,40 @@ final class Health extends StreamingQueryListener {
   }
 }
 
+/** Serves `/healthz` over the JDK's built-in HTTP server (dependency-free),
+  * returning [[Health.statusJson]] — the reference exposes the same payload
+  * from a real HTTP listener (cmd/cdc2vec/main.go:136-151, default addr
+  * `:8080` — internal/config/config.go:102-114). Bind port 0 for an
+  * ephemeral port (tests). */
+final class HealthServer(health: Health, addr: String = ":8080") {
+
+  private val server = {
+    val (host, port) = addr.lastIndexOf(':') match {
+      case i if i >= 0 =>
+        val h = addr.substring(0, i)
+        (if (h.isEmpty) "0.0.0.0" else h, addr.substring(i + 1).toInt)
+      case _ => ("0.0.0.0", addr.toInt)
+    }
+    val s = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(host, port), 0)
+    s.createContext("/healthz", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = health.statusJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    s
+  }
+
+  /** The bound port (useful with addr ":0"). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HealthServer = { server.start(); this }
+
+  def stop(): Unit = server.stop(0)
+}
+
 /** Restart supervision (reference O2: CDC failures retried forever with a
   * fixed 5s sleep — internal/cdc/postgres/postgres.go:67-82). Spark's
   * checkpoint makes restarts resume exactly where the failed attempt left
@@ -62,15 +96,17 @@ final class Health extends StreamingQueryListener {
 object Supervisor {
 
   /** Run `start` and restart it on failure with fixed backoff until it
-    * terminates cleanly or `maxRestarts` is exhausted. */
+    * terminates cleanly or `maxRestarts` is exhausted. `start()` runs inside
+    * the retry scope: the reference's loop also re-enters through connection
+    * setup (postgres.go:67-82), and (re)starting a query — source connect,
+    * checkpoint recovery — is exactly where transient failures surface. */
   def runWithRestarts(maxRestarts: Int = Int.MaxValue, backoffMs: Long = 5000L)
                      (start: () => StreamingQuery): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
-      val q = start()
       try {
-        q.awaitTermination()
+        start().awaitTermination()
         done = true
       } catch {
         case e: Exception =>

@@ -26,6 +26,8 @@ class ConfigSpec extends AnyFunSuite {
       |pipeline:
       |  batch_size: 64
       |  flush_interval_ms: 500
+      |http:
+      |  addr: :9090
       |mappings:
       |  - table: public.documents
       |    id_column: id
@@ -43,6 +45,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.vectorSize == 768 && cfg.normalize)
     assert(cfg.sinkType == "qdrant" && cfg.sinkCollection == "documents")
     assert(cfg.batchSize == 64 && cfg.flushIntervalMs == 500L)
+    assert(cfg.httpAddr == ":9090")
     assert(cfg.mappings == Seq(
       Mapping("public.documents", "id", Seq("title", "content"),
         Seq("created_at", "author")),
@@ -55,6 +58,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.flushIntervalMs == 500L)   // config.go:106-108
     assert(cfg.vectorSize == 768)         // config.go:112-114
     assert(cfg.normalize && cfg.sinkType == "parquet")
+    assert(cfg.httpAddr == ":8080")     // config.go:109-111
     assert(cfg.mappings.head.idColumn == "id")
   }
 
@@ -67,6 +71,59 @@ class ConfigSpec extends AnyFunSuite {
     val del = MilvusSink.deleteBody("c", Seq("a:1", """x" or 1=1"""))
     val tree = mapper.readTree(del) // the quotes around ids must be escaped
     assert(tree.get("filter").asText() == """id in ["a:1","x\" or 1=1"]""")
+  }
+
+  test("milvus collection bootstrap bodies: schema, HNSW index, has/load") {
+    // reference: internal/sink/milvus/milvus.go:53-120 (schema :77-82,
+    // HNSW M=16/efConstruction=200 :93)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val create = MilvusSink.createCollectionBody("c", 768)
+    val fields = mapper.readTree(create).get("schema").get("fields")
+    assert(fields.size() == 3)
+    assert(fields.get(0).get("fieldName").asText() == "id" &&
+      fields.get(0).get("isPrimary").asBoolean() &&
+      fields.get(0).get("elementTypeParams").get("max_length").asText() == "512")
+    assert(fields.get(1).get("dataType").asText() == "FloatVector" &&
+      fields.get(1).get("elementTypeParams").get("dim").asText() == "768")
+    assert(fields.get(2).get("dataType").asText() == "JSON")
+
+    val idx = mapper.readTree(MilvusSink.createIndexBody("c", "IP"))
+      .get("indexParams").get(0)
+    assert(idx.get("metricType").asText() == "IP")
+    assert(idx.get("params").get("index_type").asText() == "HNSW")
+    assert(idx.get("params").get("M").asInt() == 16)
+    assert(idx.get("params").get("efConstruction").asInt() == 200)
+
+    assert(MilvusSink.collectionBody("c") == """{"collectionName":"c"}""")
+    assert(MilvusSink.parseHas("""{"code":0,"data":{"has":true}}"""))
+    assert(!MilvusSink.parseHas("""{"code":0,"data":{"has":false}}"""))
+    assert(!MilvusSink.parseHas("garbage"))
+  }
+
+  test("milvus ensureCollection: create+index+load when missing, load-only when present") {
+    val calls = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile var exists = false
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v2/vectordb", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v2/vectordb")
+      calls.add(path)
+      val body = (if (path == "/collections/has")
+        s"""{"code":0,"data":{"has":$exists}}"""
+      else """{"code":0,"data":{}}""").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody; os.write(body); os.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      new MilvusSink(base, "c").ensureCollection(64)
+      assert(calls.toArray.toSeq == Seq("/collections/has",
+        "/collections/create", "/indexes/create", "/collections/load"))
+      calls.clear(); exists = true
+      new MilvusSink(base, "c").ensureCollection(64)
+      assert(calls.toArray.toSeq == Seq("/collections/has", "/collections/load"))
+    } finally server.stop(0)
   }
 
   test("yaml parser: document markers, comments in URLs, colon-less lines") {

@@ -31,6 +31,70 @@ class SinkSpec extends SparkSpec {
     assert(body == s"""{"points":[${QdrantSink.pointId("x")},${QdrantSink.pointId("y")}]}""")
   }
 
+  test("qdrant url normalization: scheme + default port, gRPC port rejected") {
+    // reference: internal/sink/qdrant/qdrant.go:47-68
+    assert(QdrantSink.normalizeBaseUrl("localhost") == "http://localhost:6333")
+    assert(QdrantSink.normalizeBaseUrl("qdrant.internal:9000") ==
+      "http://qdrant.internal:9000")
+    assert(QdrantSink.normalizeBaseUrl("https://host") == "https://host:6333")
+    assert(QdrantSink.normalizeBaseUrl("http://host:6333/base/") ==
+      "http://host:6333/base")
+    val e = intercept[IllegalArgumentException] {
+      QdrantSink.normalizeBaseUrl("host:6334")
+    }
+    assert(e.getMessage.contains("6334 is gRPC"))
+  }
+
+  test("qdrant create body + vector-size extraction from collection info") {
+    // reference: internal/sink/qdrant/qdrant.go:96-98,119-125,146-168
+    assert(QdrantSink.createCollectionBody(768, "Cosine") ==
+      """{"vectors":{"size":768,"distance":"Cosine"}}""")
+    val info =
+      """{"result":{"config":{"params":{"vectors":{"size":64,"distance":"Cosine"}}}}}"""
+    assert(QdrantSink.extractVectorSize(info) == 64)
+    assert(QdrantSink.extractVectorSize("""{"result":{}}""") == 0)
+    assert(QdrantSink.extractVectorSize("not json") == 0)
+  }
+
+  test("qdrant ensureCollection: creates when missing, errors on dim conflict") {
+    // mocked-server contract test, mirroring the reference's httptest
+    // strategy (internal/embeddings/embeddings_test.go:12-44)
+    val puts = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile var existingDim = 0
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/collections/vecs", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val resp =
+        if (ex.getRequestMethod == "PUT") {
+          puts.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          """{"result":true,"status":"ok"}"""
+        } else if (existingDim > 0)
+          s"""{"result":{"config":{"params":{"vectors":{"size":$existingDim}}}}}"""
+        else null
+      val body = Option(resp).getOrElse("""{"status":"not found"}""")
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(if (resp == null) 404 else 200, body.length.toLong)
+      val os = ex.getResponseBody; os.write(body); os.close()
+    })
+    server.start()
+    try {
+      val base = s"127.0.0.1:${server.getAddress.getPort}"
+      // missing → PUT create with {size, distance}
+      new QdrantSink(base, "vecs").ensureCollection(64)
+      assert(puts.size == 1 &&
+        puts.get(0) == QdrantSink.createCollectionBody(64, "Cosine"))
+      // exists with the same dim → no additional create
+      existingDim = 64
+      new QdrantSink(base, "vecs").ensureCollection(64)
+      assert(puts.size == 1)
+      // exists with another dim → hard error (reference: qdrant.go:96-98)
+      val e = intercept[IllegalStateException] {
+        new QdrantSink(base, "vecs").ensureCollection(128)
+      }
+      assert(e.getMessage.contains("size=64") && e.getMessage.contains("dim=128"))
+    } finally server.stop(0)
+  }
+
   test("kafka envelope has the reference wire shape (id/vector/metadata/op/table/pk)") {
     // reference: internal/sink/kafka/kafka.go:19-26
     val points = VectorPipeline.vectorPoints(
