@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.expr.Fnv1a64
+import graft.ops.expr.{Fnv1a64, SimHash64}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -12,23 +12,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.fnv1a64Descriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val fnv1a64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    new FunctionIdentifier("fnv1a64"),
-    new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def unary(name: String, clazz: Class[_],
+                    make: Expression => Expression): Descriptor = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 1, "fnv1a64 takes exactly one argument")
-      Fnv1a64(children.head)
+      require(children.size == 1, s"$name takes exactly one argument")
+      make(children.head)
     })
+
+  private val descriptors: Seq[Descriptor] = Seq(
+    unary("fnv1a64", classOf[Fnv1a64], Fnv1a64(_)),
+    unary("simhash64", classOf[SimHash64], SimHash64(_)))
 
   /** Imperative registration onto a live session (the extensions class
     * covers sessions built with `spark.sql.extensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      fnv1a64Descriptor._1, fnv1a64Descriptor._2, fnv1a64Descriptor._3)
+    descriptors.foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }

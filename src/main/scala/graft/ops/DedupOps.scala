@@ -42,11 +42,16 @@ object DedupOps {
     }: _*)
 
   /** 64-bit SimHash over a token array: bit k is set iff the sum over tokens
-    * of ±1 (sign from bit k of the token's hash) is non-negative.
-    * Single-pass fold: one hash per token, and per token a zip against the
-    * constant bit-mask array updates all 64 counters — O(tokens·64) cheap
-    * bit ops instead of 64 separate folds that each re-hash every token. */
-  def simhash(toks: Column): Column = {
+    * of ±1 (sign from bit k of the token's hash) is non-negative. Native
+    * codegen'd kernel ([[graft.ops.expr.SimHash64]]); [[simhashHof]] keeps
+    * the built-in-HOF formulation as its executable specification. */
+  def simhash(toks: Column): Column = graft.ops.expr.SimHash64.column(toks)
+
+  /** The HOF reference formulation of [[simhash]] (aggregate/zip_with over
+    * a constant mask array): same arithmetic, built from built-ins only.
+    * Kept as the equivalence oracle for the native expression — and as the
+    * fallback if a deployment can't register custom expressions. */
+  def simhashHof(toks: Column): Column = {
     val masks = typedLit((0 until 64).map(k => 1L << k))
     val counts = aggregate(
       transform(toks, t => xxhash64(t)),
@@ -82,18 +87,21 @@ object DedupOps {
   val MaskWords = 4
 
   /** Attach `sz` (set size) and mask words `w0..w3` for `toksCol` to the
-    * rows of `docs`, identified by `idCols`. The vocabulary is built from
-    * the data (distinct tokens, deterministic rank order) and broadcast.
-    * Throws if the vocabulary exceeds 256 tokens — callers handling open
-    * vocabularies should fall back to [[jaccard]] on arrays. */
-  def setMasks(docs: org.apache.spark.sql.DataFrame, idCols: Seq[String],
-               toksCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vocab = docs.select(explode(col(toksCol)).as("tok")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
-    val n = vocab.count()
-    require(n <= MaskWords * 64,
-      s"setMasks supports vocabularies up to ${MaskWords * 64} tokens, got $n")
+    * rows of `docs`, identified by `idCols` — or None when the vocabulary
+    * exceeds the 256-token mask capacity (callers then fall back to
+    * [[jaccard]] on token arrays; both formulations produce identical
+    * integers, so results don't depend on which path ran). The vocabulary
+    * index is built with a bounded limit-(cap+1) collect (≤ 257 rows on the
+    * driver), sorted there — no global row_number window. */
+  def setMasksOpt(docs: org.apache.spark.sql.DataFrame, idCols: Seq[String],
+                  toksCol: String): Option[org.apache.spark.sql.DataFrame] = {
+    val cap = MaskWords * 64
+    val toks = docs.select(explode(col(toksCol)).as("tok")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    if (toks.length > cap) return None
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = toks.sorted.zipWithIndex.toSeq.toDF("tok", "idx")
     val exploded = docs
       .select(idCols.map(col) :+ size(col(toksCol)).as("sz") :+
         explode(col(toksCol)).as("tok"): _*)
@@ -102,8 +110,16 @@ object DedupOps {
       expr(s"bit_or(CASE WHEN idx BETWEEN ${w * 64} AND ${w * 64 + 63} " +
         s"THEN shiftleft(1L, idx - ${w * 64}) ELSE 0L END)").as(s"w$w")
     }
-    exploded.groupBy((idCols :+ "sz").map(col): _*).agg(words.head, words.tail: _*)
+    Some(exploded.groupBy((idCols :+ "sz").map(col): _*)
+      .agg(words.head, words.tail: _*))
   }
+
+  /** [[setMasksOpt]] for callers that require the closed-vocabulary path. */
+  def setMasks(docs: org.apache.spark.sql.DataFrame, idCols: Seq[String],
+               toksCol: String): org.apache.spark.sql.DataFrame =
+    setMasksOpt(docs, idCols, toksCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"setMasks supports vocabularies up to ${MaskWords * 64} tokens"))
 
   /** |A∩B| from two mask-word column prefixes (e.g. "a_" and "b_"). */
   def maskIntersect(aPrefix: String, bPrefix: String): Column =

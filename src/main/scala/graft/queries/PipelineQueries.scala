@@ -75,29 +75,41 @@ object PipelineQueries {
         |WHERE jac >= 0.95
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
       val docs = docTokens(spark, dir)
-      // the 5-long set masks ride INTO the band self-join (40 bytes/row on a
-      // bands×docs input), so candidates are verified inline as popcount
-      // math and only the ~true-pair set reaches the final dedupe — no
-      // multi-million-row candidate distinct() or post-join mask lookups
-      val masks = DedupOps.setMasks(docs, Seq("doc_id"), "toks")
-      val banded = docs
+      val bandedIds = docs
         .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
         .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
         .select(col("doc_id"),
           concat_ws("|", col("lang"), col("band")).as("band"))
-        .join(masks, "doc_id")
-      def side(p: String) = banded.select(
-        col("doc_id").as(s"${p}_id") +: col("band") +: col("sz").as(s"${p}sz") +:
-          (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
-      val inter = DedupOps.maskIntersect("a", "b")
       // all qualifying pairs are reported (the oracle recomputes the full
       // pair set all-pairs its own way, so star-edge reduction cannot
       // apply); a pair colliding in several bands dedupes after the ≥0.95
-      // filter, when only true pairs remain
-      side("a").join(side("b"), Seq("band"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(DedupOps.maskJaccard(inter, col("asz"), col("bsz")), 6).as("jac"))
+      // filter, when only true pairs remain. Verification payloads ride
+      // INTO the band self-join, so candidates are checked inline and only
+      // the ~true-pair set reaches the final dedupe: 5-long set masks
+      // (popcount math, 40 bytes/row) when the vocabulary fits, token
+      // arrays (exact set ops, same integers) on open vocabularies.
+      val verified = DedupOps.setMasksOpt(docs, Seq("doc_id"), "toks") match {
+        case Some(masks) =>
+          val banded = bandedIds.join(masks, "doc_id")
+          def side(p: String) = banded.select(
+            col("doc_id").as(s"${p}_id") +: col("band") +:
+              col("sz").as(s"${p}sz") +:
+              (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
+          side("a").join(side("b"), Seq("band"))
+            .filter(col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"),
+              round(DedupOps.maskJaccard(DedupOps.maskIntersect("a", "b"),
+                col("asz"), col("bsz")), 6).as("jac"))
+        case None =>
+          val banded = bandedIds.join(docs.select("doc_id", "toks"), "doc_id")
+          def side(p: String) = banded.select(
+            col("doc_id").as(s"${p}_id"), col("band"), col("toks").as(s"${p}t"))
+          side("a").join(side("b"), Seq("band"))
+            .filter(col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"),
+              round(DedupOps.jaccard(col("at"), col("bt")), 6).as("jac"))
+      }
+      verified
         .filter(col("jac") >= 0.95)
         .distinct()
         .orderBy("a_id", "b_id")
@@ -121,17 +133,28 @@ object PipelineQueries {
         .filter(col("doc_id") =!= col("a_id"))
         .select(col("a_id"), col("doc_id").as("b_id"))
         .distinct()
-      // verification carries 5-long set masks, not token arrays
-      val masks = DedupOps.setMasks(docs, Seq("doc_id"), "toks")
-      def side(p: String) = masks.select(
-        col("doc_id").as(s"${p}_id") +: col("sz").as(s"${p}sz") +:
-          (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
-      val inter = DedupOps.maskIntersect("a", "b")
-      pairs
-        .join(side("a"), "a_id")
-        .join(side("b"), "b_id")
-        .withColumn("jac",
-          round(DedupOps.maskJaccard(inter, col("asz"), col("bsz")), 6))
+      // verification carries 5-long set masks when the vocabulary fits the
+      // 256-token cap, token arrays (same integers) otherwise
+      val withJac = DedupOps.setMasksOpt(docs, Seq("doc_id"), "toks") match {
+        case Some(masks) =>
+          def side(p: String) = masks.select(
+            col("doc_id").as(s"${p}_id") +: col("sz").as(s"${p}sz") +:
+              (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
+          pairs
+            .join(side("a"), "a_id")
+            .join(side("b"), "b_id")
+            .withColumn("jac",
+              round(DedupOps.maskJaccard(DedupOps.maskIntersect("a", "b"),
+                col("asz"), col("bsz")), 6))
+        case None =>
+          def side(p: String) = docs.select(
+            col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
+          pairs
+            .join(side("a"), "a_id")
+            .join(side("b"), "b_id")
+            .withColumn("jac", round(DedupOps.jaccard(col("at"), col("bt")), 6))
+      }
+      withJac
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
         .orderBy("a_id", "b_id")

@@ -41,6 +41,55 @@ class DedupSpec extends SparkSpec {
     assert(hamming > 0 && hamming <= 16, s"hamming was $hamming")
   }
 
+  test("native simhash64 expression matches the HOF formulation exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", DedupOps.tokens($"text").as("toks"))
+    val diff = docs.select(
+        DedupOps.simhash($"toks").as("native"),
+        DedupOps.simhashHof($"toks").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+    // empty token array: all counters 0 → every bit set, on both paths
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(DedupOps.simhash($"toks").as("n"), DedupOps.simhashHof($"toks").as("h"))
+      .head()
+    assert(empty.getLong(0) == -1L && empty.getLong(1) == -1L)
+  }
+
+  test("simhash64 registers for SQL next to fnv1a64") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)
+    val c = Seq(Tuple1(Seq("a", "b"))).toDF("t")
+      .select(DedupOps.simhash($"t")).head().getLong(0)
+    assert(r == c)
+  }
+
+  test("open vocabulary: setMasksOpt yields None, array fallback agrees with masks") {
+    // > 256 distinct tokens → mask path unavailable
+    val big = (1 to 300).map(i => (i.toLong, s"tok$i common words")).toDF("doc_id", "t")
+      .select($"doc_id", DedupOps.tokenSet($"t").as("toks"))
+    assert(DedupOps.setMasksOpt(big, Seq("doc_id"), "toks").isEmpty)
+    // ≤ 256 tokens → masks exist, and popcount Jaccard equals array Jaccard
+    val small = Seq((1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d e"))
+      .toDF("doc_id", "t")
+      .select($"doc_id", DedupOps.tokenSet($"t").as("toks"))
+    val masks = DedupOps.setMasksOpt(small, Seq("doc_id"), "toks").get
+    def side(p: String) = masks.select(
+      col("doc_id").as(s"${p}_id") +: col("sz").as(s"${p}sz") +:
+        (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
+    val viaMasks = side("a").join(side("b"), col("a_id") < col("b_id"))
+      .select($"a_id", $"b_id",
+        DedupOps.maskJaccard(DedupOps.maskIntersect("a", "b"),
+          $"asz", $"bsz").as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def tside(p: String) = small.select(
+      col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
+    val viaArrays = tside("a").join(tside("b"), col("a_id") < col("b_id"))
+      .select($"a_id", $"b_id", DedupOps.jaccard($"at", $"bt").as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaMasks == viaArrays && viaMasks.nonEmpty)
+  }
+
   test("LSH bucket is deterministic; probe set contains the exact bucket") {
     val planes = Lsh.hyperplanes(4, 8)
     assert(planes == Lsh.hyperplanes(4, 8)) // seeded → reproducible
