@@ -38,6 +38,20 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(sourceDir)
 
+  /** DataSourceV2 envelope source (option A seam,
+    * [[graft.sources.PgOutputReplaySource]]): the same committed envelopes
+    * served through a MicroBatchStream with slot-replay semantics —
+    * segment-count offsets, `start_lsn` resume, size-capped triggers. */
+  def readEnvelopesV2(spark: SparkSession, sourceDir: String,
+                      startLsn: Long = 0L,
+                      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .format("graft-pgoutput")
+      .option("path", sourceDir)
+      .option("start_lsn", startLsn)
+      .option("max_files_per_trigger", maxFilesPerTrigger)
+      .load()
+
   /** Run the CDC → vector-store pipeline against a parquet vector store.
     * Each micro-batch collapses to latest-per-pk before embedding, so
     * re-delivered batches upsert identical rows (idempotent). */
