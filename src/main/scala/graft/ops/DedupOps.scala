@@ -18,6 +18,17 @@ object DedupOps {
   /** Distinct token set (Jaccard/MinHash input). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Sorted distinct token set — the input contract of the open-vocabulary
+    * merge-Jaccard kernel ([[jaccardSorted]]). */
+  def sortedTokenSet(text: Column): Column = array_sort(tokenSet(text))
+
+  /** Exact Jaccard of two sorted distinct string arrays in one native merge
+    * pass (no per-pair hash sets or intermediate arrays, no vocabulary
+    * cap); integer-identical to [[jaccard]] and to the set-mask popcount
+    * form. See [[graft.ops.expr.JaccardSorted]]. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    graft.ops.expr.JaccardSorted.column(a, b)
+
   /** Token-set Jaccard similarity, computed as exact integer set sizes
     * divided in double (engine-deterministic). */
   def jaccard(a: Column, b: Column): Column =
@@ -25,8 +36,17 @@ object DedupOps {
       size(array_union(a, b)).cast("double")
 
   /** MinHash signature: `numHashes` permutations simulated by salted
-    * xxhash64; signature element i = min over tokens of hash_i(token). */
+    * xxhash64; signature element i = min over tokens of hash_i(token).
+    * Native one-pass kernel ([[graft.ops.expr.MinHashSig]]);
+    * [[minhashSignatureHof]] keeps the built-in formulation as its
+    * executable specification. */
   def minhashSignature(toks: Column, numHashes: Int): Column =
+    graft.ops.expr.MinHashSig.column(toks, numHashes)
+
+  /** The HOF reference formulation of [[minhashSignature]]: `numHashes`
+    * array traversals, each `array_min(transform(..., xxhash64(t, i)))`.
+    * Kept as the equivalence oracle for the native expression. */
+  def minhashSignatureHof(toks: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(toks, t => xxhash64(t, lit(i))))
     }: _*)
@@ -120,6 +140,34 @@ object DedupOps {
     setMasksOpt(docs, idCols, toksCol).getOrElse(
       throw new IllegalArgumentException(
         s"setMasks supports vocabularies up to ${MaskWords * 64} tokens"))
+
+  /** Corpus vocabulary index when it fits the mask capacity, else None.
+    * One bounded limit-(cap+1) collect (≤ 257 rows on the driver). */
+  def closedVocab(docs: org.apache.spark.sql.DataFrame,
+                  toksCol: String): Option[Map[String, Int]] = {
+    val cap = MaskWords * 64
+    val toks = docs.select(explode(col(toksCol)).as("tok")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    if (toks.length > cap) None
+    else Some(toks.sorted.zipWithIndex.toMap)
+  }
+
+  /** One-pass native bitmask of a token array against a broadcast
+    * vocabulary index (see [[graft.ops.expr.TokenSetMask]]) — the
+    * shuffle-free way to attach mask words inline, where [[setMasksOpt]]
+    * goes through explode + join + re-aggregate. */
+  def tokenSetMask(toks: Column, vocab: Map[String, Int]): Column =
+    graft.ops.expr.TokenSetMask.column(toks, vocab, MaskWords)
+
+  /** Popcount Jaccard of two mask-word ARRAYS (as produced by
+    * [[tokenSetMask]]) given the two exact set sizes — integer-identical to
+    * the array-set and sorted-merge forms. */
+  def maskArrayJaccard(a: Column, b: Column, sza: Column, szb: Column): Column = {
+    val inter = (1 to MaskWords).map { i =>
+      bit_count(element_at(a, i).bitwiseAND(element_at(b, i)))
+    }.reduce(_ + _)
+    inter.cast("double") / (sza + szb - inter).cast("double")
+  }
 
   /** |A∩B| from two mask-word column prefixes (e.g. "a_" and "b_"). */
   def maskIntersect(aPrefix: String, bPrefix: String): Column =

@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
+  /** Squared L2 distance between a vector column and a literal centroid
+    * (native kernel — evaluated k times per row in assignment/probing). */
   private def dist2(v: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(centroid), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.ops.expr.VecMath.dist2Column(v, typedLit(centroid))
 
   /** Nearest-centroid id for a vector column (ties → lowest id). Min-by is
     * `array_min` over (distance, id) structs — linear expression size; a

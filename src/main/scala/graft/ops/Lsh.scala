@@ -17,13 +17,12 @@ object Lsh {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-pattern bucket id, e.g. "10110010" for 8 planes. */
+  /** Sign-pattern bucket id, e.g. "10110010" for 8 planes. Each plane's
+    * projection is a native dot kernel (graft.ops.expr.VecMath) against the
+    * literal plane array — no per-plane intermediate arrays. */
   def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     concat(planes.map { p =>
-      val plane = typedLit(p)
-      val dotp = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dotp = graft.ops.expr.VecMath.dotColumn(vec, typedLit(p))
       when(dotp >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

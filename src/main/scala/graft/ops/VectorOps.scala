@@ -21,15 +21,13 @@ object VectorOps {
       .otherwise(transform(v, x => (x.cast(DoubleType) / n).cast(FloatType)))
   }
 
-  /** √Σx² accumulated in double. */
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  /** √Σx² accumulated in double (native kernel; see
+    * [[graft.ops.expr.VecMath]]). */
+  def l2norm(v: Column): Column = sqrt(graft.ops.expr.VecMath.dotColumn(v, v))
 
-  /** Dot product of two equally-sized float vectors, double accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, p) => acc + p)
+  /** Dot product of two equally-sized float vectors, double accumulation
+    * (native kernel — ranking paths evaluate this per candidate pair). */
+  def dot(a: Column, b: Column): Column = graft.ops.expr.VecMath.dotColumn(a, b)
 
   /** Cosine similarity in plain double math (fast path for ranking). */
   def cosine(a: Column, b: Column): Column =

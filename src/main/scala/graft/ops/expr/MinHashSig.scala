@@ -1,0 +1,78 @@
+package graft.ops.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** MinHash signature over a token array in one pass.
+  *
+  * Permutation i is simulated by salted xxhash64, exactly as the HOF form
+  * (DedupOps.minhashSignatureHof) computes `xxhash64(tok, i)`: Spark's
+  * XxHash64 folds children left-to-right from seed 42, so the token's bytes
+  * hash first (seed 42) and the int salt folds in via hashInt. The HOF form makes
+  * `numHashes` passes over the token array, each allocating an intermediate
+  * hash array for `array_min`; this kernel hashes each token's bytes ONCE
+  * and folds the `numHashes` cheap long-salts in registers — the signature
+  * pass over a corpus drops from 16 array traversals per document to one.
+  *
+  * Empty input yields Long.MaxValue minima on both paths (`array_min` of no
+  * elements is null — the HOF form never sees that because token sets are
+  * non-empty after filtering; the kernel pins the identity explicitly).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expr.MinHashSig.signature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** Spark's xxhash64 default seed (XxHash64 expression). */
+  private final val Seed = 42L
+
+  /** Runtime kernel shared by interpreted eval and generated code. */
+  def signature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, Seed)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashInt(i, h1)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def column(c: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), numHashes))
+  }
+}

@@ -74,45 +74,77 @@ object PipelineQueries {
         |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val docs = docTokens(spark, dir)
-      val bandedIds = docs
-        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
-        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
-        .select(col("doc_id"),
-          concat_ws("|", col("lang"), col("band")).as("band"))
       // all qualifying pairs are reported (the oracle recomputes the full
       // pair set all-pairs its own way, so star-edge reduction cannot
       // apply); a pair colliding in several bands dedupes after the ≥0.95
-      // filter, when only true pairs remain. Verification payloads ride
-      // INTO the band self-join, so candidates are checked inline and only
-      // the ~true-pair set reaches the final dedupe: 5-long set masks
-      // (popcount math, 40 bytes/row) when the vocabulary fits, token
-      // arrays (exact set ops, same integers) on open vocabularies.
-      val verified = DedupOps.setMasksOpt(docs, Seq("doc_id"), "toks") match {
-        case Some(masks) =>
-          val banded = bandedIds.join(masks, "doc_id")
-          def side(p: String) = banded.select(
-            col("doc_id").as(s"${p}_id") +: col("band") +:
-              col("sz").as(s"${p}sz") +:
-              (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
-          side("a").join(side("b"), Seq("band"))
-            .filter(col("a_id") < col("b_id"))
-            .select(col("a_id"), col("b_id"),
-              round(DedupOps.maskJaccard(DedupOps.maskIntersect("a", "b"),
-                col("asz"), col("bsz")), 6).as("jac"))
-        case None =>
-          val banded = bandedIds.join(docs.select("doc_id", "toks"), "doc_id")
-          def side(p: String) = banded.select(
-            col("doc_id").as(s"${p}_id"), col("band"), col("toks").as(s"${p}t"))
-          side("a").join(side("b"), Seq("band"))
-            .filter(col("a_id") < col("b_id"))
-            .select(col("a_id"), col("b_id"),
-              round(DedupOps.jaccard(col("at"), col("bt")), 6).as("jac"))
-      }
-      verified
+      // filter, when only true pairs remain. The candidate join emits
+      // millions of moderately-similar pairs, so the verification payload
+      // must stay bytes-sized: on a closed vocabulary, 4 mask words +
+      // exact size ride the join (native one-pass bitmask — no
+      // explode/join/re-aggregate mask build) and each pair verifies in a
+      // handful of AND+popcount ops; open vocabularies dedupe bare id
+      // pairs first, then verify via the native merge-Jaccard kernel.
+      // All three formulations produce identical integers, so the oracle
+      // does not depend on which path ran.
+      // Hot-path mechanics (each proven individually at sf0.1):
+      //  - band keys join as xxhash64 LONGS, not ~50-char strings (a hash
+      //    collision only adds a candidate that exact verification rejects);
+      //  - an integer size-ratio prefilter runs inside the join: round(jac,6)
+      //    ≥ 0.95 implies jac ≥ 0.9499995 implies min(sz)/max(sz) above the
+      //    same bound, checked at the slightly looser 0.949999 so the bound
+      //    can never drop an oracle pair;
+      //  - the BigDecimal `round` runs only on raw-threshold survivors
+      //    (~true pairs), never on the multi-million-pair candidate stream.
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          DedupOps.sortedTokenSet(col("text")).as("toks"))
+      val bandedBase = docs
+        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
+        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
+        .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
+        .withColumn("sz", size(col("toks")))
+      val sizeOk =
+        least(col("asz"), col("bsz")) * 2000000L >=
+          greatest(col("asz"), col("bsz")) * 1899998L
+      def finish(withRaw: DataFrame): DataFrame = withRaw
+        .filter(col("raw") >= 0.949999)
+        .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("jac"))
         .filter(col("jac") >= 0.95)
         .distinct()
         .orderBy("a_id", "b_id")
+      val verified = DedupOps.closedVocab(docs, "toks") match {
+        case Some(vocab) =>
+          // closed vocabulary: 4 flat mask words + size ride the join;
+          // per-pair verify is a handful of AND+popcount ops
+          val banded = bandedBase
+            .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab))
+            .select(col("doc_id") +: col("bh") +: col("sz") +:
+              (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
+          def side(p: String) = banded.select(
+            col("doc_id").as(s"${p}_id") +: col("bh") +: col("sz").as(s"${p}sz") +:
+              (0 to 3).map(w => col(s"w$w").as(s"$p$w")): _*)
+          val inter = (0 to 3).map(w =>
+            bit_count(col(s"a$w").bitwiseAND(col(s"b$w")))).reduce(_ + _)
+          finish(side("a").join(side("b"), Seq("bh"))
+            .filter(col("a_id") < col("b_id") && sizeOk)
+            .select(col("a_id"), col("b_id"),
+              (inter.cast("double") /
+                (col("asz") + col("bsz") - inter).cast("double")).as("raw")))
+        case None =>
+          // open vocabulary: dedupe bare id pairs first, then attach sorted
+          // token sets and verify through the native merge-Jaccard kernel
+          def ids(p: String) = bandedBase.select(
+            col("doc_id").as(s"${p}_id"), col("bh"), col("sz").as(s"${p}sz"))
+          val pairs = ids("a").join(ids("b"), Seq("bh"))
+            .filter(col("a_id") < col("b_id") && sizeOk)
+            .select("a_id", "b_id").distinct()
+          def toks(p: String) = docs.select(
+            col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
+          finish(pairs.join(toks("a"), "a_id").join(toks("b"), "b_id")
+            .select(col("a_id"), col("b_id"),
+              DedupOps.jaccardSorted(col("at"), col("bt")).as("raw")))
+      }
+      verified
     },
 
     // MinHash + LSH banding: 16 salted-hash permutations, 4 bands × 4 rows;
@@ -133,28 +165,15 @@ object PipelineQueries {
         .filter(col("doc_id") =!= col("a_id"))
         .select(col("a_id"), col("doc_id").as("b_id"))
         .distinct()
-      // verification carries 5-long set masks when the vocabulary fits the
-      // 256-token cap, token arrays (same integers) otherwise
-      val withJac = DedupOps.setMasksOpt(docs, Seq("doc_id"), "toks") match {
-        case Some(masks) =>
-          def side(p: String) = masks.select(
-            col("doc_id").as(s"${p}_id") +: col("sz").as(s"${p}sz") +:
-              (0 until DedupOps.MaskWords).map(w => col(s"w$w").as(s"$p$w")): _*)
-          pairs
-            .join(side("a"), "a_id")
-            .join(side("b"), "b_id")
-            .withColumn("jac",
-              round(DedupOps.maskJaccard(DedupOps.maskIntersect("a", "b"),
-                col("asz"), col("bsz")), 6))
-        case None =>
-          def side(p: String) = docs.select(
-            col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
-          pairs
-            .join(side("a"), "a_id")
-            .join(side("b"), "b_id")
-            .withColumn("jac", round(DedupOps.jaccard(col("at"), col("bt")), 6))
-      }
-      withJac
+      // verification: native merge-Jaccard over sorted token sets — open
+      // vocabulary, no mask/vocab passes (the set-mask popcount form stays
+      // available as DedupOps.setMasksOpt for closed-vocab pipelines)
+      def side(p: String) = docs.select(
+        col("doc_id").as(s"${p}_id"), array_sort(col("toks")).as(s"${p}t"))
+      pairs
+        .join(side("a"), "a_id")
+        .join(side("b"), "b_id")
+        .withColumn("jac", round(DedupOps.jaccardSorted(col("at"), col("bt")), 6))
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
         .orderBy("a_id", "b_id")

@@ -41,6 +41,85 @@ class DedupSpec extends SparkSpec {
     assert(hamming > 0 && hamming <= 16, s"hamming was $hamming")
   }
 
+  test("native minhash signature matches the HOF formulation exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", DedupOps.tokenSet($"text").as("toks"))
+    val diff = docs.select(
+        DedupOps.minhashSignature($"toks", 16).as("native"),
+        DedupOps.minhashSignatureHof($"toks", 16).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+    // empty token set: the kernel pins the Long.MaxValue identity
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(DedupOps.minhashSignature($"toks", 4)).head().getSeq[Long](0)
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("native token-set mask + popcount Jaccard match array-set Jaccard") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", DedupOps.sortedTokenSet($"text").as("toks"))
+    val vocab = DedupOps.closedVocab(docs, "toks").get
+    val masked = docs.select($"doc_id", size($"toks").as("sz"),
+      DedupOps.tokenSetMask($"toks", vocab).as("m"), $"toks")
+    def side(p: String) = masked.select(
+      col("doc_id").as(s"${p}_id"), col("sz").as(s"${p}sz"),
+      col("m").as(s"${p}m"), col("toks").as(s"${p}t"))
+    val bad = side("a").join(side("b"), $"a_id" < $"b_id")
+      .select(
+        DedupOps.maskArrayJaccard($"am", $"bm", $"asz", $"bsz").as("mask_j"),
+        DedupOps.jaccard($"at", $"bt").as("arr_j"))
+      .filter($"mask_j" =!= $"arr_j").count()
+    assert(bad == 0)
+  }
+
+  test("native merge-Jaccard matches array-set Jaccard on every fixture pair") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang", DedupOps.sortedTokenSet($"text").as("toks"))
+    def side(p: String) = docs.select(
+      col("doc_id").as(s"${p}_id"), col("lang").as(s"${p}l"), col("toks").as(s"${p}t"))
+    val bad = side("a").join(side("b"),
+        $"al" === $"bl" && $"a_id" < $"b_id") // bounded all-pairs at sf0.001
+      .select(DedupOps.jaccardSorted($"at", $"bt").as("m"),
+        DedupOps.jaccard($"at", $"bt").as("s"))
+      .filter($"m" =!= $"s").count()
+    assert(bad == 0)
+    // empties: both-empty → 0.0; one-empty → 0.0
+    val e = Seq((Seq.empty[String], Seq.empty[String]),
+      (Seq.empty[String], Seq("a"))).toDF("a", "b")
+      .select(DedupOps.jaccardSorted($"a", $"b").as("j")).as[Double].collect()
+    assert(e.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("native vec_dot/vec_dist2 match the HOF double arithmetic exactly") {
+    import graft.ops.expr.VecMath
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val pairs = vecs.as("a").join(vecs.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val hofDot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+    val hofDist2 = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+    val bad = pairs.select(
+        VecMath.dotColumn(col("a.embedding"), col("b.embedding")).as("nd"),
+        hofDot.as("hd"),
+        VecMath.dist2Column(col("a.embedding"), col("b.embedding")).as("n2"),
+        hofDist2.as("h2"))
+      .filter($"nd" =!= $"hd" || $"n2" =!= $"h2").count()
+    assert(bad == 0)
+    // double-typed right side (hyperplane/centroid literals)
+    val one = vecs.limit(1).select(
+      VecMath.dotColumn($"embedding", typedLit(Seq.fill(64)(1.0))).as("s"),
+      aggregate($"embedding", lit(0.0), (a, x) => a + x.cast("double")).as("e"))
+      .head()
+    assert(one.getDouble(0) == one.getDouble(1))
+  }
+
   test("native simhash64 expression matches the HOF formulation exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", DedupOps.tokens($"text").as("toks"))
