@@ -26,6 +26,26 @@ object Lsh {
       when(dotp >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Multi-table bucket keys (OR-construction): `tables` independent hash
+    * tables of `planesPerTable` hyperplanes each; two vectors are candidates
+    * iff they collide in ≥1 table. The standard recall lever for
+    * high-dimensional data, where single-table multi-probe recall collapses:
+    * collision probability for a pair at angle θ is
+    * 1-(1-(1-θ/π)^k)^L instead of one table's (1-θ/π)^k. Key embeds the
+    * table index so buckets of different tables never join. */
+  def tableKeys(vec: Column, planes: Seq[Seq[Double]],
+                tables: Int, planesPerTable: Int): Column = {
+    require(planes.size >= tables * planesPerTable,
+      s"need ${tables * planesPerTable} planes, got ${planes.size}")
+    array((0 until tables).map { t =>
+      val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      concat(lit(s"$t:") +: slice.map { p =>
+        val dotp = graft.ops.expr.VecMath.dotColumn(vec, typedLit(p))
+        when(dotp >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }: _*)
+  }
+
   /** Multi-probe buckets: the exact bucket plus all buckets at hamming
     * distance 1 (flipping each plane's bit), improving recall for vectors
     * near a hyperplane. */

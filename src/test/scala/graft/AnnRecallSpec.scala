@@ -1,0 +1,37 @@
+package graft
+
+/** ANN quality guard: the LSH- and IVF-bucketed paths trade exactness for
+  * scale, but a bucketing bug (wrong probe set, broken centroid assignment)
+  * silently collapses recall long before it breaks row counts. Pin
+  * recall@5 against the brute-force cosine baseline — everything is
+  * seeded/deterministic, so measured recall is stable run to run.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+  private def recallAt5(approx: Map[Long, Set[Long]],
+                        exact: Map[Long, Set[Long]]): Double = {
+    val hits = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth) / truth.size.toDouble
+    }
+    hits.sum / hits.size
+  }
+
+  test("LSH and IVF ANN recall@5 vs brute force stays above floor") {
+    val exact = topk("q_cosine_topk")
+    assert(exact.size == 10 && exact.forall(_._2.size == 5))
+    val lsh = recallAt5(topk("q_ann_lsh"), exact)
+    val ivf = recallAt5(topk("q_ann_ivf"), exact)
+    info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f")
+    // measured on the fixtures: lsh ≈ 0.72-0.78 (8 tables × 4 planes),
+    // ivf ≈ 0.96 (16 cells, 4 probed); floors leave headroom for noise
+    assert(lsh >= 0.6, f"LSH recall collapsed: $lsh%.2f")
+    assert(ivf >= 0.8, f"IVF recall collapsed: $ivf%.2f")
+  }
+}
