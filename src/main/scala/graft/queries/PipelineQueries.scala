@@ -601,6 +601,157 @@ object PipelineQueries {
         .agg(big(count(lit(1))).as("n"), big(min(col("doc_id"))).as("min_id"),
           big(max(col("doc_id"))).as("max_id"))
         .orderBy("lang", "split")
+    },
+
+    // Benchmark decontamination: flag training documents sharing any word
+    // 5-gram with the (deterministic ~14%) benchmark subset. The benchmark
+    // shingle set is small by nature — it broadcasts; the corpus side
+    // streams, so the check is one scan + a broadcast semi-ish join at any
+    // scale (the standard n-gram-overlap decontamination pass an LLM
+    // training pipeline runs before every release).
+    Q("q_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0)
+        |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_overlap
+        |FROM sh s JOIN bench b ON s.g = b.g
+        |WHERE s.doc_id % 7 <> 0
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
+      val toks = tbl(spark, dir, "documents")
+        .select(col("doc_id"), DedupOps.tokens(col("text")).as("t"))
+      val sh = toks.filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 4),
+          i => array_join(slice(col("t"), i, lit(5)), " "))).as("g"))
+      val bench = sh.filter(col("doc_id") % 7 === 0).select("g").distinct()
+      sh.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(big(countDistinct(col("g"))).as("n_overlap"))
+        .orderBy("doc_id")
+    },
+
+    // Top distinctive terms per document: rank by term frequency DESC then
+    // document frequency ASC (frequent locally, rare globally — the tf-idf
+    // ordering in pure integers, so no cross-engine float/log contract).
+    // Shapes: explode → two hash aggregations → broadcast-join the small
+    // term-df side → per-doc window top-3.
+    Q("q_top_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin) { (spark, dir) =>
+      val tok = tbl(spark, dir, "documents")
+        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), big(col("tf")).as("tf"),
+          big(col("df")).as("df"), big(col("rn")).as("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // Near-dup cluster labeling: connected components over the ≥0.97
+    // Jaccard edge set (q_ngram_jaccard's pairs at a tighter threshold:
+    // 0.95 admits long borderline chains that fuse into one giant
+    // component — a 786-node blob at sf0.1 — while 0.97 keeps the
+    // content-clone clusters that dedup actually collapses), each node
+    // labeled with its component's minimum doc_id. Implemented as distributed min-label
+    // propagation — alternate a neighbor-min join with the current labels
+    // until a fixpoint, the standard iterative-join pattern for graph
+    // connectivity on Spark (each round is one shuffle on node id; edge
+    // lists stay partitioned, nothing ever collects). The oracle reaches
+    // the same fixpoint through a recursive CTE.
+    Q("q_dup_components",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6)
+        |        >= 0.97),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM reach r JOIN edges e ON r.node = e.dst)
+        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component,
+        |       CAST(count(DISTINCT label) AS BIGINT) AS n_reachable
+        |FROM reach GROUP BY node
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val pairs = PipelineQueries.all.find(_.name == "q_ngram_jaccard").get
+        .fn(spark, dir).filter(col("jac") >= 0.97)
+        .select(col("a_id"), col("b_id"))
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true) // materialize the verified edge set once
+      var labels = edges.select(col("src").as("node"), col("src").as("label"))
+        .distinct().localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 64, "component labeling did not converge")
+        // neighbor-min alone needs diameter rounds — a CHAIN of near-dup
+        // edits makes that linear in cluster size. Each round therefore
+        // combines (a) min over neighbors' labels with (b) pointer jumping
+        // (label := label(label)), which halves remaining path lengths, so
+        // convergence is O(log diameter) shuffles regardless of shape.
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(min(col("label")).as("nlabel"))
+        val l1 = labels.join(viaNeighbors, "node")
+          .select(col("node"), least(col("label"), col("nlabel")).as("label"))
+        // localCheckpoint truncates lineage: the self-join doubles the
+        // logical plan per round, so without the cut analysis cost (and
+        // heap) grows 2^rounds
+        val next = l1
+          .join(l1.select(col("node").as("label"), col("label").as("jlabel")),
+            "label")
+          .select(col("node"), least(col("label"), col("jlabel")).as("label"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).isEmpty
+        labels.unpersist()
+        labels = next
+      }
+      // component size joins back from a per-label count (in an undirected
+      // graph, "labels that reach a node" == its whole component)
+      val sizes = labels.groupBy("label").agg(big(count(lit(1))).as("n_reachable"))
+      labels
+        .join(sizes, "label")
+        .select(col("node").as("doc_id"), big(col("label")).as("component"),
+          col("n_reachable"))
+        .orderBy("doc_id")
     }
   )
 }
