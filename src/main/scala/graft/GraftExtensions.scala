@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.expr.{Fnv1a64, SimHash64}
+import graft.ops.expr.{Fnv1a64, JaccardSorted, MinHashSig, SimHash64, VecDist2, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,9 +29,33 @@ object GraftExtensions {
       make(children.head)
     })
 
+  private def binary(name: String, clazz: Class[_],
+                     make: (Expression, Expression) => Expression): Descriptor = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"$name takes exactly two arguments")
+      make(children.head, children(1))
+    })
+
   private val descriptors: Seq[Descriptor] = Seq(
     unary("fnv1a64", classOf[Fnv1a64], Fnv1a64(_)),
-    unary("simhash64", classOf[SimHash64], SimHash64(_)))
+    unary("simhash64", classOf[SimHash64], SimHash64(_)),
+    binary("vec_dot", classOf[VecDot], VecDot(_, _)),
+    binary("vec_dist2", classOf[VecDist2], VecDist2(_, _)),
+    binary("jaccard_sorted", classOf[JaccardSorted], JaccardSorted(_, _)),
+    // minhash_sig(toks, n) — the hash count must be a literal int
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig takes (array<string>, int literal)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: hash count must be an int literal, got $other")
+        }
+        MinHashSig(children.head, n)
+      }))
 
   /** Imperative registration onto a live session (the extensions class
     * covers sessions built with `spark.sql.extensions`). */

@@ -5,6 +5,8 @@ import graft.model.Types
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Deterministic synthetic change log derived from the `documents` fixture
   * table (FIXTURES.md §A2), used to replay the reference's CDC dataflow in
   * batch form. Every edge case the reference exhibits is pinned by a modular
@@ -152,8 +154,11 @@ object Changelog {
       .select(from_json(col("value"), Types.rowChangeSchema).as("c"))
       .select(col("c.*"))
 
+  /** Weak session keys: entries (and their pinned persisted blocks) become
+    * collectable with the session itself, and identity keying cannot alias
+    * two live sessions. */
   private val parsedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, DataFrame]]()
 
   /** Parsed change records for a fixture dir, materialized once per session:
     * an engine ingests a change log once, then every Group A operator reads
@@ -162,7 +167,16 @@ object Changelog {
     * materialization; repeat calls reuse the decoded block instead of
     * re-serializing the log per query. */
   def changes(spark: SparkSession, dir: String): DataFrame =
-    parsedCache.compute((System.identityHashCode(spark), dir), (_, cached) =>
-      if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-      else parse(envelopes(spark, dir)).persist())
+    parsedCache.synchronized {
+      val perSession = {
+        val existing = parsedCache.get(spark)
+        if (existing != null) existing
+        else {
+          val m = mutable.Map.empty[String, DataFrame]
+          parsedCache.put(spark, m)
+          m
+        }
+      }
+      perSession.getOrElseUpdate(dir, parse(envelopes(spark, dir)).persist())
+    }
 }

@@ -111,28 +111,17 @@ object DedupOps {
     * exceeds the 256-token mask capacity (callers then fall back to
     * [[jaccard]] on token arrays; both formulations produce identical
     * integers, so results don't depend on which path ran). The vocabulary
-    * index is built with a bounded limit-(cap+1) collect (≤ 257 rows on the
-    * driver), sorted there — no global row_number window. */
+    * index comes from [[closedVocab]] (bounded driver-side collect) and the
+    * words from the one-pass [[tokenSetMask]] kernel — no explode + join +
+    * re-aggregate pass. Docs with empty token sets get sz=0 all-zero masks
+    * (they used to drop out with the exploded formulation). */
   def setMasksOpt(docs: org.apache.spark.sql.DataFrame, idCols: Seq[String],
-                  toksCol: String): Option[org.apache.spark.sql.DataFrame] = {
-    val cap = MaskWords * 64
-    val toks = docs.select(explode(col(toksCol)).as("tok")).distinct()
-      .limit(cap + 1).collect().map(_.getString(0))
-    if (toks.length > cap) return None
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocab = toks.sorted.zipWithIndex.toSeq.toDF("tok", "idx")
-    val exploded = docs
-      .select(idCols.map(col) :+ size(col(toksCol)).as("sz") :+
-        explode(col(toksCol)).as("tok"): _*)
-      .join(broadcast(vocab), "tok")
-    val words = (0 until MaskWords).map { w =>
-      expr(s"bit_or(CASE WHEN idx BETWEEN ${w * 64} AND ${w * 64 + 63} " +
-        s"THEN shiftleft(1L, idx - ${w * 64}) ELSE 0L END)").as(s"w$w")
+                  toksCol: String): Option[org.apache.spark.sql.DataFrame] =
+    closedVocab(docs, toksCol).map { vocab =>
+      val mask = tokenSetMask(col(toksCol), vocab)
+      docs.select(idCols.map(col) ++ Seq(size(col(toksCol)).as("sz")) ++
+        (0 until MaskWords).map(w => element_at(mask, w + 1).as(s"w$w")): _*)
     }
-    Some(exploded.groupBy((idCols :+ "sz").map(col): _*)
-      .agg(words.head, words.tail: _*))
-  }
 
   /** [[setMasksOpt]] for callers that require the closed-vocabulary path. */
   def setMasks(docs: org.apache.spark.sql.DataFrame, idCols: Seq[String],

@@ -49,22 +49,26 @@ object MinHashSig {
   /** Spark's xxhash64 default seed (XxHash64 expression). */
   private final val Seed = 42L
 
-  /** Runtime kernel shared by interpreted eval and generated code. */
+  /** Runtime kernel shared by interpreted eval and generated code. A null
+    * token contributes h1 = Seed — exactly the HOF form's `xxhash64(t, i)`,
+    * where a null first child leaves the running hash at its seed before
+    * the int salt folds in. */
   def signature(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var t = 0
     while (t < n) {
-      if (!arr.isNullAt(t)) {
-        val s = arr.getUTF8String(t)
-        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, Seed)
-        var i = 0
-        while (i < numHashes) {
-          val h = XXH64.hashInt(i, h1)
-          if (h < mins(i)) mins(i) = h
-          i += 1
+      val h1 =
+        if (arr.isNullAt(t)) Seed
+        else {
+          val s = arr.getUTF8String(t)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
         }
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, h1)
+        if (h < mins(i)) mins(i) = h
+        i += 1
       }
       t += 1
     }

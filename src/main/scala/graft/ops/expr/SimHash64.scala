@@ -48,21 +48,24 @@ object SimHash64 {
   /** Spark's xxhash64 default seed (XxHash64 expression). */
   private final val Seed = 42L
 
-  /** Runtime kernel shared by interpreted eval and generated code. */
+  /** Runtime kernel shared by interpreted eval and generated code. A null
+    * token contributes hash = Seed — exactly the HOF form's `xxhash64(t)`,
+    * where a null child leaves the running hash at its seed. */
   def hash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, Seed)
-        var k = 0
-        while (k < 64) {
-          counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
-          k += 1
+      val h =
+        if (arr.isNullAt(i)) Seed
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
         }
+      var k = 0
+      while (k < 64) {
+        counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+        k += 1
       }
       i += 1
     }

@@ -208,13 +208,17 @@ object GroupB {
       // The per-partition count table is ≤ shuffle.partitions rows — its
       // prefix sum is driver-side bounded work (same pattern as Ivf's k×dim
       // centroid collects), which also keeps every remaining window
-      // partitioned. Range partitioning is deterministic, so the pid seen by
-      // the count job and by the main job agree.
+      // partitioned. The ranged frame is materialized ONCE (eager
+      // localCheckpoint): range-boundary sampling is seeded per RDD, so
+      // re-executing the shuffle for the count job and the main job could
+      // place boundary rows in different pids — both jobs must read the
+      // same materialization for offset + local_rn to be the global rank.
       import spark.implicits._
       val ranged = tbl(spark, dir, "orders")
         .select(col("o_totalprice"), col("o_orderkey"))
         .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
       val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val n = counts.map(_._2).sum

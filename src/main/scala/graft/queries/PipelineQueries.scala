@@ -98,11 +98,13 @@ object PipelineQueries {
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           DedupOps.sortedTokenSet(col("text")).as("toks"))
-      val bandedBase = docs
+      // sig/sz (and the closed-vocab mask below) attach BEFORE the band
+      // explode, so each per-document kernel runs once, not once per band
+      def banding(base: DataFrame): DataFrame = base
         .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
+        .withColumn("sz", size(col("toks")))
         .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
         .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
-        .withColumn("sz", size(col("toks")))
       val sizeOk =
         least(col("asz"), col("bsz")) * 2000000L >=
           greatest(col("asz"), col("bsz")) * 1899998L
@@ -116,8 +118,8 @@ object PipelineQueries {
         case Some(vocab) =>
           // closed vocabulary: 4 flat mask words + size ride the join;
           // per-pair verify is a handful of AND+popcount ops
-          val banded = bandedBase
-            .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab))
+          val banded = banding(docs
+            .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab)))
             .select(col("doc_id") +: col("bh") +: col("sz") +:
               (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
           def side(p: String) = banded.select(
@@ -133,7 +135,8 @@ object PipelineQueries {
         case None =>
           // open vocabulary: dedupe bare id pairs first, then attach sorted
           // token sets and verify through the native merge-Jaccard kernel
-          def ids(p: String) = bandedBase.select(
+          val bandedIds = banding(docs)
+          def ids(p: String) = bandedIds.select(
             col("doc_id").as(s"${p}_id"), col("bh"), col("sz").as(s"${p}sz"))
           val pairs = ids("a").join(ids("b"), Seq("bh"))
             .filter(col("a_id") < col("b_id") && sizeOk)
@@ -641,8 +644,11 @@ object PipelineQueries {
     // Top distinctive terms per document: rank by term frequency DESC then
     // document frequency ASC (frequent locally, rare globally — the tf-idf
     // ordering in pure integers, so no cross-engine float/log contract).
-    // Shapes: explode → two hash aggregations → broadcast-join the small
-    // term-df side → per-doc window top-3.
+    // Shapes: explode → two hash aggregations → equi-join tf against the
+    // per-term df table on `term` (both sides shuffle on the key; the df
+    // table is vocabulary-sized and therefore unbounded, so it is NOT
+    // broadcast-hinted — AQE still broadcasts it when it measures small)
+    // → per-doc window top-3.
     Q("q_top_terms",
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
@@ -665,7 +671,7 @@ object PipelineQueries {
       val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(broadcast(df), "term")
+      tf.join(df, "term")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), big(col("tf")).as("tf"),

@@ -36,7 +36,10 @@ final class MilvusSink(baseUrl: String, collection: String,
     * collection is missing, create it with the reference schema
     * (`id VARCHAR(512) PRIMARY KEY, vector FLOAT_VECTOR(dim), payload
     * JSON`), build the HNSW index (M=16, efConstruction=200, metric default
-    * IP — milvus.go:93), then load; if present, just load. */
+    * IP — milvus.go:93), then load; if present, verify its vector dimension
+    * (a mismatch is a hard `drop or recreate` error, the same contract as
+    * the Qdrant sink — the reference loads blindly and fails per insert)
+    * and load. */
   def ensureCollection(dim: Int): Unit = {
     if (knownDim > 0 && knownDim == dim) return
     val has = MilvusSink.parseHas(
@@ -46,6 +49,13 @@ final class MilvusSink(baseUrl: String, collection: String,
         MilvusSink.createCollectionBody(collection, dim))
       post("/v2/vectordb/indexes/create",
         MilvusSink.createIndexBody(collection, metric))
+    } else {
+      val existing = MilvusSink.parseDim(
+        post("/v2/vectordb/collections/describe", MilvusSink.collectionBody(collection)))
+      if (existing > 0 && dim > 0 && existing != dim)
+        throw new IllegalStateException(
+          s"collection exists with dim=$existing but payload has dim=$dim; " +
+            "drop or recreate the collection")
     }
     post("/v2/vectordb/collections/load", MilvusSink.collectionBody(collection))
     knownDim = dim
@@ -113,6 +123,22 @@ object MilvusSink {
     try new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(respJson).path("data").path("has").asBoolean(false)
     catch { case _: Exception => false }
+
+  /** Vector dimension from a describe-collection response
+    * (`data.fields[name=vector].params[key=dim].value`); 0 when absent. */
+  def parseDim(respJson: String): Int =
+    try {
+      var dim = 0
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(respJson).path("data").path("fields").forEach { f =>
+          if (f.path("name").asText() == "vector")
+            f.path("params").forEach { p =>
+              if (p.path("key").asText() == "dim")
+                dim = p.path("value").asText("0").toInt
+            }
+        }
+      dim
+    } catch { case _: Exception => 0 }
 
   /** `{"collectionName":…,"data":[{"id":…,"vector":[…],"payload":{…}}]}` */
   def upsertBody(collection: String,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,25 +83,35 @@ final case class SegmentOffset(segments: Int) extends Offset {
 
 final class PgOutputReplayStream(dir: String, startLsn: Long,
                                  maxFilesPerTrigger: Int)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Segments in consumption order; grows monotonically as the directory
     * fills (the listing is re-taken per latestOffset call, new names
     * appended in sorted order — a replication socket would push instead). */
   private val seen = mutable.LinkedHashSet[String]()
 
-  /** Highest segment count planned or committed so far — the floor for the
-    * next trigger's rate-limited latest offset (so a batch already logged by
-    * a previous run is never re-bounded below its recorded end). */
-  @volatile private var position = 0
+  /** Session Hadoop conf captured as serializable entries — executors'
+    * readers rebuild it so fs.* settings (credentials, endpoints) reach
+    * object-store paths; a bare `new Configuration()` would drop them. */
+  private val hadoopConfEntries: Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    PgOutputReplayStream.buildConf(hadoopConfEntries)
 
   private def refresh(): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     if (fs.exists(p)) {
       val files = fs.listStatus(p).filter(_.isFile)
+        // hidden-file convention applies to the file NAME only (a parent
+        // directory like /root/.cache must not blank the whole source)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
-        .filterNot(f => f.contains("/_") || f.contains("/."))
         .sorted
       files.foreach(seen += _)
     }
@@ -109,14 +119,30 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
 
   override def initialOffset(): Offset = SegmentOffset(0)
 
-  override def latestOffset(): Offset = {
+  /** Rate limiting goes through [[SupportsAdmissionControl]]: the engine
+    * passes the RESTORED start offset, so a restarted query can never see a
+    * rate-limited latest offset below what its checkpoint already committed
+    * (a plain latestOffset() is called before the offset log is
+    * deserialized — an in-memory floor cannot protect the first
+    * post-restart trigger). */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(math.max(maxFilesPerTrigger, 1))
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     refresh()
-    // advance at most maxFilesPerTrigger segments per trigger (hybrid
-    // batching's size half, B1); never retreat below an already planned or
-    // committed end
-    val target = math.min(seen.size, position + math.max(maxFilesPerTrigger, 1))
-    SegmentOffset(math.max(target, position))
+    val start = startOffset.asInstanceOf[SegmentOffset].segments
+    val cap = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
+    SegmentOffset(math.max(math.min(seen.size, start + cap), start))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+
+  override def reportLatestOffset(): Offset = SegmentOffset(seen.size)
 
   override def deserializeOffset(json: String): Offset =
     SegmentOffset(json.trim.toInt)
@@ -125,37 +151,50 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
     val from = start.asInstanceOf[SegmentOffset].segments
     val until = end.asInstanceOf[SegmentOffset].segments
     if (until > seen.size) refresh()
-    position = math.max(position, until)
     seen.slice(from, until).toArray
       .map(f => EnvelopeSegment(f, startLsn): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val seg = partition.asInstanceOf[EnvelopeSegment]
-      new EnvelopeSegmentReader(seg.path, seg.startLsn)
-    }
+    EnvelopeReaderFactory(hadoopConfEntries)
 
-  override def commit(end: Offset): Unit =
-    position = math.max(position, end.asInstanceOf[SegmentOffset].segments)
+  override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }
 
+object PgOutputReplayStream {
+  def buildConf(entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
 final case class EnvelopeSegment(path: String, startLsn: Long)
   extends InputPartition
+
+final case class EnvelopeReaderFactory(hadoopConfEntries: Array[(String, String)])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val seg = partition.asInstanceOf[EnvelopeSegment]
+    new EnvelopeSegmentReader(seg.path, seg.startLsn,
+      PgOutputReplayStream.buildConf(hadoopConfEntries))
+  }
+}
 
 /** Decodes one envelope segment: JSON lines → [[Types.rowChangeSchema]]
   * rows, skipping rows at or below `startLsn` (resume semantics,
   * reference: postgres.go:152-158). The decode mirrors the reference's
   * tuple rules (S3): absent/null map values stay null, all values are
   * strings. */
-final class EnvelopeSegmentReader(path: String, startLsn: Long)
+final class EnvelopeSegmentReader(path: String, startLsn: Long,
+                                  conf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val p = new org.apache.hadoop.fs.Path(path)
-  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val in = p.getFileSystem(conf).open(p)
   private val lines = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _

@@ -100,7 +100,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(!MilvusSink.parseHas("garbage"))
   }
 
-  test("milvus ensureCollection: create+index+load when missing, load-only when present") {
+  test("milvus ensureCollection: create+index+load when missing, " +
+    "describe+load when present, dim conflict is a hard error") {
     val calls = new java.util.concurrent.CopyOnWriteArrayList[String]()
     @volatile var exists = false
     val server = com.sun.net.httpserver.HttpServer.create(
@@ -108,9 +109,14 @@ class ConfigSpec extends AnyFunSuite {
     server.createContext("/v2/vectordb", (ex: com.sun.net.httpserver.HttpExchange) => {
       val path = ex.getRequestURI.getPath.stripPrefix("/v2/vectordb")
       calls.add(path)
-      val body = (if (path == "/collections/has")
-        s"""{"code":0,"data":{"has":$exists}}"""
-      else """{"code":0,"data":{}}""").getBytes("UTF-8")
+      val body = (path match {
+        case "/collections/has" => s"""{"code":0,"data":{"has":$exists}}"""
+        case "/collections/describe" =>
+          """{"code":0,"data":{"fields":[
+            |{"name":"id","params":[]},
+            |{"name":"vector","params":[{"key":"dim","value":"64"}]}]}}""".stripMargin
+        case _ => """{"code":0,"data":{}}"""
+      }).getBytes("UTF-8")
       ex.sendResponseHeaders(200, body.length.toLong)
       val os = ex.getResponseBody; os.write(body); os.close()
     })
@@ -122,7 +128,13 @@ class ConfigSpec extends AnyFunSuite {
         "/collections/create", "/indexes/create", "/collections/load"))
       calls.clear(); exists = true
       new MilvusSink(base, "c").ensureCollection(64)
-      assert(calls.toArray.toSeq == Seq("/collections/has", "/collections/load"))
+      assert(calls.toArray.toSeq == Seq("/collections/has",
+        "/collections/describe", "/collections/load"))
+      // existing dim=64, payload dim=128 → drop-or-recreate error, no load
+      val e = intercept[IllegalStateException] {
+        new MilvusSink(base, "c").ensureCollection(128)
+      }
+      assert(e.getMessage.contains("dim=64") && e.getMessage.contains("dim=128"))
     } finally server.stop(0)
   }
 

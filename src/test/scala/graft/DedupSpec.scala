@@ -135,12 +135,20 @@ class DedupSpec extends SparkSpec {
     assert(empty.getLong(0) == -1L && empty.getLong(1) == -1L)
   }
 
-  test("simhash64 registers for SQL next to fnv1a64") {
+  test("native expressions register for SQL (simhash64/vec_dot/jaccard_sorted/minhash_sig)") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)
     val c = Seq(Tuple1(Seq("a", "b"))).toDF("t")
       .select(DedupOps.simhash($"t")).head().getLong(0)
     assert(r == c)
+    assert(spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT vec_dist2(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) == 8.0)
+    assert(spark.sql("SELECT jaccard_sorted(array('a','b'), array('b','c')) AS j")
+      .head().getDouble(0) == 1.0 / 3.0)
+    assert(spark.sql("SELECT size(minhash_sig(array('a','b'), 4)) AS n")
+      .head().getInt(0) == 4)
   }
 
   test("open vocabulary: setMasksOpt yields None, array fallback agrees with masks") {

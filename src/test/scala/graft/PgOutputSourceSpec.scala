@@ -66,6 +66,32 @@ class PgOutputSourceSpec extends SparkSpec {
     assert(got.forall(_ > cut))
   }
 
+  test("checkpoint restart with rate limiting neither regresses nor re-delivers") {
+    // 6 segments, 2 per trigger; a fresh stream instance restarted from the
+    // checkpoint starts with no in-memory floor — deserializeOffset must
+    // raise it, or the rate-limited latestOffset regresses below the
+    // committed offset and re-delivers earlier segments
+    val dir = Files.createTempDirectory("graft-v2rst").toString
+    val ckpt = Files.createTempDirectory("graft-v2rst-ckpt").toString
+    val out = Files.createTempDirectory("graft-v2rst-out").toString
+    val lines = Changelog.envelopes(spark, sfDir).as[String].collect().toSeq
+    writeSegments(dir, lines, segments = 6)
+
+    def run(): Unit = {
+      val q = CdcStream.readEnvelopesV2(spark, dir, maxFilesPerTrigger = 2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == lines.size)
+    run() // fresh PgOutputReplayStream, same checkpoint: nothing new
+    assert(spark.read.parquet(out).count() == afterFirst)
+  }
+
   test("segments appended after the stream starts are picked up in later triggers") {
     val dir = Files.createTempDirectory("graft-v2inc").toString
     val lines = Changelog.envelopes(spark, sfDir).as[String].collect().toSeq
