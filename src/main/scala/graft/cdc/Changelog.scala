@@ -5,7 +5,6 @@ import graft.model.Types
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import scala.collection.mutable
 
 /** Deterministic synthetic change log derived from the `documents` fixture
   * table (FIXTURES.md §A2), used to replay the reference's CDC dataflow in
@@ -154,29 +153,13 @@ object Changelog {
       .select(from_json(col("value"), Types.rowChangeSchema).as("c"))
       .select(col("c.*"))
 
-  /** Weak session keys: entries (and their pinned persisted blocks) become
-    * collectable with the session itself, and identity keying cannot alias
-    * two live sessions. */
-  private val parsedCache =
-    new java.util.WeakHashMap[SparkSession, mutable.Map[String, DataFrame]]()
-
-  /** Parsed change records for a fixture dir, materialized once per session:
-    * an engine ingests a change log once, then every Group A operator reads
-    * the same decoded records. The wire roundtrip (to_json → from_json, the
-    * S2 codec) IS the cached plan — it is exercised on first
-    * materialization; repeat calls reuse the decoded block instead of
-    * re-serializing the log per query. */
+  /** Parsed change records for a fixture dir, materialized once per session
+    * ([[graft.util.SessionCache]]): an engine ingests a change log once,
+    * then every Group A operator reads the same decoded records. The wire
+    * roundtrip (to_json → from_json, the S2 codec) IS the cached plan — it
+    * is exercised on first materialization; repeat calls reuse the decoded
+    * block instead of re-serializing the log per query. */
   def changes(spark: SparkSession, dir: String): DataFrame =
-    parsedCache.synchronized {
-      val perSession = {
-        val existing = parsedCache.get(spark)
-        if (existing != null) existing
-        else {
-          val m = mutable.Map.empty[String, DataFrame]
-          parsedCache.put(spark, m)
-          m
-        }
-      }
-      perSession.getOrElseUpdate(dir, parse(envelopes(spark, dir)).persist())
-    }
+    graft.util.SessionCache.getOrMaterialize(spark, s"changes:$dir")(
+      parse(envelopes(spark, dir)))
 }

