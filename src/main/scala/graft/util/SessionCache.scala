@@ -2,34 +2,63 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import scala.collection.mutable
-
 /** Per-session materialization cache for derived artifacts that several
   * queries legitimately share — a real pipeline computes the decoded change
   * log or the verified near-dup pair table once and feeds every downstream
   * consumer from that materialization, rather than re-deriving it per
-  * query. Weak session keys: entries (and their pinned persisted blocks)
-  * become collectable with the session, and identity keying cannot alias
-  * two live sessions. */
+  * query.
+  *
+  * Contract:
+  *  - sessions are keyed by IDENTITY (two live sessions can never alias);
+  *  - entries live until [[invalidate]] or process exit — a cached
+  *    DataFrame strongly references its session, so weak keying could not
+  *    actually make entries collectable and is not pretended here;
+  *  - the artifact's inputs are assumed immutable for the session: callers
+  *    that rewrite a source directory in place must [[invalidate]] first
+  *    or they read the stale materialization;
+  *  - `build` runs at most once per (session, key), synchronized per ENTRY
+  *    — a slow materialization job never blocks other sessions or keys.
+  */
 object SessionCache {
 
+  /** Memoizes one artifact; the lazy val synchronizes on this instance
+    * only, so materialization jobs don't serialize across entries. */
+  private final class Memo(build: () => DataFrame) {
+    @volatile private var built = false
+    lazy val get: DataFrame = {
+      val df = build().persist()
+      built = true
+      df
+    }
+    def ifBuilt(f: DataFrame => Unit): Unit = if (built) f(get)
+  }
+
   private val cache =
-    new java.util.WeakHashMap[SparkSession, mutable.Map[String, DataFrame]]()
+    new java.util.IdentityHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Memo]]()
 
   /** The artifact for `key`, materialized (persisted) on first request per
-    * session; `build` runs at most once per (session, key). */
+    * session. */
   def getOrMaterialize(spark: SparkSession, key: String)
-                      (build: => DataFrame): DataFrame =
-    cache.synchronized {
-      val perSession = {
-        val existing = cache.get(spark)
-        if (existing != null) existing
-        else {
-          val m = mutable.Map.empty[String, DataFrame]
-          cache.put(spark, m)
-          m
-        }
+                      (build: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+        cache.put(spark, m)
       }
-      perSession.getOrElseUpdate(key, build.persist())
+      m
     }
+    perSession.computeIfAbsent(key, _ => new Memo(() => build)).get
+  }
+
+  /** Drop (and unpersist) everything cached for `spark` — call when a
+    * session ends or its source data is rewritten in place. */
+  def invalidate(spark: SparkSession): Unit = {
+    val removed = cache.synchronized(cache.remove(spark))
+    if (removed != null) removed.values().forEach(_.ifBuilt { df =>
+      try df.unpersist()
+      catch { case _: Exception => () } // session may already be stopped
+    })
+  }
 }
