@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All declared queries (SURVEY.md §2.3). */
-  def registry: Seq[Q] = GroupA.all ++ GroupB.all ++ PipelineQueries.all
+  def registry: Seq[Q] =
+    GroupA.all ++ GroupB.all ++ PipelineQueries.all ++ QualityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

@@ -61,14 +61,25 @@ object PipelineQueries {
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           DedupOps.sortedTokenSet(col("text")).as("toks"))
+        // empty token sets all share the degenerate all-MaxValue signature:
+        // within a lang they collide in every band and pass the 0>=0 size
+        // prefilter, a quadratic candidate blob verification must drain.
+        // They can never emit (0/0 Jaccard is null), so drop them up front.
+        .filter(size(col("toks")) > 0)
       def banding(base: DataFrame): DataFrame = base
         .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
         .withColumn("sz", size(col("toks")))
         .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
         .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
+      // lang rides both sides and is re-checked at the join: bh already
+      // folds lang in, but a bucket-key xxhash64 collision would otherwise
+      // admit a cross-language pair that genuine Jaccard verification CANNOT
+      // reject (the oracle's join is `a.lang = b.lang`) — the equality
+      // restores the exact oracle contract instead of a 2^-64 argument.
       val sizeOk =
-        least(col("asz"), col("bsz")) * 2000000L >=
-          greatest(col("asz"), col("bsz")) * 1899998L
+        col("alang") === col("blang") &&
+          least(col("asz"), col("bsz")) * 2000000L >=
+            greatest(col("asz"), col("bsz")) * 1899998L
       def finish(withRaw: DataFrame): DataFrame = withRaw
         .filter(col("raw") >= 0.949999)
         .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("jac"))
@@ -78,10 +89,11 @@ object PipelineQueries {
         case Some(vocab) =>
           val banded = banding(docs
             .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab)))
-            .select(col("doc_id") +: col("bh") +: col("sz") +:
+            .select(col("doc_id") +: col("lang") +: col("bh") +: col("sz") +:
               (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
           def side(p: String) = banded.select(
-            col("doc_id").as(s"${p}_id") +: col("bh") +: col("sz").as(s"${p}sz") +:
+            col("doc_id").as(s"${p}_id") +: col("lang").as(s"${p}lang") +:
+              col("bh") +: col("sz").as(s"${p}sz") +:
               (0 to 3).map(w => col(s"w$w").as(s"$p$w")): _*)
           val inter = (0 to 3).map(w =>
             bit_count(col(s"a$w").bitwiseAND(col(s"b$w")))).reduce(_ + _)
@@ -93,7 +105,8 @@ object PipelineQueries {
         case None =>
           val bandedIds = banding(docs)
           def ids(p: String) = bandedIds.select(
-            col("doc_id").as(s"${p}_id"), col("bh"), col("sz").as(s"${p}sz"))
+            col("doc_id").as(s"${p}_id"), col("lang").as(s"${p}lang"),
+            col("bh"), col("sz").as(s"${p}sz"))
           val pairs = ids("a").join(ids("b"), Seq("bh"))
             .filter(col("a_id") < col("b_id") && sizeOk)
             .select("a_id", "b_id").distinct()
@@ -671,7 +684,10 @@ object PipelineQueries {
       val tok = tbl(spark, dir, "documents")
         .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      // tf rows ARE the distinct (doc, term) pairs, so document frequency
+      // is a plain count over tf — no second corpus explode, and the
+      // count-distinct becomes a cheap re-aggregation of the tf shuffle
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
       tf.join(df, "term")
@@ -723,6 +739,20 @@ object PipelineQueries {
         .localCheckpoint(true) // materialize the verified edge set once
       var labels = edges.select(col("src").as("node"), col("src").as("label"))
         .distinct().localCheckpoint(true)
+      // Convergence is detected by a SCALAR: per-node labels are
+      // non-increasing (every update is a `least` against the current
+      // label), so the label sum strictly decreases until the fixpoint —
+      // comparing sums replaces a per-round labels-vs-next shuffle join
+      // with one tiny aggregation over the just-checkpointed frame. The
+      // driver-visible cost of this query is dominated by per-round job
+      // overhead, not data volume, so rounds run exactly two shuffles:
+      // the neighbor union-aggregate and the pointer-jump self-join.
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        // decimal accumulator: a long sum of ~10^9 64-bit ids could overflow
+        val r = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      }
+      var prevSum = labelSum(labels)
       var converged = false
       var rounds = 0
       while (!converged) {
@@ -733,12 +763,13 @@ object PipelineQueries {
         // combines (a) min over neighbors' labels with (b) pointer jumping
         // (label := label(label)), which halves remaining path lengths, so
         // convergence is O(log diameter) shuffles regardless of shape.
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(min(col("label")).as("nlabel"))
-        val l1 = labels.join(viaNeighbors, "node")
-          .select(col("node"), least(col("label"), col("nlabel")).as("label"))
+        // Self-labels ride the same aggregation as neighbor labels (union,
+        // not a second join), so (a) is one shuffle, not two.
+        val l1 = labels
+          .unionByName(edges
+            .join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(col("src").as("node"), col("label")))
+          .groupBy("node").agg(min(col("label")).as("label"))
         // localCheckpoint truncates lineage: the self-join doubles the
         // logical plan per round, so without the cut analysis cost (and
         // heap) grows 2^rounds
@@ -747,8 +778,9 @@ object PipelineQueries {
             "label")
           .select(col("node"), least(col("label"), col("jlabel")).as("label"))
           .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).isEmpty
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labels.unpersist()
         labels = next
       }

@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.ops.DedupOps
+import graft.queries.Q._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-3 training-data curation operators: repetition-based quality
+  * signals (the Gopher-style repetition rules), a cumulative quality-filter
+  * funnel, BM25 relevance scoring, n-gram containment (partial-duplicate
+  * detection — the directional counterpart of Jaccard near-dup), a
+  * deterministic stratified sample, and sliding event-time windows (the
+  * batch twin of a sliding streaming aggregation).
+  *
+  * Determinism rules (see .claude/skills/verify/SKILL.md): thresholds
+  * compare in INTEGER arithmetic wherever possible (`a*10 >= b*6` instead
+  * of `a/b >= 0.6`), double aggregation goes through DECIMAL accumulators,
+  * ratios round at scale 9 where no small-denominator tie exists, and every
+  * ORDER BY ends in a unique non-null key.
+  */
+object QualityQueries {
+
+  /** tokens of lower(text), empty strings dropped — the corpus-wide
+    * tokenizer every operator here shares. */
+  private def docToks(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), DedupOps.tokens(col("text")).as("t"))
+
+  val all: Seq[Q] = Seq(
+
+    // Gopher-style repetition signals: duplicate-token fraction and the
+    // most-frequent-bigram fraction. Single scan + two hash aggregations
+    // (per-doc bigram counts, then per-doc max) — the explode is linear in
+    // corpus tokens and shuffles on doc_id only, so the shape survives any
+    // scale-up; nothing is all-pairs.
+    Q("q_repetition_ratio",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+        |  FROM t WHERE len(toks) > 0),
+        |grams AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top2 FROM gc GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |       round(CAST(b.n - b.nd AS DOUBLE) / CAST(b.n AS DOUBLE), 9)
+        |         AS dup_token_ratio,
+        |       round(coalesce(CAST(top.top2 AS DOUBLE) / CAST(b.n - 1 AS DOUBLE),
+        |                      0.0), 9) AS top_bigram_frac,
+        |       ((b.n - b.nd) * 10 > b.n * 8
+        |        OR coalesce(top.top2 * 20 > (b.n - 1), false)) AS is_repetitive
+        |FROM base b LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val t = docToks(spark, dir)
+      val base = t.filter(size(col("t")) > 0)
+        .select(col("doc_id"), size(col("t")).as("n"),
+          size(array_distinct(col("t"))).as("nd"))
+      val grams = t.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("g"))
+      val top = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top2"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), big(col("n")).as("n_tokens"),
+          round((col("n") - col("nd")).cast(DoubleType) /
+            col("n").cast(DoubleType), 9).as("dup_token_ratio"),
+          round(coalesce(col("top2").cast(DoubleType) /
+            (col("n") - 1).cast(DoubleType), lit(0.0)), 9).as("top_bigram_frac"),
+          // thresholds compare in exact integer arithmetic (ratio > 0.8 ⟺
+          // 10·dup > 8·n), immune to any float-rounding divergence
+          ((col("n") - col("nd")) * 10 > col("n") * 8 ||
+            coalesce(col("top2") * 20 > (col("n") - 1), lit(false)))
+            .as("is_repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // Cumulative quality-filter funnel per language: how many documents
+    // survive each successive curation rule. All rules are INTEGER
+    // comparisons (punct_ratio < 0.1 ⟺ 10·punct < chars), so the funnel is
+    // bit-deterministic across engines; one scan, one hash aggregation.
+    Q("q_quality_funnel",
+      """SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        |       CAST(sum(CASE WHEN pass_len AND pass_punct THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pass_punct,
+        |       CAST(sum(CASE WHEN pass_len AND pass_punct AND pass_rep THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS pass_rep
+        |FROM (
+        |  SELECT lang,
+        |         n_tok BETWEEN 10 AND 1000 AS pass_len,
+        |         punct * 10 < n_char AS pass_punct,
+        |         (n_tok - n_dis) * 10 <= n_tok * 8 AS pass_rep
+        |  FROM (
+        |    SELECT lang, length(text) AS n_char,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+        |      len(list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                    x -> x <> ''))) AS n_dis,
+        |      length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+        |    FROM documents))
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val toks = DedupOps.tokens(col("text"))
+      val nTok = size(toks)
+      val scored = tbl(spark, dir, "documents").select(col("lang"),
+        (nTok >= 10 && nTok <= 1000).as("pass_len"),
+        (graft.ops.TextAnalysis.punctCount(col("text")) * 10 <
+          length(col("text"))).as("pass_punct"),
+        ((nTok - size(array_distinct(toks))) * 10 <= nTok * 8).as("pass_rep"))
+      def cum(c: Column, name: String) =
+        big(sum(when(c, 1).otherwise(0))).as(name)
+      scored.groupBy("lang").agg(
+          big(count(lit(1))).as("n_docs"),
+          cum(col("pass_len"), "pass_len"),
+          cum(col("pass_len") && col("pass_punct"), "pass_punct"),
+          cum(col("pass_len") && col("pass_punct") && col("pass_rep"), "pass_rep"))
+        .orderBy("lang")
+    },
+
+    // BM25 relevance (k1=1.2, b=0.75) of every document against a fixed
+    // query term set, with the log-free rational idf (N−df+0.5)/(df+0.5) —
+    // ln() is the one libm call the two engines may round differently, and
+    // a monotone-in-df substitute keeps the score fully deterministic
+    // (documented engine deviation; the ranking behavior is the same).
+    // Shapes: corpus stats are two scalar aggregates (broadcast), tf is a
+    // hash aggregation over the exploded term stream filtered to the query
+    // terms (the filter prunes the explode to ~|Q| rows per doc), and the
+    // per-doc sum runs through a DECIMAL accumulator so partial-aggregation
+    // order can never show through.
+    Q("q_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |          FROM dl),
+        |qt AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('join', 'hash', 'vector') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |       FROM tok WHERE term IN ('join', 'hash', 'vector') GROUP BY term),
+        |scored AS (
+        |  SELECT qt.doc_id,
+        |         round((stats.n - df.df + 0.5) / (df.df + 0.5)
+        |               * (CAST(qt.tf AS DOUBLE) * 2.2)
+        |               / (CAST(qt.tf AS DOUBLE)
+        |                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+        |               12) AS s
+        |  FROM qt JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id,
+        |       round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val queryTerms = Seq("join", "hash", "vector")
+      val tok = tbl(spark, dir, "documents")
+        .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        (sum(col("dl")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avgdl"))
+      val qtok = tok.filter(col("term").isin(queryTerms: _*))
+      val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf rows are the distinct (doc, term) pairs — df is a re-aggregation
+      // of tf, not a second count-distinct pass over the token stream
+      val df = tf.groupBy("term")
+        .agg(count(lit(1)).cast(DoubleType).as("df"))
+      val tfD = col("tf").cast(DoubleType)
+      val dlD = col("dl").cast(DoubleType)
+      // the double expression tree mirrors the oracle's operation order
+      // exactly — same IEEE ops in the same order give identical bits
+      val perTerm = round(
+        (col("n") - col("df") + 0.5) / (col("df") + 0.5) * (tfD * 2.2) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / col("avgdl")))), 12)
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), perTerm.as("s"))
+        .groupBy("doc_id")
+        .agg(round(sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType), 6)
+          .as("bm25"))
+        .orderBy("doc_id")
+    },
+
+    // Partial-duplicate detection: directional 5-gram containment
+    // |A∩B|/|A| through a shingle inverted-index equi-join — the scale
+    // path for "is this document contained in another" (Jaccard misses
+    // small-in-large duplication; containment is the right asymmetry).
+    // The join volume is Σ per-shingle df², kept sane by shingle rarity
+    // (5-grams); candidates aggregate to bare (a,b,shared) counts before
+    // the size join. Threshold compares integer (shared·10 ≥ |A|·6).
+    Q("q_ngram_containment",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+        |  FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT s.a_id, s.b_id,
+        |       round(CAST(s.c AS DOUBLE) / CAST(za.n AS DOUBLE), 9) AS containment
+        |FROM shared s JOIN sz za ON s.a_id = za.doc_id
+        |WHERE s.c * 10 >= za.n * 6
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val t = docToks(spark, dir)
+      val sh = t.filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 4),
+          i => array_join(slice(col("t"), i, lit(5)), " "))).as("g"))
+        .distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = sh.select(col("doc_id").as("a_id"), col("g"))
+        .join(sh.select(col("doc_id").as("b_id"), col("g")), "g")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+      shared
+        .join(sz.select(col("doc_id").as("a_id"), col("n")), "a_id")
+        .filter(col("c") * 10 >= col("n") * 6)
+        .select(col("a_id"), col("b_id"),
+          round(col("c").cast(DoubleType) / col("n").cast(DoubleType), 9)
+            .as("containment"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Deterministic stratified sample: k=20 per language, ranked by a pure
+    // integer hash of the stable doc id (Knuth multiplicative mod a prime)
+    // so replays — and both engines — elect identical rows. Per-stratum
+    // window, partitioned by lang: no global sort, scales with strata.
+    Q("q_sample_stratified",
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY (doc_id * 2654435761) % 1000000007,
+        |                                     doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy((col("doc_id") * 2654435761L) % 1000000007L, col("doc_id"))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), big(row_number().over(w)).as("rn"))
+        .filter(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    },
+
+    // Sliding event-time windows (10 min, slide 5 min): every event lands
+    // in exactly two epoch-aligned windows. The batch twin of a sliding
+    // streaming aggregation — Spark's native window() generator, one hash
+    // aggregation on (window), no self-join. The oracle unnests the two
+    // candidate bucket starts per event.
+    Q("q_sliding_window",
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+        |           AS ws,
+        |         user_id, value
+        |  FROM events)
+        |GROUP BY ws
+        |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(big(count(lit(1))).as("n"),
+          big(countDistinct(col("user_id"))).as("n_users"),
+          dsum(col("value")).as("total_value"))
+        .select(tstr(col("w.start")).as("window_start"), col("n"),
+          col("n_users"), col("total_value"))
+        .orderBy("window_start")
+    }
+  )
+}

@@ -66,7 +66,10 @@ final class MilvusSink(baseUrl: String, collection: String,
     * dimension (one bounded limit-1 job, then cached). */
   def upsert(points: DataFrame): Unit = {
     if (knownDim == 0)
-      points.select(org.apache.spark.sql.functions.size(
+      // null vectors must not elect the probe row: size(null) is null and
+      // getInt would NPE
+      points.filter(org.apache.spark.sql.functions.col("vector").isNotNull)
+        .select(org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.col("vector")).as("d"))
         .limit(1).collect()
         .headOption.foreach(r => ensureCollection(r.getInt(0)))

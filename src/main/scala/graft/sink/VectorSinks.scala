@@ -94,28 +94,28 @@ final class QdrantSink(rawBaseUrl: String, collection: String,
   @volatile private var knownDim: Int = 0
 
   /** Lazily create the collection (reference: qdrant.go:70-145): GET the
-    * collection info; if it exists, a mismatched vector size is a hard error
-    * (`drop or recreate`), otherwise PUT `{"vectors":{size,distance}}`. */
+    * collection info; 200 with a mismatched vector size is a hard error
+    * (`drop or recreate`), 404 creates via PUT `{"vectors":{size,distance}}`.
+    * Any OTHER status (transient 500, auth 401, …) propagates as an error —
+    * treating it as "missing" would race a create against a live collection
+    * the server merely failed to describe. Connection failures propagate for
+    * the same reason. */
   def ensureCollection(dim: Int): Unit = {
     if (knownDim > 0 && knownDim == dim) return
     val client = java.net.http.HttpClient.newHttpClient()
     val infoUri = java.net.URI.create(s"$baseUrl/collections/$collection")
-    val info =
-      try {
-        val r = client.send(
-          java.net.http.HttpRequest.newBuilder().uri(infoUri).GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (r.statusCode() == 200) Some(r.body()) else None
-      } catch { case _: java.io.IOException => None } // fall through to create
-    info match {
-      case Some(body) =>
-        val existing = QdrantSink.extractVectorSize(body)
+    val r = client.send(
+      java.net.http.HttpRequest.newBuilder().uri(infoUri).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    r.statusCode() match {
+      case 200 =>
+        val existing = QdrantSink.extractVectorSize(r.body())
         if (existing > 0 && dim > 0 && existing != dim)
           throw new IllegalStateException(
             s"collection exists with size=$existing but payload has dim=$dim; " +
               "drop or recreate the collection")
         knownDim = if (existing > 0) existing else dim
-      case None =>
+      case 404 =>
         val req = java.net.http.HttpRequest.newBuilder().uri(infoUri)
           .header("Content-Type", "application/json")
           .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
@@ -127,6 +127,9 @@ final class QdrantSink(rawBaseUrl: String, collection: String,
           throw new java.io.IOException(
             s"failed to create collection: HTTP ${resp.statusCode()} ${resp.body()}")
         knownDim = dim
+      case s =>
+        throw new java.io.IOException(
+          s"collection info failed: HTTP $s ${r.body()}")
     }
   }
 
@@ -135,7 +138,10 @@ final class QdrantSink(rawBaseUrl: String, collection: String,
     * (one bounded limit-1 job, then cached). */
   def upsert(points: DataFrame): Unit = {
     if (knownDim == 0)
-      points.select(size(col("vector")).as("d")).limit(1).collect()
+      // null vectors must not elect the probe row: size(null) is null and
+      // getInt would NPE
+      points.filter(col("vector").isNotNull)
+        .select(size(col("vector")).as("d")).limit(1).collect()
         .headOption.foreach(r => ensureCollection(r.getInt(0)))
     val url = s"$baseUrl/collections/$collection/points"
     val bs = requestBatchSize

@@ -135,7 +135,12 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
       case f: ReadMaxFiles => f.maxFiles()
       case _ => Int.MaxValue
     }
-    SegmentOffset(math.max(math.min(seen.size, start + cap), start))
+    // Long arithmetic: under ReadLimit.allAvailable (Trigger.Once/
+    // AvailableNow) cap is Int.MaxValue, and `start + cap` in Int overflows
+    // negative for any start > 0 — the min would collapse to `start` and the
+    // stream would silently stop advancing past the restored offset.
+    SegmentOffset(
+      math.max(math.min(seen.size.toLong, start.toLong + cap), start.toLong).toInt)
   }
 
   override def latestOffset(): Offset =

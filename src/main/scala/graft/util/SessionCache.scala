@@ -21,16 +21,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionCache {
 
-  /** Memoizes one artifact; the lazy val synchronizes on this instance
-    * only, so materialization jobs don't serialize across entries. */
+  /** Memoizes one artifact; synchronizes on this instance only, so
+    * materialization jobs don't serialize across entries. [[kill]] takes the
+    * same lock as [[get]]: an invalidate that races an in-flight build waits
+    * for it and then unpersists, and a build that starts after the kill
+    * returns a correct-but-uncached frame — either way nothing stays
+    * persisted past invalidation. */
   private final class Memo(build: () => DataFrame) {
-    @volatile private var built = false
-    lazy val get: DataFrame = {
-      val df = build().persist()
-      built = true
-      df
+    private var df: DataFrame = _
+    private var dead = false
+    def get: DataFrame = synchronized {
+      if (dead) build() // invalidated mid-race: correct result, never cached
+      else {
+        if (df == null) df = build().persist()
+        df
+      }
     }
-    def ifBuilt(f: DataFrame => Unit): Unit = if (built) f(get)
+    def kill(): Unit = synchronized {
+      dead = true
+      if (df != null) {
+        try df.unpersist()
+        catch { case _: Exception => () } // session may already be stopped
+        df = null
+      }
+    }
   }
 
   private val cache =
@@ -56,9 +70,6 @@ object SessionCache {
     * session ends or its source data is rewritten in place. */
   def invalidate(spark: SparkSession): Unit = {
     val removed = cache.synchronized(cache.remove(spark))
-    if (removed != null) removed.values().forEach(_.ifBuilt { df =>
-      try df.unpersist()
-      catch { case _: Exception => () } // session may already be stopped
-    })
+    if (removed != null) removed.values().forEach(_.kill())
   }
 }

@@ -92,6 +92,25 @@ class PgOutputSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == afterFirst)
   }
 
+  test("allAvailable limit with a restored offset does not overflow and stall") {
+    // Trigger.Once/AvailableNow pass ReadLimit.allAvailable (cap
+    // Int.MaxValue); with a restored start > 0 the old Int `start + cap`
+    // overflowed negative and latestOffset collapsed to `start` — the
+    // stream silently stopped advancing past the checkpoint.
+    import graft.sources.{PgOutputReplayStream, SegmentOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft-v2ovf").toString
+    val lines = Changelog.envelopes(spark, sfDir).as[String].collect().toSeq
+    writeSegments(dir, lines, segments = 6)
+
+    val stream = new PgOutputReplayStream(dir, 0L, maxFilesPerTrigger = 2)
+    val latest = stream.latestOffset(SegmentOffset(3), ReadLimit.allAvailable())
+    assert(latest.asInstanceOf[SegmentOffset].segments == 6)
+    // and a capped limit still caps relative to the restored start
+    val capped = stream.latestOffset(SegmentOffset(3), ReadLimit.maxFiles(2))
+    assert(capped.asInstanceOf[SegmentOffset].segments == 5)
+  }
+
   test("segments appended after the stream starts are picked up in later triggers") {
     val dir = Files.createTempDirectory("graft-v2inc").toString
     val lines = Changelog.envelopes(spark, sfDir).as[String].collect().toSeq

@@ -13,8 +13,9 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries deliberately joining a bounded broadcast side on a non-equi
     * condition: the brute-force cosine baseline streams all candidates
     * against 10 broadcast query vectors (its LSH/IVF siblings are the
-    * scale paths). */
-  private val nonEquiAllowed = Set("q_cosine_topk")
+    * scale paths), and BM25 cross-joins a ONE-ROW corpus-stats aggregate
+    * (N, avgdl) — the scalar-subquery shape, bounded by construction. */
+  private val nonEquiAllowed = Set("q_cosine_topk", "q_bm25")
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

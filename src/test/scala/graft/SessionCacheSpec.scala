@@ -1,0 +1,57 @@
+package graft
+
+import graft.util.SessionCache
+
+import org.apache.spark.storage.StorageLevel
+
+import java.util.concurrent.CountDownLatch
+
+/** Lifecycle contract of the per-session artifact cache: one build per key,
+  * invalidate unpersists, and an invalidate racing an in-flight build never
+  * leaks a persisted frame (the per-Memo lock serializes the two). */
+class SessionCacheSpec extends SparkSpec {
+
+  test("getOrMaterialize builds once and persists; invalidate unpersists") {
+    var builds = 0
+    def get() = SessionCache.getOrMaterialize(spark, "scs-basic") {
+      builds += 1
+      spark.range(10).toDF("n")
+    }
+    val df = get()
+    assert(get() eq df)
+    assert(builds == 1)
+    assert(df.storageLevel != StorageLevel.NONE)
+    SessionCache.invalidate(spark)
+    assert(df.storageLevel == StorageLevel.NONE)
+    // a fresh request after invalidation builds (and caches) anew
+    assert(get() ne df)
+    assert(builds == 2)
+    SessionCache.invalidate(spark)
+  }
+
+  test("invalidate racing an in-flight build waits and unpersists it") {
+    val started = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var built: org.apache.spark.sql.DataFrame = null
+    val builder = new Thread(() => {
+      built = SessionCache.getOrMaterialize(spark, "scs-race") {
+        started.countDown()
+        release.await() // hold the build mid-flight
+        spark.range(5).toDF("n")
+      }
+    })
+    builder.start()
+    started.await()
+    // invalidate while the build holds the Memo lock: it must block until
+    // the build completes, then unpersist — not skip a "not yet built" entry
+    val invalidator = new Thread(() => SessionCache.invalidate(spark))
+    invalidator.start()
+    Thread.sleep(100) // give invalidate time to reach the Memo lock
+    release.countDown()
+    builder.join(30000); invalidator.join(30000)
+    assert(!builder.isAlive && !invalidator.isAlive)
+    assert(built != null)
+    assert(built.storageLevel == StorageLevel.NONE,
+      "the raced build's frame must not stay persisted")
+  }
+}

@@ -61,20 +61,27 @@ class SinkSpec extends SparkSpec {
     // strategy (internal/embeddings/embeddings_test.go:12-44)
     val puts = new java.util.concurrent.CopyOnWriteArrayList[String]()
     @volatile var existingDim = 0
+    @volatile var infoStatus = 0 // 0 = behave normally, else force this GET status
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/collections/vecs", (ex: com.sun.net.httpserver.HttpExchange) => {
-      val resp =
-        if (ex.getRequestMethod == "PUT") {
-          puts.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
-          """{"result":true,"status":"ok"}"""
-        } else if (existingDim > 0)
-          s"""{"result":{"config":{"params":{"vectors":{"size":$existingDim}}}}}"""
-        else null
-      val body = Option(resp).getOrElse("""{"status":"not found"}""")
-        .getBytes("UTF-8")
-      ex.sendResponseHeaders(if (resp == null) 404 else 200, body.length.toLong)
-      val os = ex.getResponseBody; os.write(body); os.close()
+      if (ex.getRequestMethod != "PUT" && infoStatus != 0) {
+        val body = """{"status":"error"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(infoStatus, body.length.toLong)
+        val os = ex.getResponseBody; os.write(body); os.close()
+      } else {
+        val resp =
+          if (ex.getRequestMethod == "PUT") {
+            puts.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+            """{"result":true,"status":"ok"}"""
+          } else if (existingDim > 0)
+            s"""{"result":{"config":{"params":{"vectors":{"size":$existingDim}}}}}"""
+          else null
+        val body = Option(resp).getOrElse("""{"status":"not found"}""")
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(if (resp == null) 404 else 200, body.length.toLong)
+        val os = ex.getResponseBody; os.write(body); os.close()
+      }
     })
     server.start()
     try {
@@ -92,6 +99,13 @@ class SinkSpec extends SparkSpec {
         new QdrantSink(base, "vecs").ensureCollection(128)
       }
       assert(e.getMessage.contains("size=64") && e.getMessage.contains("dim=128"))
+      // transient 500 on info → error, NOT treated as missing (a create
+      // here would race a live collection the server failed to describe)
+      infoStatus = 500
+      intercept[java.io.IOException] {
+        new QdrantSink(base, "vecs").ensureCollection(64)
+      }
+      assert(puts.size == 1) // no create was attempted
     } finally server.stop(0)
   }
 
