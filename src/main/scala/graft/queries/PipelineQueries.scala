@@ -166,6 +166,46 @@ object PipelineQueries {
       jaccardPairs(spark, dir).orderBy("a_id", "b_id")
     },
 
+    // Incremental (batch-vs-corpus) near-dedup: the ingest-time shape —
+    // flag each NEW document (doc_id % 5 ≠ 0 models the arriving batch)
+    // that near-duplicates an EXISTING one (% 5 = 0), keeping the best
+    // match. Consumes the same banded-and-verified pair artifact as
+    // q_ngram_jaccard/q_dup_components (a real pipeline indexes the corpus
+    // once and probes only the new batch against it); the per-new-doc
+    // argmax is a partitioned window, never global.
+    Q("q_incremental_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS n_id, b.doc_id AS e_id,
+        |         round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |               / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) AS jac
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+        |hits AS (
+        |  SELECT n_id, e_id, jac,
+        |         row_number() OVER (PARTITION BY n_id
+        |                            ORDER BY jac DESC, e_id) AS rn
+        |  FROM pairs WHERE jac >= 0.95)
+        |SELECT n_id AS doc_id, e_id AS dup_of, jac
+        |FROM hits WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val p = jaccardPairs(spark, dir)
+      val edges = p.select(col("a_id").as("x"), col("b_id").as("y"), col("jac"))
+        .unionByName(
+          p.select(col("b_id").as("x"), col("a_id").as("y"), col("jac")))
+        .filter(col("x") % 5 =!= 0 && col("y") % 5 === 0)
+      val w = Window.partitionBy(col("x"))
+        .orderBy(col("jac").desc, col("y"))
+      edges.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("x").as("doc_id"), col("y").as("dup_of"), col("jac"))
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH banding: 16 salted-hash permutations, 4 bands × 4 rows;
     // candidate pairs come from band-bucket equi-joins, then true Jaccard
     // verification. xxhash64 has no DuckDB twin → rows-only check.

@@ -239,6 +239,51 @@ object QualityQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // Exact substring-level duplication signal: 20-token windows (stride
+    // 10) that recur across ≥2 documents mark memorization-grade overlap
+    // that document-level Jaccard misses. Per-doc output: window count,
+    // cross-doc duplicated window count, duplicated fraction. Shapes: the
+    // window explode is linear in corpus tokens; the only shuffles are the
+    // (window → distinct-doc count) hash agg and the join back — no pair
+    // enumeration anywhere, so the pass scales like word-count, not like
+    // dedup joins.
+    Q("q_dup_spans",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+19], ' ') AS g
+        |  FROM t, UNNEST(range(1, len(toks) - 18, 10)) AS u(i)
+        |  WHERE len(toks) >= 20),
+        |wc AS (SELECT g, count(*) AS nd FROM w GROUP BY g),
+        |per AS (
+        |  SELECT w.doc_id, count(*) AS nw,
+        |         sum(CASE WHEN wc.nd >= 2 THEN 1 ELSE 0 END) AS ndup
+        |  FROM w JOIN wc USING (g) GROUP BY w.doc_id)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+        |       CAST(ndup AS BIGINT) AS n_dup_windows,
+        |       round(CAST(ndup AS DOUBLE) / CAST(nw AS DOUBLE), 9) AS dup_frac
+        |FROM per
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val t = docToks(spark, dir)
+      val w = t.filter(size(col("t")) >= 20)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 19, lit(10)),
+          i => array_join(slice(col("t"), i, lit(20)), " "))).as("g"))
+        .distinct()
+      val wc = w.groupBy("g").agg(count(lit(1)).as("nd"))
+      w.join(wc, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nw"),
+          sum(when(col("nd") >= 2, 1).otherwise(0)).as("ndup"))
+        .select(col("doc_id"), big(col("nw")).as("n_windows"),
+          big(col("ndup")).as("n_dup_windows"),
+          round(col("ndup").cast(DoubleType) / col("nw").cast(DoubleType), 9)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sample: k=20 per language, ranked by a pure
     // integer hash of the stable doc id (Knuth multiplicative mod a prime)
     // so replays — and both engines — elect identical rows. Per-stratum

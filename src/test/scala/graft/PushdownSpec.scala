@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scan-efficiency regression guard: queries whose predicates and
+  * projections are expressible at the source must reach the parquet scan
+  * as PushedFilters and a pruned ReadSchema — at 100 TB, a scan that reads
+  * every column for a 3-column projection is the difference between
+  * touching 100 TB and touching 5. */
+class PushdownSpec extends SparkSpec {
+
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    root.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("q_scan_project_filter pushes its predicate and prunes columns") {
+    val ss = scans("q_scan_project_filter")
+    assert(ss.nonEmpty)
+    val s = ss.head
+    assert(s.dataFilters.nonEmpty || s.metadata("PushedFilters") != "[]",
+      "filter must reach the scan")
+    // the query projects a handful of lineitem columns; a full-width scan
+    // (16 columns) means pruning regressed
+    assert(s.requiredSchema.size <= 6,
+      s"expected pruned ReadSchema, got ${s.requiredSchema.size} columns")
+  }
+
+  test("joins prune both sides to the columns they use") {
+    for (name <- Seq("q_join_broadcast", "q_join_shuffle")) {
+      val wide = scans(name).filter(_.requiredSchema.size > 8)
+      assert(wide.isEmpty,
+        s"$name scans ${wide.map(_.requiredSchema.size)} columns — pruning lost")
+    }
+  }
+
+  test("documents-table operators never read text when they only need ids") {
+    // q_sample_stratified uses doc_id + lang only; dragging the text
+    // column through the sample window would dominate its scan cost
+    val ss = scans("q_sample_stratified")
+    assert(ss.nonEmpty)
+    assert(ss.forall(!_.requiredSchema.fieldNames.contains("text")),
+      "q_sample_stratified must not scan the text column")
+  }
+}
