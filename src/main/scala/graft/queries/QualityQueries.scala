@@ -194,12 +194,19 @@ object QualityQueries {
     },
 
     // Partial-duplicate detection: directional 5-gram containment
-    // |A∩B|/|A| through a shingle inverted-index equi-join — the scale
-    // path for "is this document contained in another" (Jaccard misses
-    // small-in-large duplication; containment is the right asymmetry).
-    // The join volume is Σ per-shingle df², kept sane by shingle rarity
-    // (5-grams); candidates aggregate to bare (a,b,shared) counts before
-    // the size join. Threshold compares integer (shared·10 ≥ |A|·6).
+    // |A∩B|/|A| — the scale path for "is this document contained in
+    // another" (Jaccard misses small-in-large duplication; containment is
+    // the right asymmetry). A naive shingle inverted-index join is
+    // Σ per-shingle df² — one boilerplate shingle with df=10⁶ yields 10¹²
+    // candidates. Candidates therefore come from PPJoin-style PREFIX
+    // FILTERING, which is lossless here: |A∩B| ≥ ⌈0.6·|A|⌉ forces B to hit
+    // one of A's first |A|−⌈0.6·|A|⌉+1 shingles in a global canonical
+    // order; ordering that canon by ascending document frequency pushes
+    // high-df shingles out of prefixes, so the probe join is bounded by
+    // rare-shingle frequencies instead of df². The prefix bound ⌈3n/5⌉
+    // is computed in pure integers ((3n+4) div 5 — no 0.6 float). Exact
+    // verification (sorted set intersection) runs on candidate pairs only;
+    // the final threshold compares integer (shared·10 ≥ |A|·6).
     Q("q_ngram_containment",
       """WITH t AS (
         |  SELECT doc_id,
@@ -225,16 +232,37 @@ object QualityQueries {
           sequence(lit(1), size(col("t")) - 4),
           i => array_join(slice(col("t"), i, lit(5)), " "))).as("g"))
         .distinct()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = sh.select(col("doc_id").as("a_id"), col("g"))
+        .localCheckpoint(true) // feeds df, the set build, AND the probe side
+      // ONE materialization serves prefix generation, the probe side, and
+      // verification: per-doc shingle arrays in canonical order (rarity
+      // first — df asc, g as tiebreak), built by a hash agg + in-array
+      // sort, no window functions over the exploded stream. The struct
+      // sort keys on df first, so slice(…, prefix) is exactly the rare
+      // prefix; dropping df afterwards leaves the verification set.
+      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      val sets = sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sgs"))
+        .select(col("doc_id"),
+          transform(col("sgs"), s => s.getField("g")).as("gs"),
+          size(col("sgs")).as("n"))
+        .localCheckpoint(true) // three consumers, one computation
+      // prefix length |A| − ⌈3|A|/5⌉ + 1, all-integer arithmetic
+      val prefLen = col("n") - expr("(n * 3 + 4) DIV 5") + 1
+      val aPrefix = sets.select(col("doc_id").as("a_id"),
+        explode(slice(col("gs"), lit(1), prefLen)).as("g"))
+      val cands = aPrefix
         .join(sh.select(col("doc_id").as("b_id"), col("g")), "g")
         .filter(col("a_id") =!= col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-      shared
-        .join(sz.select(col("doc_id").as("a_id"), col("n")), "a_id")
-        .filter(col("c") * 10 >= col("n") * 6)
+        .select("a_id", "b_id").distinct()
+      cands
+        .join(sets.select(col("doc_id").as("a_id"), col("gs").as("ags"),
+          col("n").as("an")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("gs").as("bgs")), "b_id")
+        .withColumn("c", size(array_intersect(col("ags"), col("bgs"))))
+        .filter(col("c") * 10 >= col("an") * 6)
         .select(col("a_id"), col("b_id"),
-          round(col("c").cast(DoubleType) / col("n").cast(DoubleType), 9)
+          round(col("c").cast(DoubleType) / col("an").cast(DoubleType), 9)
             .as("containment"))
         .orderBy("a_id", "b_id")
     },
@@ -303,6 +331,56 @@ object QualityQueries {
         .select(col("doc_id"), col("lang"), big(row_number().over(w)).as("rn"))
         .filter(col("rn") <= 20)
         .orderBy("lang", "rn")
+    },
+
+    // Int8 scalar quantization of the embedding table with per-vector
+    // reconstruction error — the compression pass an ANN index runs before
+    // serving (4x memory cut for float32 corpora). Per-dimension min/max
+    // are one hash aggregation over the exploded components; the 64-row
+    // stats table broadcasts back; quantization uses floor(), which unlike
+    // round() has no half-way ties to diverge on across engines. Errors
+    // accumulate through DECIMAL so partial-agg order never shows.
+    Q("q_vec_quantize",
+      """WITH d AS (
+        |  SELECT vec_id, CAST(v AS DOUBLE) AS vd, pos FROM (
+        |    SELECT vec_id, unnest(embedding) AS v,
+        |           generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings)),
+        |st AS (SELECT pos, min(vd) AS mn, max(vd) AS mx FROM d GROUP BY pos),
+        |qz AS (
+        |  SELECT d.vec_id, d.vd, st.mn, st.mx,
+        |         CASE WHEN st.mx = st.mn THEN 0
+        |              ELSE CAST(floor((d.vd - st.mn) / (st.mx - st.mn) * 255)
+        |                        AS BIGINT) END AS q
+        |  FROM d JOIN st USING (pos)),
+        |err AS (
+        |  SELECT vec_id,
+        |         round(abs(vd - (mn + (CAST(q AS DOUBLE) / 255) * (mx - mn))), 12) AS e
+        |  FROM qz)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |       round(CAST(sum(CAST(e AS DECIMAL(38,12))) AS DOUBLE), 6) AS abs_err
+        |FROM err GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val d = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          col("col").cast(DoubleType).as("vd"))
+      val st = d.groupBy("pos").agg(min(col("vd")).as("mn"), max(col("vd")).as("mx"))
+      // the expression order mirrors the oracle exactly: same IEEE ops in
+      // the same order produce identical bits in both engines
+      val q = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((col("vd") - col("mn")) /
+          (col("mx") - col("mn")) * 255).cast("long"))
+      val dequant = col("mn") + (col("q").cast(DoubleType) / 255) *
+        (col("mx") - col("mn"))
+      d.join(broadcast(st), "pos")
+        .withColumn("q", q)
+        .select(col("vec_id"), round(abs(col("vd") - dequant), 12).as("e"))
+        .groupBy("vec_id")
+        .agg(big(count(lit(1))).as("n_dims"),
+          round(sum(col("e").cast(DecimalType(38, 12))).cast(DoubleType), 6)
+            .as("abs_err"))
+        .orderBy("vec_id")
     },
 
     // Sliding event-time windows (10 min, slide 5 min): every event lands
