@@ -580,6 +580,91 @@ object GroupB {
         .select(tstr(col("w.start")).as("window_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // As-of join (attribution): each purchase joined to the latest click by
+    // the same user at-or-before its timestamp. NOT a range join — the
+    // scale-safe plan is the union trick: tag both sides, ONE shuffle on the
+    // key, one sort, and last(_, ignoreNulls) carries the most recent click
+    // forward. A range self-join would be quadratic per user; this is
+    // O(n log n) per partition and never materializes candidate pairs.
+    // Ties: a click at exactly the purchase ts counts (is_src DESC orders it
+    // first); concurrent clicks resolve to the max event_id (unique).
+    Q("q_asof_join",
+      """SELECT event_id, user_id, asof_click,
+        |       strftime(asof_click_ts, '%Y-%m-%d %H:%M:%S') AS click_time
+        |FROM (
+        |  SELECT event_id, user_id, is_src,
+        |         last_value(click_id IGNORE NULLS) OVER w AS asof_click,
+        |         last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_src,
+        |           CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |           CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |    FROM events WHERE event_type IN ('click', 'purchase'))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_src DESC, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE is_src = 0
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      val tagged = events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", 1).otherwise(0).as("is_src"),
+          when(col("event_type") === "click", col("event_id")).as("click_id"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_src").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_src") === 0)
+        .select(col("event_id"), col("user_id"), col("asof_click"),
+          tstr(col("asof_click_ts")).as("click_time"))
+        .orderBy("event_id")
+    },
+
+    // Interval range join: urgent orders x lineitems shipped within
+    // [o_orderdate, o_orderdate + 2 days). A raw non-equi join is a
+    // nested-loop at any scale; bucketing the time axis (2-day buckets =
+    // the window length) turns it into an EQUI-join on bucket — each
+    // lineitem lands in exactly one bucket, each order probes its <=2
+    // covering buckets (array_distinct dedupes when the window fits one) —
+    // with the exact range predicate as a residual filter. Shuffle is
+    // uniform in the time dimension; no candidate pair survives past its
+    // bucket. (Count/sum-only workloads should pre-aggregate per day
+    // instead; this keeps the generic pair-level join shape.)
+    Q("q_range_join",
+      """SELECT o.o_orderkey,
+        |       CAST(count(l.l_shipdate) AS BIGINT) AS n_items,
+        |       CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(25,6))), 0)
+        |            AS DOUBLE) AS total_qty
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
+      val epoch = to_date(lit("1970-01-01"))
+      val li = tbl(spark, dir, "lineitem")
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate").cast("date"), epoch).as("lday"))
+        .withColumn("lbucket", floor(col("lday") / 2))
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("oday"))
+        .withColumn("obucket", explode(array_distinct(array(
+          floor(col("oday") / 2), floor((col("oday") + 1) / 2)))))
+      ord.join(li,
+          col("obucket") === col("lbucket") &&
+            col("lday") >= col("oday") && col("lday") < col("oday") + 2,
+          "left")
+        .groupBy("o_orderkey")
+        .agg(big(count(col("lday"))).as("n_items"),
+          coalesce(dsum(col("l_quantity")), lit(0.0)).as("total_qty"))
+        .orderBy("o_orderkey")
     }
   )
 }
