@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.cdc.Changelog
+import graft.queries.Q._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Group C — temporal CDC surface and relational extensions (round 4).
+  *
+  * The reference replays a change log into the *current* state only
+  * (internal/pipeline/pipeline.go:183-249 keeps nothing but the latest
+  * tuple per key). A warehouse consumer of the same log also needs the
+  * history-shaped views: SCD Type-2 validity intervals, point-in-time
+  * snapshots, column-level diffs, and idempotent batch merge. All four are
+  * single-shuffle plans (one hash partition by pk, one sort per partition)
+  * so they scale like the latest-by-pk compaction they generalize.
+  */
+object GroupC {
+
+  /** Rows with a sink effect on the mapped table — same filter as the
+    * reference's pipeline (deletes, or upserts with a non-null After;
+    * internal/pipeline/pipeline.go:117-120,198-201). */
+  private def effective(changes: DataFrame): DataFrame =
+    changes.filter(
+      concat(col("schema"), lit("."), col("table")) === "public.documents" &&
+        (col("op") === "d" || col("after").isNotNull))
+
+  private def lsnL: Column = col("lsn").cast(LongType)
+
+  /** DuckDB twin of [[effective]], as a CTE appended to Changelog.cte. */
+  private val effCte: String =
+    """eff AS (
+      |  SELECT * FROM changes
+      |  WHERE schema_name || '.' || table_name = 'public.documents'
+      |    AND (op = 'd' OR has_after))""".stripMargin
+
+  /** Replay cut point for the incremental queries: half the max LSN. A
+    * 1-row aggregate broadcast into the plan — the Spark side is a
+    * BroadcastNestedLoopJoin of one row, the scalar-subquery shape. */
+  private def cutLsn(eff: DataFrame): DataFrame =
+    eff.agg((max(lsnL) / lit(2)).cast(LongType).as("at_lsn"))
+
+  private val cutCte: String =
+    "cut AS (SELECT CAST(max(lsn) // 2 AS BIGINT) AS at_lsn FROM eff)"
+
+  val all: Seq[Q] = Seq(
+
+    // SCD Type-2: every upsert in the log becomes a version row with a
+    // [valid_from, valid_to) LSN interval; the next change on the same pk
+    // (update OR delete) closes the interval. ONE window over ONE shuffle
+    // by pk — the history table is the same plan shape as latest-by-pk,
+    // so at 100 TB it scales with the log, not with versions².
+    Q("q_scd2",
+      s"""${Changelog.cte},
+         |$effCte
+         |SELECT pk, valid_from, valid_to, is_current, title, content FROM (
+         |  SELECT pk, op, lsn AS valid_from,
+         |         lead(lsn) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to,
+         |         CAST(CASE WHEN lead(lsn) OVER (PARTITION BY pk ORDER BY lsn)
+         |                   IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+         |         title, content
+         |  FROM eff) v
+         |WHERE op <> 'd'
+         |ORDER BY valid_from""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("pk")).orderBy(col("valid_from"))
+      effective(Changelog.changes(spark, dir))
+        .select(col("primary_key").as("pk"), col("op"), lsnL.as("valid_from"),
+          element_at(col("after"), "title").as("title"),
+          element_at(col("after"), "content").as("content"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("pk"), col("valid_from"), col("valid_to"),
+          big(when(col("valid_to").isNull, 1).otherwise(0)).as("is_current"),
+          col("title"), col("content"))
+        .orderBy("valid_from")
+    },
+
+    // Point-in-time snapshot: the table state as of LSN T (here T = half
+    // the max LSN, computed from the log itself so the query is
+    // scale-free). Same single-shuffle top-1-per-pk plan as
+    // q_latest_by_pk; the cut is a broadcast scalar, and at scale it
+    // would also prune log segments above T before the shuffle.
+    Q("q_snapshot_at",
+      s"""${Changelog.cte},
+         |$effCte,
+         |$cutCte
+         |SELECT pk, lsn, title, content FROM (
+         |  SELECT e.pk, e.lsn, e.op, e.title, e.content,
+         |         row_number() OVER (PARTITION BY e.pk ORDER BY e.lsn DESC) AS rn
+         |  FROM eff e, cut WHERE e.lsn <= cut.at_lsn) v
+         |WHERE rn = 1 AND op <> 'd'
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      val eff = effective(Changelog.changes(spark, dir))
+      val w = Window.partitionBy(col("primary_key")).orderBy(lsnL.desc)
+      eff.crossJoin(broadcast(cutLsn(eff)))
+        .filter(lsnL <= col("at_lsn"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .select(col("primary_key").as("pk"), lsnL.as("lsn"),
+          element_at(col("after"), "title").as("title"),
+          element_at(col("after"), "content").as("content"))
+        .orderBy("lsn")
+    },
+
+    // Column-level diff: for each non-initial version, which mapped
+    // columns changed vs the previous version of the same pk. The log
+    // carries Before only for deletes (REPLICA IDENTITY DEFAULT), so the
+    // previous image comes from the window lag — one shuffle by pk, no
+    // self-join. Null-safe comparison (IS DISTINCT FROM) matches the
+    // oracle's; concat_ws drops the null (unchanged) slots on both engines.
+    Q("q_column_diff",
+      s"""${Changelog.cte},
+         |$effCte
+         |SELECT pk, lsn,
+         |       coalesce(concat_ws(',',
+         |         CASE WHEN title      IS DISTINCT FROM p_title   THEN 'title' END,
+         |         CASE WHEN content    IS DISTINCT FROM p_content THEN 'content' END,
+         |         CASE WHEN created_at IS DISTINCT FROM p_created THEN 'created_at' END,
+         |         CASE WHEN author     IS DISTINCT FROM p_author  THEN 'author' END),
+         |         '') AS changed
+         |FROM (
+         |  SELECT pk, lsn, title, content, created_at, author,
+         |         lag(lsn)        OVER w AS p_lsn,
+         |         lag(title)      OVER w AS p_title,
+         |         lag(content)    OVER w AS p_content,
+         |         lag(created_at) OVER w AS p_created,
+         |         lag(author)     OVER w AS p_author
+         |  FROM eff WHERE op <> 'd'
+         |  WINDOW w AS (PARTITION BY pk ORDER BY lsn)) v
+         |WHERE p_lsn IS NOT NULL
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("pk")).orderBy(col("lsn"))
+      val cols = Seq("title", "content", "created_at", "author")
+      val base = effective(Changelog.changes(spark, dir))
+        .filter(col("op") =!= "d")
+        .select(Seq(col("primary_key").as("pk"), lsnL.as("lsn")) ++
+          cols.map(c => element_at(col("after"), c).as(c)): _*)
+      val lagged = cols.foldLeft(base.withColumn("p_lsn", lag(col("lsn"), 1).over(w))) {
+        (df, c) => df.withColumn(s"p_$c", lag(col(c), 1).over(w))
+      }
+      lagged.filter(col("p_lsn").isNotNull)
+        .select(col("pk"), col("lsn"),
+          concat_ws(",",
+            cols.map(c => when(!(col(c) <=> col(s"p_$c")), lit(c))): _*).as("changed"))
+        .orderBy("lsn")
+    },
+
+    // Idempotent batch merge (the foreachBatch sink contract): apply the
+    // tail of the log (lsn > T) onto a base snapshot as one MERGE —
+    // latest-change-per-pk wins, deletes drop the row, untouched rows pass
+    // through. Plan: the batch side compacts with one pk-shuffle, then a
+    // full outer hash join on pk against the snapshot. Re-running the
+    // same batch is a no-op (upsert semantics), which is what makes the
+    // streaming sink at-least-once-safe.
+    Q("q_merge_upsert",
+      s"""${Changelog.cte},
+         |$effCte,
+         |$cutCte,
+         |latest AS (
+         |  SELECT pk, op, content FROM (
+         |    SELECT e.pk, e.op, e.content,
+         |           row_number() OVER (PARTITION BY e.pk ORDER BY e.lsn DESC) AS rn
+         |    FROM eff e, cut WHERE e.lsn > cut.at_lsn) t
+         |  WHERE rn = 1),
+         |snap AS (SELECT CAST(doc_id AS VARCHAR) AS pk, text AS content
+         |         FROM documents)
+         |SELECT coalesce(l.pk, s.pk) AS pk,
+         |       CASE WHEN l.pk IS NOT NULL THEN l.content ELSE s.content END
+         |         AS content,
+         |       CASE WHEN l.pk IS NULL THEN 'unchanged'
+         |            WHEN s.pk IS NULL THEN 'inserted'
+         |            ELSE 'updated' END AS action
+         |FROM snap s FULL JOIN latest l ON s.pk = l.pk
+         |WHERE l.op IS NULL OR l.op <> 'd'
+         |ORDER BY CAST(coalesce(l.pk, s.pk) AS BIGINT)""".stripMargin) { (spark, dir) =>
+      val eff = effective(Changelog.changes(spark, dir))
+      val w = Window.partitionBy(col("primary_key")).orderBy(lsnL.desc)
+      val latest = eff.crossJoin(broadcast(cutLsn(eff)))
+        .filter(lsnL > col("at_lsn"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("primary_key").as("l_pk"), col("op"),
+          element_at(col("after"), "content").as("l_content"))
+      val snap = tbl(spark, dir, "documents")
+        .select(col("doc_id").cast("string").as("s_pk"), col("text").as("s_content"))
+      snap.join(latest, col("s_pk") === col("l_pk"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "d")
+        .select(
+          coalesce(col("l_pk"), col("s_pk")).as("pk"),
+          when(col("l_pk").isNotNull, col("l_content")).otherwise(col("s_content"))
+            .as("content"),
+          when(col("l_pk").isNull, lit("unchanged"))
+            .when(col("s_pk").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("action"))
+        .orderBy(col("pk").cast(LongType))
+    },
+
+    // Multi-granularity aggregation via GROUPING SETS — one shuffle
+    // produces the per-status, per-priority, and grand-total rollups
+    // (Spark expands the sets before the exchange; partial aggregation
+    // still applies map-side). Labels are coalesced so the three sets are
+    // disjoint and the output order is total.
+    Q("q_grouping_sets",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(big(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Wide-to-long unpivot (melt): per-line measures become (measure, val)
+    // rows. Narrow projection + pushed filter reach the scan; the explode
+    // is per-row with no shuffle — output ordering is the only exchange.
+    Q("q_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey % 97 = 0) t
+        |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+    },
+
+    // Event-time RANGE frame: per-user trailing-1-hour sum at every event.
+    // The frame bound is on epoch microseconds (exact integers on both
+    // engines); the DECIMAL accumulator keeps the windowed double sum
+    // order-independent. One shuffle by user, one sort — RangeFrame
+    // evaluation is the streaming-friendly O(n) two-pointer pass, not a
+    // per-row rescan.
+    Q("q_window_range",
+      """SELECT event_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE), 6) AS hour_sum
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_id"),
+          round(sum(col("value").cast(DecimalType(25, 6))).over(w)
+            .cast(DoubleType), 6).as("hour_sum"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -14,8 +14,11 @@ class PlanGuardSpec extends SparkSpec {
     * condition: the brute-force cosine baseline streams all candidates
     * against 10 broadcast query vectors (its LSH/IVF siblings are the
     * scale paths), and BM25 cross-joins a ONE-ROW corpus-stats aggregate
-    * (N, avgdl) — the scalar-subquery shape, bounded by construction. */
-  private val nonEquiAllowed = Set("q_cosine_topk", "q_bm25")
+    * (N, avgdl) — the scalar-subquery shape, bounded by construction.
+    * q_snapshot_at / q_merge_upsert cross-join a ONE-ROW max-LSN cut the
+    * same way. */
+  private val nonEquiAllowed =
+    Set("q_cosine_topk", "q_bm25", "q_snapshot_at", "q_merge_upsert")
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
