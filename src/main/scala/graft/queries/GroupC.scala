@@ -264,6 +264,134 @@ object GroupC {
           round(sum(col("value").cast(DecimalType(25, 6))).over(w)
             .cast(DoubleType), 6).as("hour_sum"))
         .orderBy("event_id")
+    },
+
+    // Robust outlier detection: median absolute deviation per event type,
+    // outlier = |v − median| > 3·MAD. Two grouped exact-percentile passes
+    // with the tiny per-type stats broadcast back — the fact stream is
+    // scanned twice but never shuffled by anything wider than the 5-value
+    // type key. The double expression 3 * mad mirrors the oracle exactly
+    // so the comparison is bit-identical.
+    Q("q_outlier_mad",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(d.med, 6) AS med, round(m.mad, 6) AS mad,
+        |       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type, d.med, m.mad
+        |ORDER BY d.event_type""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(big(count(lit(1))).as("n"),
+          big(sum(when(col("adev") > lit(3) * col("mad"), 1).otherwise(0)))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // Cohort retention: users grouped by first-activity date, counted per
+    // trailing week-offset of later activity. Two hash aggs + one
+    // broadcast join of the (small) per-user cohort table; day arithmetic
+    // is pure integers.
+    Q("q_retention",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+        |       CAST((a.d - f.cohort) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+      val f = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+      val a = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      a.join(broadcast(f), "user_id")
+        .groupBy(dstr(col("cohort")).as("cohort_date"),
+          expr("CAST(datediff(d, cohort) DIV 7 AS BIGINT)").as("week_offset"))
+        .agg(big(count(lit(1))).as("active_users"))
+        .orderBy("cohort_date", "week_offset")
+    },
+
+    // Ordered conversion funnel: users whose first view precedes their
+    // first click precedes their first purchase. One hash agg builds the
+    // per-user stage-min timestamps (conditional min — no per-stage scan),
+    // one 1-row agg counts survivors. Stage times compare as epoch
+    // microseconds so both engines see the same precision.
+    Q("q_funnel",
+      """WITH m AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |           AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |           AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |           AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(CASE WHEN t_view IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS s_view,
+        |       CAST(sum(CASE WHEN t_click > t_view
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS s_click,
+        |       CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase
+        |FROM m ORDER BY n_users""".stripMargin) { (spark, dir) =>
+      def stageMin(t: String) =
+        min(when(col("event_type") === t, unix_micros(col("ts"))))
+      events(spark, dir)
+        .groupBy("user_id")
+        .agg(stageMin("view").as("t_view"), stageMin("click").as("t_click"),
+          stageMin("purchase").as("t_purchase"))
+        .agg(big(count(lit(1))).as("n_users"),
+          big(sum(when(col("t_view").isNotNull, 1).otherwise(0))).as("s_view"),
+          big(sum(when(col("t_click") > col("t_view"), 1).otherwise(0)))
+            .as("s_click"),
+          big(sum(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1).otherwise(0)))
+            .as("s_purchase"))
+    },
+
+    // Dead-letter routing: envelopes whose JSON is corrupt (here: every
+    // lsn % 53 = 0 envelope loses its tail bytes) must not kill the
+    // ingest — the permissive parse yields a null record and the row
+    // routes to the DLQ with its raw payload preserved. The Spark side
+    // routes on ACTUAL parse failure; the oracle counts from the
+    // corruption rule — they only agree if the parser really rejects
+    // exactly the corrupted envelopes and accepts everything else.
+    Q("q_dlq_route",
+      s"""${Changelog.cte}
+         |SELECT CASE WHEN lsn % 53 = 0 THEN 'dlq' ELSE 'main' END AS route,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM changes GROUP BY 1 ORDER BY route""".stripMargin) { (spark, dir) =>
+      val corrupted = Changelog.envelopes(spark, dir)
+        .withColumn("value",
+          when(get_json_object(col("value"), "$.lsn").cast(LongType) % 53 === 0,
+            // chop the closing brace and quote: guaranteed-malformed JSON
+            expr("substring(value, 1, length(value) - 2)"))
+            .otherwise(col("value")))
+      corrupted
+        .select(from_json(col("value"), graft.model.Types.rowChangeSchema).as("c"))
+        // permissive parse marks failure as an all-null record, not a null
+        // struct — route on the lsn field, which every valid envelope carries
+        .select(when(col("c.lsn").isNull, lit("dlq")).otherwise(lit("main")).as("route"))
+        .groupBy("route")
+        .agg(big(count(lit(1))).as("n"))
+        .orderBy("route")
     }
   )
 }
