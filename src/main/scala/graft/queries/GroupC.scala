@@ -392,6 +392,74 @@ object GroupC {
         .groupBy("route")
         .agg(big(count(lit(1))).as("n"))
         .orderBy("route")
+    },
+
+    // ColBERT-style late-interaction retrieval (MaxSim): query and
+    // candidate "documents" are groups of token vectors; score(q,c) =
+    // Σ_{qt∈q} max_{ct∈c} cos(qt,ct). Per-vector exact norms are computed
+    // ONCE; candidate token lists are grouped per doc so each (query
+    // token × candidate doc) row evaluates the max over an in-row array —
+    // no per-token-pair row explosion. The 20-row query-token side
+    // broadcasts; candidates stream (the brute-force baseline — an
+    // LSH-bucketed variant would reuse q_ann_lsh's bucket join for the
+    // scale path). DECIMAL accumulators keep the dot and the per-query
+    // sum order-independent; max is order-free by nature.
+    Q("q_maxsim",
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(CAST(list_sum(list_transform(embedding,
+        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
+        |              AS DOUBLE)) AS n
+        |  FROM embeddings),
+        |qt AS (SELECT vec_id // 4 AS qdoc, vec_id, embedding, n
+        |       FROM norms WHERE vec_id < 20),
+        |cd AS (SELECT vec_id // 8 AS cdoc,
+        |              list(struct_pack(v := embedding, n := n)) AS toks
+        |       FROM norms WHERE vec_id >= 40 GROUP BY 1),
+        |pair AS (
+        |  SELECT qt.qdoc, cd.cdoc,
+        |         list_max(list_transform(cd.toks, t ->
+        |           CAST(list_sum(list_transform(range(1, len(qt.embedding)+1),
+        |             i -> CAST(CAST(qt.embedding[i] AS DOUBLE)
+        |                       * CAST(t.v[i] AS DOUBLE) AS DECIMAL(30,15))))
+        |                AS DOUBLE) / (qt.n * t.n))) AS best
+        |  FROM qt CROSS JOIN cd),
+        |score AS (
+        |  SELECT qdoc, cdoc,
+        |         round(CAST(sum(CAST(best AS DECIMAL(38,15))) AS DOUBLE), 6) AS maxsim
+        |  FROM pair GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qdoc, cdoc, maxsim,
+        |         row_number() OVER (PARTITION BY qdoc
+        |                            ORDER BY maxsim DESC, cdoc) AS rn
+        |  FROM score)
+        |SELECT qdoc, cdoc, maxsim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY qdoc, rn""".stripMargin) { (spark, dir) =>
+      import graft.ops.VectorOps
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.l2normExact(col("embedding")).as("n"))
+      val qt = e.filter(col("vec_id") < 20)
+        .select(expr("vec_id DIV 4").as("qdoc"), col("embedding").as("qv"),
+          col("n").as("qn"))
+      val cd = e.filter(col("vec_id") >= 40)
+        .groupBy(expr("vec_id DIV 8").as("cdoc"))
+        .agg(collect_list(struct(col("embedding").as("v"), col("n").as("n")))
+          .as("toks"))
+      val w = Window.partitionBy(col("qdoc"))
+        .orderBy(col("maxsim").desc, col("cdoc"))
+      broadcast(qt).crossJoin(cd)
+        .withColumn("best", array_max(transform(col("toks"), t =>
+          VectorOps.dotExact(col("qv"), t.getField("v")) /
+            (col("qn") * t.getField("n")))))
+        .groupBy("qdoc", "cdoc")
+        .agg(round(sum(col("best").cast(DecimalType(38, 15))).cast(DoubleType), 6)
+          .as("maxsim"))
+        .withColumn("rn", big(row_number().over(w)))
+        .filter(col("rn") <= 3)
+        .select("qdoc", "cdoc", "maxsim", "rn")
+        .orderBy("qdoc", "rn")
     }
   )
 }

@@ -39,6 +39,25 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("q_unpivot pushes the orderkey predicate and prunes to 5 columns") {
+    val ss = scans("q_unpivot")
+    assert(ss.nonEmpty)
+    val s = ss.head
+    assert(s.dataFilters.nonEmpty, "the % 97 predicate must reach the scan")
+    assert(s.requiredSchema.size <= 5,
+      s"expected 5-column ReadSchema, got ${s.requiredSchema.size}")
+  }
+
+  test("event analytics scan only the columns they aggregate") {
+    // q_funnel needs (user_id, event_type, ts); q_retention (user_id, ts);
+    // q_window_range (event_id, user_id, value, ts) — props (the widest
+    // column, JSON) must never be read
+    for (name <- Seq("q_funnel", "q_retention", "q_window_range", "q_outlier_mad")) {
+      val wide = scans(name).filter(_.requiredSchema.fieldNames.contains("props"))
+      assert(wide.isEmpty, s"$name reads the props column — pruning lost")
+    }
+  }
+
   test("documents-table operators never read text when they only need ids") {
     // q_sample_stratified uses doc_id + lang only; dragging the text
     // column through the sample window would dominate its scan cost
