@@ -70,7 +70,15 @@ final class ParquetTableStore(path: String) extends Serializable {
     * is replaced only by a change with a strictly higher LSN. */
   def merge(changes: DataFrame): Unit = {
     val spark = changes.sparkSession
-    val batch = compactBatch(changes)
+    val batch = compactBatch(changes).persist()
+    try {
+      // empty triggers (timer fired, no data) must not rewrite the snapshot
+      if (batch.isEmpty) return
+      mergeNonEmpty(spark, batch)
+    } finally batch.unpersist()
+  }
+
+  private def mergeNonEmpty(spark: SparkSession, batch: DataFrame): Unit = {
     val next =
       if (!exists(spark)) batch
       else {
