@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.ops.VectorOps
+import graft.queries.Q._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Group E — corpus analytics & advanced relational operators (round 4).
+  *
+  * Widens the engine beyond the reference's linear pipeline (which has no
+  * relational surface at all — SURVEY.md §2.2) with the query shapes a
+  * training-data curation stack runs against the same corpus: correlated
+  * filters, vocabulary statistics, co-occurrence mining, time-series
+  * resampling with forward fill, per-document diversity scoring, fixed-bin
+  * histograms, kNN label voting, and event-sequence transition counts.
+  *
+  * Every query keeps the determinism contract of the oracle gate: integer
+  * or DECIMAL-rational comparisons wherever engines could disagree on
+  * float associativity, a single final double division at most, and a
+  * trailing ORDER BY on the output.
+  */
+object GroupE {
+
+  /** Lower-cased whitespace tokens, empties dropped — the corpus token
+    * stream every text query shares (DuckDB twin:
+    * `list_filter(string_split(lower(text), ' '), x -> x <> '')`). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), " "), t => t =!= "")
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  val all: Seq[Q] = Seq(
+
+    // Correlated-subquery shape: orders strictly above their customer's
+    // average order value. The correlation compiles to ONE hash aggregate
+    // on o_custkey re-joined to the fact — no per-row subquery execution.
+    // The "above average" compare is rational (price·cnt > Σprice in
+    // DECIMAL), so no engine ever divides: avg as a double would make the
+    // boundary rows engine-dependent. Scale: agg + shuffle join on the
+    // same key; AQE broadcasts the per-customer side when small.
+    Q("q_correlated_avg",
+      """WITH s AS (
+        |  SELECT o_custkey AS ck,
+        |         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS st,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN s ON o_custkey = ck
+        |WHERE CAST(o_totalprice AS DECIMAL(25,6)) * cnt > st
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      val s = o.groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(25, 6))).as("st"),
+          count(lit(1)).as("cnt"))
+      o.join(s, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice").cast(DecimalType(25, 6)) * col("cnt") >
+          col("st"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Vocabulary growth per language: corpus-level type/token counts and
+    // the type-token ratio. The TTR division is the only float op — two
+    // exact BIGINTs divided once in IEEE double, bit-identical on any
+    // engine. Word-count plan shape: explode + two hash aggregates.
+    Q("q_vocab_growth",
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($toksSql) AS t FROM documents)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS total_tokens,
+         |       CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens,
+         |       round(CAST(count(DISTINCT t) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 9) AS ttr
+         |FROM tok GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("t"))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("total_tokens"),
+          big(countDistinct(col("t"))).as("distinct_tokens"),
+          round(countDistinct(col("t")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 9).as("ttr"))
+        .orderBy("lang")
+    },
+
+    // Skip-bigram co-occurrence mining (word2vec-window statistics): token
+    // pairs within distance ≤2, canonicalized (least, greatest), global
+    // top-20 by count. Pairs are generated MAP-SIDE by zipping the token
+    // array against its own 1- and 2-shifted tails — never a positional
+    // self-join, which would be quadratic per document. One shuffle (the
+    // count agg), then a global top-k.
+    Q("q_cooccur",
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+         |p AS (
+         |  SELECT least(tk[i], tk[i + d]) AS a, greatest(tk[i], tk[i + d]) AS b
+         |  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i), (VALUES (1), (2)) v(d)
+         |  WHERE i + d <= len(tk))
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY a, b
+         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin) { (spark, dir) =>
+      val tk = toks(col("text"))
+      def shifted(d: Int): Column = {
+        val n = greatest(size(tk) - d, lit(0))
+        zip_with(slice(tk, lit(1), n), slice(tk, lit(1 + d), n),
+          (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))
+      }
+      tbl(spark, dir, "documents")
+        .select(explode(concat(shifted(1), shifted(2))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .groupBy("a", "b")
+        .agg(big(count(lit(1))).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
+    // Time-series resampling: per-user hourly grid over each user's
+    // observed span, hourly exact sums forward-filled across gap hours
+    // (the log → features step of any temporal pipeline). The grid is
+    // generated per user (sequence + explode — no driver loop, no global
+    // calendar join), and the fill is one pk-partitioned window. The
+    // hourly value is a DECIMAL-exact sum, and the fill copies it
+    // verbatim, so no float arithmetic crosses rows.
+    Q("q_resample_ffill",
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, value FROM events),
+        |hourly AS (
+        |  SELECT user_id, h,
+        |         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS hv
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span)
+        |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       last_value(hv IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY user_id, hour""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val hourly = ev.groupBy("user_id", "h").agg(dsum(col("value")).as("hv"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), tstr(col("h")).as("hour"),
+          last(col("hv"), ignoreNulls = true).over(w).as("value_ffill"))
+        .orderBy("user_id", "hour")
+    },
+
+    // Per-document character diversity (Simpson index): 1 − Σc² / n² over
+    // character frequencies — the float-free cousin of character entropy
+    // used to drop mojibake/boilerplate docs (all-integer numerator and
+    // denominator, one final double division). Word-count shape on the
+    // character stream: explode + two hash aggs, linear in corpus bytes.
+    Q("q_char_diversity",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |  WHERE len(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(k) * sum(k) - sum(k * k) AS DOUBLE) /
+        |             CAST(sum(k) * sum(k) AS DOUBLE), 9) AS diversity
+        |FROM cc GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "") // Java regex split keeps a trailing empty
+        .groupBy("doc_id", "c")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(big(sum(col("k"))).as("n_chars"),
+          round((sum(col("k")) * sum(col("k")) -
+            sum(col("k") * col("k"))).cast(DoubleType) /
+            (sum(col("k")) * sum(col("k"))).cast(DoubleType), 9)
+            .as("diversity"))
+        .orderBy("doc_id")
+    },
+
+    // Fixed-bin histogram of order values: 12 × 50k bins, top bin open.
+    // The bin id is floor of one double division of exact inputs —
+    // deterministic — and the per-bin total is DECIMAL-exact. Single
+    // hash-agg scan; the classic distribution-profiling primitive.
+    Q("q_histogram",
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1
+        |ORDER BY bin""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(11))
+          .cast(LongType).as("bin"))
+        .agg(big(count(lit(1))).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bin")
+    },
+
+    // kNN label voting: classify the 10 held-out query vectors by majority
+    // label of their 5 exact-cosine nearest neighbors (tie → smaller
+    // label). Same broadcast-queries/stream-candidates plan as
+    // q_cosine_topk — the vote adds one tiny aggregation over 50 rows.
+    Q("q_knn_vote",
+      """WITH norms AS (
+        |  SELECT vec_id, embedding, label,
+        |         sqrt(CAST(list_sum(list_transform(embedding,
+        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
+        |              AS DOUBLE)) AS n
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |         CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |              i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+        |                        AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n) AS cos
+        |  FROM norms q JOIN norms c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |topk AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT query_id, label,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY round(cos, 6) DESC, neighbor_id) AS rn
+        |    FROM pairs) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS v FROM topk GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, CAST(v AS BIGINT) AS votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY v DESC, label) AS vr FROM votes)
+        |WHERE vr = 1
+        |ORDER BY query_id""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          VectorOps.l2normExact(col("embedding")).as("n"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("n").as("qn"))
+      val cands = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("n").as("cn"), col("label"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val wVote = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))
+      broadcast(queries)
+        .join(cands, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(
+          VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .groupBy("query_id", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), big(col("label")).as("pred_label"),
+          big(col("votes")).as("votes"))
+        .orderBy("query_id")
+    },
+
+    // Event-sequence transition matrix (Markov bigram counts): per-user
+    // consecutive event-type transitions ordered by (ts, event_id). One
+    // pk-partitioned window (lag) + one hash agg — the session-mining
+    // primitive behind next-action models.
+    Q("q_seq_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY prev_type, next_type""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(big(count(lit(1))).as("cnt"))
+        .orderBy("prev_type", "next_type")
+    }
+  )
+}

@@ -18,7 +18,8 @@ class PlanGuardSpec extends SparkSpec {
     * q_snapshot_at / q_merge_upsert cross-join a ONE-ROW max-LSN cut the
     * same way. */
   private val nonEquiAllowed =
-    Set("q_cosine_topk", "q_bm25", "q_maxsim", "q_snapshot_at", "q_merge_upsert")
+    Set("q_cosine_topk", "q_knn_vote", "q_bm25", "q_maxsim", "q_snapshot_at",
+      "q_merge_upsert")
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
