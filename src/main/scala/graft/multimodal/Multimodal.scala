@@ -79,11 +79,14 @@ final class StubDecoder private () extends Serializable {
       feats(k) = ((g >>> 40).toInt / 8388608.0f) - 1.0f
       k += 1
     }
+    // Unsigned bit-slices of the hash (logical shifts, nonneg remainders):
+    // each derived field is reproducible in any engine with 128-bit
+    // integer arithmetic on the wrapped unsigned hash value.
     MediaFeatures(
       r.doc_id, r.modality, r.n_bytes,
-      width = 64 + (math.floorMod(h, 16L) * 32).toInt,
-      height = 64 + (math.floorMod(h >> 8, 9L) * 32).toInt,
-      n_frames = if (r.modality == "video") 1 + math.floorMod(h >> 16, 240L).toInt else 1,
+      width = 64 + ((h & 15L) * 32).toInt,
+      height = 64 + (((h >>> 8) % 9L) * 32).toInt,
+      n_frames = if (r.modality == "video") 1 + ((h >>> 16) % 240L).toInt else 1,
       checksum = h,
       features = feats)
   }

@@ -582,6 +582,73 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Full multimodal prep plan, ORACLE-CHECKED end to end: decode
+    // metadata (per-partition stub decoder — FNV-derived dims/frames from
+    // the payload bytes), aspect-preserving resize into a 224-box (pure
+    // integer floor arithmetic), and a deterministic frame-sampling
+    // schedule (stride = ⌈frames/8⌉, indices via `sequence`). The oracle
+    // recomputes the decoder's hash with a linear `list_reduce` FNV fold
+    // in HUGEINT — proving the mapPartitions decode path is reproducible,
+    // not just non-empty. All outputs are integers; nothing floats.
+    Q("q_media_meta",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |         length(text) AS n_bytes,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |             list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |               c -> CAST(ascii(c) AS HUGEINT))),
+        |           (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                       % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, modality, n_bytes,
+        |         64 + CAST(h % 16 AS BIGINT) * 32 AS width,
+        |         64 + CAST((h // 256) % 9 AS BIGINT) * 32 AS height,
+        |         CASE WHEN modality = 'video'
+        |              THEN 1 + CAST((h // 65536) % 240 AS BIGINT)
+        |              ELSE 1 END AS n_frames,
+        |         CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                   THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                   ELSE h END AS BIGINT) AS checksum
+        |  FROM f),
+        |r AS (
+        |  SELECT *,
+        |         CASE WHEN width >= height THEN 224
+        |              ELSE (width * 224) // height END AS target_w,
+        |         CASE WHEN width >= height THEN (height * 224) // width
+        |              ELSE 224 END AS target_h,
+        |         (n_frames + 7) // 8 AS stride
+        |  FROM m)
+        |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |       CAST(n_frames AS BIGINT) AS n_frames, checksum,
+        |       CAST(target_w AS BIGINT) AS target_w,
+        |       CAST(target_h AS BIGINT) AS target_h,
+        |       CAST(stride AS BIGINT) AS stride,
+        |       CAST((n_frames + stride - 1) // stride AS BIGINT) AS n_sampled
+        |FROM r
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
+        .toDF()
+      feats
+        .withColumn("target_w",
+          when(col("width") >= col("height"), lit(224L))
+            .otherwise(expr("(width * 224L) div height")))
+        .withColumn("target_h",
+          when(col("width") >= col("height"), expr("(height * 224L) div width"))
+            .otherwise(lit(224L)))
+        .withColumn("stride", expr("(n_frames + 7L) div 8"))
+        .withColumn("n_sampled",
+          big(size(sequence(lit(0L), col("n_frames") - 1L, col("stride")))))
+        .select(col("doc_id"), col("modality"), big(col("n_bytes")).as("n_bytes"),
+          big(col("width")).as("width"), big(col("height")).as("height"),
+          big(col("n_frames")).as("n_frames"), col("checksum"),
+          col("target_w"), col("target_h"), col("stride"), col("n_sampled"))
+        .orderBy("doc_id")
+    },
+
     // Token-window chunking (50-token windows, stride 40): the
     // context-window preparation step of a training pipeline, as a pure
     // explode — one row in, ⌈(n-50)/40⌉+1 rows out, no shuffle.
