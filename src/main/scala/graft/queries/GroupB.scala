@@ -349,6 +349,34 @@ object GroupB {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Distribution window functions: percent_rank / cume_dist / nth_value
+    // within each customer's orders. The tiebreak on o_orderkey makes every
+    // peer group a single row, so both ratios reduce to one IEEE division
+    // of exact integers (bit-identical on any engine — no rounding needed).
+    // nth_value reads the absolute 2nd row, hence the explicit full frame
+    // (the default frame stops at CURRENT ROW).
+    Q("q_window_dist",
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(o_orderkey, 2) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS second_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tbl(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Global top-k: TakeOrderedAndProject — per-partition top-k then a
     // single-reducer merge of k·partitions rows, never a full sort at scale.
     Q("q_topk",
