@@ -263,6 +263,63 @@ object GroupE {
         .orderBy("query_id")
     },
 
+    // The SQL-first user surface, driver-checked end to end: a session
+    // registered with the engine's native expressions
+    // (SparkSessionExtensions / GraftExtensions) answers plain SQL over a
+    // view, here using the codegen'd fnv1a64 Catalyst expression. The
+    // oracle refolds the same hash with a linear list_reduce in HUGEINT —
+    // so the native expression's bytes-level semantics, not just its
+    // plumbing, are pinned by the gate.
+    Q("q_sql_api",
+      """SELECT doc_id, lang,
+        |       CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE h END AS BIGINT) AS text_hash
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |             list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |               c -> CAST(ascii(c) AS HUGEINT))),
+        |           (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                       % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      graft.GraftExtensions.register(spark)
+      tbl(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+      spark.sql(
+        """SELECT doc_id, lang, fnv1a64(text) AS text_hash
+          |FROM graft_documents ORDER BY doc_id""".stripMargin)
+    },
+
+    // Manual skew-join: when BOTH join sides are too large to broadcast
+    // and one key is hot, replicate the dimension side `R` times and
+    // scatter the fact side across the replicas with a deterministic salt
+    // — every task sees ≤ 1/R of the hot key. Result-identical to the
+    // plain join (the oracle IS the plain join); AQE's runtime skew
+    // handling covers sort-merge cases, this is the static-plan variant
+    // for aggregation-sized dimensions.
+    Q("q_join_salted",
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, CAST(d.type_total AS BIGINT) AS type_total
+        |FROM events e JOIN dim d USING (event_type)
+        |WHERE e.event_id % 1000 = 0
+        |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+      val R = 8
+      val ev = events(spark, dir)
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+        .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+      val fact = ev.filter(col("event_id") % 1000 === 0)
+        // salt from the surviving key bits (the ids are multiples of 1000,
+        // so `pmod(event_id, R)` would collapse every row onto salt 0)
+        .withColumn("salt", pmod(expr("event_id div 1000"), lit(R)).cast("int"))
+      fact.join(dim, Seq("event_type", "salt"))
+        .select(col("event_id"), col("event_type"),
+          big(col("type_total")).as("type_total"))
+        .orderBy("event_id")
+    },
+
     // Event-sequence transition matrix (Markov bigram counts): per-user
     // consecutive event-type transitions ordered by (ts, event_id). One
     // pk-partitioned window (lag) + one hash agg — the session-mining
