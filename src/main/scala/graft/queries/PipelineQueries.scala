@@ -899,6 +899,60 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), big(col("label")).as("component"),
           col("n_reachable"))
         .orderBy("doc_id")
+    },
+
+    // Dataset card: the per-source curation profile a data team publishes
+    // with a release — doc/token/language counts plus near-duplicate
+    // exposure, joining the corpus scan with the SHARED verified ≥0.95
+    // pair artifact (computed once per session, reused by q_ngram_jaccard
+    // / q_dup_components / q_incremental_dedup — a real pipeline derives
+    // every report from the same indexed artifact, not a re-scan).
+    // Dup membership is a semi-join flag; the only float op is the final
+    // dup fraction (one IEEE division of exact counts).
+    Q("q_dataset_card",
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tset AS (
+        |  SELECT doc_id, lang, list_distinct(t) AS s FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM tset a JOIN tset b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |dup AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT a_id AS doc_id FROM pairs
+        |    UNION ALL SELECT b_id FROM pairs))
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(d.doc_id) AS BIGINT) AS dup_docs,
+        |       round(CAST(count(d.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |         AS dup_frac
+        |FROM toks LEFT JOIN dup d USING (doc_id)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val pairs = jaccardPairs(spark, dir)
+      val dup = pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          big(size(DedupOps.tokens(lower(col("text"))))).as("n_toks"))
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(sum(col("n_toks"))).as("total_tokens"),
+          big(countDistinct(col("lang"))).as("n_langs"),
+          big(count(col("is_dup"))).as("dup_docs"),
+          round(count(col("is_dup")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 9).as("dup_frac"))
+        .orderBy("source")
     }
   )
 }
