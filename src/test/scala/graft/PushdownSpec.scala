@@ -58,6 +58,22 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("round-4 event/order analytics scan only what they aggregate") {
+    // q_seq_transitions needs (user_id, event_type, ts, event_id);
+    // q_resample_ffill (user_id, ts, value); q_join_salted (event_id,
+    // event_type) — props (the widest column, JSON) must never be read
+    for (name <- Seq("q_seq_transitions", "q_resample_ffill", "q_join_salted")) {
+      val wide = scans(name).filter(_.requiredSchema.fieldNames.contains("props"))
+      assert(wide.isEmpty, s"$name reads the props column — pruning lost")
+    }
+    // q_histogram and q_correlated_avg aggregate 1 and 3 orders columns
+    for (name <- Seq("q_histogram", "q_correlated_avg")) {
+      val wide = scans(name).filter(_.requiredSchema.size > 3)
+      assert(wide.isEmpty,
+        s"$name scans ${wide.map(_.requiredSchema.size)} columns — pruning lost")
+    }
+  }
+
   test("documents-table operators never read text when they only need ids") {
     // q_sample_stratified uses doc_id + lang only; dragging the text
     // column through the sample window would dominate its scan cost
