@@ -320,6 +320,114 @@ object GroupE {
         .orderBy("event_id")
     },
 
+    // Burst detection over the event stream: a minute is a burst when its
+    // count exceeds 3× the trailing-10-minute per-minute average —
+    // compared as integers (10·c > 3·trailing), no float thresholds. One
+    // per-minute hash agg, then ONE type-partitioned RANGE window over an
+    // integer minute index; scales with distinct (type, minute), not rows.
+    Q("q_burst_detect",
+      """WITH m AS (
+        |  SELECT event_type, CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT) AS mi,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, mi, c,
+        |         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY mi
+        |                               RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING),
+        |                  0) AS trail_sum
+        |  FROM m)
+        |SELECT event_type, mi, CAST(c AS BIGINT) AS c,
+        |       CAST(trail_sum AS BIGINT) AS trail_sum,
+        |       CAST(CASE WHEN trail_sum > 0 AND c * 10 > trail_sum * 3
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+        |FROM w
+        |ORDER BY event_type, mi""".stripMargin) { (spark, dir) =>
+      val m = events(spark, dir)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("minute", col("ts"))) / 60)
+            .cast(LongType).as("mi"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("mi")
+        .rangeBetween(-10, -1)
+      m.withColumn("trail_sum", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("event_type"), col("mi"), big(col("c")).as("c"),
+          big(col("trail_sum")).as("trail_sum"),
+          when(col("trail_sum") > 0 && col("c") * 10 > col("trail_sum") * 3, 1L)
+            .otherwise(0L).as("is_burst"))
+        .orderBy("event_type", "mi")
+    },
+
+    // Rare-token density (novelty) scoring — the inverse-document-frequency
+    // quality signal in PURE INTEGERS: rarity(t) = ⌊N·10⁶ / df(t)⌋, and a
+    // document's novelty is the floor-mean of its distinct tokens' rarities.
+    // Both engines floor-divide positive integers, so every value is exact.
+    // Word-count shapes only: explode + two hash aggs + one broadcast-sized
+    // join of per-token df back to the token stream.
+    Q("q_idf_novelty",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents),
+         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+         |df AS (SELECT t, count(*) AS df FROM tok GROUP BY t)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       CAST(sum((SELECT nd FROM n) * 1000000 // df.df) // count(*) AS BIGINT)
+         |         AS novelty
+         |FROM tok JOIN df USING (t)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val tok = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("t"))
+      val nd = tok.agg(countDistinct(col("doc_id")).as("nd"))
+      val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      tok.join(df, "t")
+        .crossJoin(broadcast(nd))
+        .groupBy("doc_id")
+        .agg(big(count(lit(1))).as("n_distinct"),
+          big(expr("sum(nd * 1000000L div df) div count(1)")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram language model (top next-token per token): directed bigram
+    // counts generated map-side by the shifted-zip trick, one hash agg for
+    // pair counts, re-aggregated per-prev totals (never a second corpus
+    // pass), and a per-prev argmax window (count DESC, token ASC). The
+    // conditional probability is one IEEE division of exact counts.
+    Q("q_ngram_lm",
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT tk[i] AS prev, tk[i + 1] AS next
+         |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         |pc AS (SELECT prev, next, count(*) AS c FROM bg GROUP BY 1, 2),
+         |tot AS (SELECT prev, sum(c) AS total FROM pc GROUP BY 1),
+         |ranked AS (
+         |  SELECT pc.prev, pc.next, pc.c, tot.total,
+         |         row_number() OVER (PARTITION BY pc.prev
+         |                            ORDER BY pc.c DESC, pc.next) AS rn
+         |  FROM pc JOIN tot USING (prev))
+         |SELECT prev, next, CAST(c AS BIGINT) AS c, CAST(total AS BIGINT) AS total,
+         |       round(CAST(c AS DOUBLE) / CAST(total AS DOUBLE), 9) AS prob
+         |FROM ranked WHERE rn = 1 AND total >= 50
+         |ORDER BY prev""".stripMargin) { (spark, dir) =>
+      val tk = toks(col("text"))
+      val n1 = greatest(size(tk) - 1, lit(0))
+      val bg = tbl(spark, dir, "documents")
+        .select(explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+          (x, y) => struct(x.as("prev"), y.as("next")))).as("b"))
+        .select(col("b.prev").as("prev"), col("b.next").as("next"))
+      val pc = bg.groupBy("prev", "next").agg(count(lit(1)).as("c"))
+      val tot = pc.groupBy("prev").agg(sum(col("c")).as("total"))
+      val w = Window.partitionBy("prev").orderBy(col("c").desc, col("next"))
+      pc.join(tot, "prev")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("total") >= 50)
+        .select(col("prev"), col("next"), big(col("c")).as("c"),
+          big(col("total")).as("total"),
+          round(col("c").cast(DoubleType) / col("total").cast(DoubleType), 9)
+            .as("prob"))
+        .orderBy("prev")
+    },
+
     // Event-sequence transition matrix (Markov bigram counts): per-user
     // consecutive event-type transitions ordered by (ts, event_id). One
     // pk-partitioned window (lag) + one hash agg — the session-mining

@@ -901,6 +901,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Degree distribution of the near-dup graph — the shape report that
+    // tells a curation team whether duplication is pairwise (degree 1) or
+    // templated boilerplate (hub degrees). Reuses the shared verified pair
+    // artifact; two tiny hash aggs over the edge list.
+    Q("q_degree_dist",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT a_id AS doc_id FROM pairs
+        |    UNION ALL SELECT b_id FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT CAST(degree AS BIGINT) AS degree,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY degree
+        |ORDER BY degree""".stripMargin) { (spark, dir) =>
+      val pairs = jaccardPairs(spark, dir)
+      pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(big(count(lit(1))).as("n_docs"))
+        .select(big(col("degree")).as("degree"), col("n_docs"))
+        .orderBy("degree")
+    },
+
     // Dataset card: the per-source curation profile a data team publishes
     // with a release — doc/token/language counts plus near-duplicate
     // exposure, joining the corpus scan with the SHARED verified ≥0.95
