@@ -71,7 +71,10 @@ final class PgOutputReplayTable(options: CaseInsensitiveStringMap)
           Option(opts.get("path")).getOrElse(
             throw new IllegalArgumentException("graft-pgoutput requires 'path'")),
           opts.getLong("start_lsn", 0L),
-          opts.getInt("max_files_per_trigger", 16))
+          opts.getInt("max_files_per_trigger", 16),
+          // "json" envelope lines (default) or "pgoutput" binary frames —
+          // the latter decodes the real replication wire format
+          opts.getOrDefault("wire_format", "json"))
     }
 }
 
@@ -82,7 +85,8 @@ final case class SegmentOffset(segments: Int) extends Offset {
 }
 
 final class PgOutputReplayStream(dir: String, startLsn: Long,
-                                 maxFilesPerTrigger: Int)
+                                 maxFilesPerTrigger: Int,
+                                 wireFormat: String = "json")
   extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Segments in consumption order; grows monotonically as the directory
@@ -157,7 +161,7 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
     val until = end.asInstanceOf[SegmentOffset].segments
     if (until > seen.size) refresh()
     seen.slice(from, until).toArray
-      .map(f => EnvelopeSegment(f, startLsn): InputPartition)
+      .map(f => EnvelopeSegment(f, startLsn, wireFormat): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -176,16 +180,69 @@ object PgOutputReplayStream {
   }
 }
 
-final case class EnvelopeSegment(path: String, startLsn: Long)
+final case class EnvelopeSegment(path: String, startLsn: Long,
+                                 wireFormat: String = "json")
   extends InputPartition
 
 final case class EnvelopeReaderFactory(hadoopConfEntries: Array[(String, String)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val seg = partition.asInstanceOf[EnvelopeSegment]
-    new EnvelopeSegmentReader(seg.path, seg.startLsn,
-      PgOutputReplayStream.buildConf(hadoopConfEntries))
+    val conf = PgOutputReplayStream.buildConf(hadoopConfEntries)
+    if (seg.wireFormat == "pgoutput")
+      new BinarySegmentReader(seg.path, seg.startLsn, conf)
+    else
+      new EnvelopeSegmentReader(seg.path, seg.startLsn, conf)
   }
+}
+
+/** Decodes one BINARY pgoutput segment ([[PgOutputWire]] framing) into
+  * [[Types.rowChangeSchema]] rows, applying the same `start_lsn` resume
+  * filter as the JSON path. Commit-time emission happens inside the wire
+  * decoder, so only committed changes ever reach Spark. */
+final class BinarySegmentReader(path: String, startLsn: Long,
+                                conf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val changes: Iterator[PgOutputWire.Change] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    PgOutputWire.decodeSegment(bytes).iterator.filter(_.lsn > startLsn)
+  }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (changes.hasNext) { row = toRow(changes.next()); true } else false
+
+  private def utf8Map(m: Option[Map[String, String]]): ArrayBasedMapData =
+    m.map { kv =>
+      val keys = kv.keys.toArray[Any].map(k => UTF8String.fromString(k.asInstanceOf[String]))
+      val vals = kv.values.toArray.map(v =>
+        if (v == null) null else UTF8String.fromString(v))
+      new ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray[Any]),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray[Any]))
+    }.orNull
+
+  private def toRow(c: PgOutputWire.Change): InternalRow =
+    InternalRow(
+      UTF8String.fromString(c.op), UTF8String.fromString(c.schema),
+      UTF8String.fromString(c.table), UTF8String.fromString(c.primaryKey),
+      utf8Map(c.before), utf8Map(c.after),
+      UTF8String.fromString(c.lsn.toString))
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = ()
 }
 
 /** Decodes one envelope segment: JSON lines → [[Types.rowChangeSchema]]
