@@ -132,10 +132,10 @@ object PgOutputWire {
   }
 
   private def cstring(b: ByteBuffer): String = {
-    val sb = new java.lang.StringBuilder
+    val bytes = mutable.ArrayBuffer[Byte]()
     var c = b.get()
-    while (c != 0) { sb.append(c.toChar); c = b.get() }
-    sb.toString
+    while (c != 0) { bytes += c; c = b.get() }
+    new String(bytes.toArray, StandardCharsets.UTF_8)
   }
 
   /** TupleData → name→value map. Absent values are genuine nulls in the
@@ -184,11 +184,13 @@ object PgOutputWire {
   def relation(relId: Int, namespace: String, name: String,
                cols: Seq[String]): Array[Byte] = {
     val colBytes = cols.map(_.getBytes(StandardCharsets.UTF_8))
-    val b = alloc(1 + 4 + namespace.length + 1 + name.length + 1 + 1 + 2 +
+    val nsB = namespace.getBytes(StandardCharsets.UTF_8)
+    val nameB = name.getBytes(StandardCharsets.UTF_8)
+    val b = alloc(1 + 4 + nsB.length + 1 + nameB.length + 1 + 1 + 2 +
       colBytes.map(_.length + 1 + 1 + 8).sum)
     b.put('R'.toByte).putInt(relId)
-    b.put(namespace.getBytes(StandardCharsets.UTF_8)).put(0.toByte)
-    b.put(name.getBytes(StandardCharsets.UTF_8)).put(0.toByte)
+    b.put(nsB).put(0.toByte)
+    b.put(nameB).put(0.toByte)
     b.put('d'.toByte) // replica identity default
     b.putShort(cols.size.toShort)
     colBytes.foreach { c =>

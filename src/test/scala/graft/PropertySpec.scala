@@ -49,6 +49,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: pgoutput wire encode→decode round-trips arbitrary tuples") {
+    import graft.sources.PgOutputWire
+    import graft.sources.PgOutputWire._
+    // values exercise empty strings, multi-byte UTF-8, and NULLs; the id
+    // column stays non-null text so the pk contract is well-defined
+    val value = Gen.oneOf(
+      Gen.const(Option.empty[String]),
+      Gen.const(Option("")),
+      Gen.alphaNumStr.map(s => Option(s.take(12))),
+      Gen.const(Option("héllo wörld — ünïcode")))
+    val rowGen = Gen.zip(Gen.chooseNum(1, 999999), value, value)
+    val rows = samples(rowGen, 120)
+    val REL = 77
+    val cols = Seq("id", "title", "content")
+    val msgs = Seq(1L -> begin(500L, 1), 2L -> relation(REL, "public", "documents", cols)) ++
+      rows.zipWithIndex.map { case ((id, t, c), i) =>
+        (i + 3).toLong -> insert(REL, tupleData(Seq(Some(id.toString), t, c)))
+      } :+ ((rows.size + 3).toLong -> commit(500L))
+    val out = PgOutputWire.decodeSegment(frame(msgs))
+    assert(out.size == rows.size)
+    out.zip(rows).foreach { case (ch, (id, t, c)) =>
+      assert(ch.op == "c" && ch.lsn == 500L && ch.primaryKey == id.toString)
+      assert(ch.after.get("id") == id.toString)
+      assert(ch.after.get("title") == t.orNull,
+        s"title ${ch.after.get("title")} != ${t.orNull}")
+      assert(ch.after.get("content") == c.orNull)
+    }
+  }
+
   test("MeanVector aggregator: correct mean, stable under repartitioning") {
     val vecs = samples(Gen.listOfN(4, Gen.chooseNum(-10.0f, 10.0f)), 100)
       .map(_.toArray)
