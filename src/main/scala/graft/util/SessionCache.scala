@@ -33,7 +33,16 @@ object SessionCache {
     def get: DataFrame = synchronized {
       if (dead) build() // invalidated mid-race: correct result, never cached
       else {
-        if (df == null) df = build().persist()
+        if (df == null) {
+          df = build().persist()
+          // EAGER materialization: a bare persist() is lazy, and a consumer
+          // whose first action reads the cached subtree through a broadcast
+          // build can compute it without storing the buffers — every later
+          // consumer then silently recomputes the whole artifact. One
+          // count() on the cached frame itself stores all partitions before
+          // any consumer plan runs.
+          df.count()
+        }
         df
       }
     }
