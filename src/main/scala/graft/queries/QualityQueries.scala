@@ -227,32 +227,43 @@ object QualityQueries {
         |WHERE s.c * 10 >= za.n * 6
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
       val t = docToks(spark, dir)
+      // candidate plumbing runs on xxhash64 LONGS of the shingles, never
+      // the ~30-byte strings: df counting, the canonical sort key, and the
+      // prefix probe join all only need a consistent identity, and a hash
+      // collision merely adds a candidate that exact STRING verification
+      // rejects. Losslessness of prefix filtering needs only a globally
+      // consistent total order — (df, gh) with gh unique-per-string-modulo-
+      // collision keeps it one, and a shared shingle always shares gh, so
+      // a true pair still hits the probe.
       val sh = t.filter(size(col("t")) >= 5)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("t")) - 4),
           i => array_join(slice(col("t"), i, lit(5)), " "))).as("g"))
         .distinct()
+        .withColumn("gh", xxhash64(col("g")))
         .localCheckpoint(true) // feeds df, the set build, AND the probe side
       // ONE materialization serves prefix generation, the probe side, and
       // verification: per-doc shingle arrays in canonical order (rarity
-      // first — df asc, g as tiebreak), built by a hash agg + in-array
+      // first — df asc, gh as tiebreak), built by a hash agg + in-array
       // sort, no window functions over the exploded stream. The struct
       // sort keys on df first, so slice(…, prefix) is exactly the rare
-      // prefix; dropping df afterwards leaves the verification set.
-      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-      val sets = sh.join(df, "g")
+      // prefix; the string field rides along for exact verification.
+      val df = sh.groupBy("gh").agg(count(lit(1)).as("df"))
+      val sets = sh.join(df, "gh")
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sgs"))
+        .agg(sort_array(collect_list(struct(col("df"), col("gh"), col("g"))))
+          .as("sgs"))
         .select(col("doc_id"),
           transform(col("sgs"), s => s.getField("g")).as("gs"),
+          transform(col("sgs"), s => s.getField("gh")).as("ghs"),
           size(col("sgs")).as("n"))
         .localCheckpoint(true) // three consumers, one computation
       // prefix length |A| − ⌈3|A|/5⌉ + 1, all-integer arithmetic
       val prefLen = col("n") - expr("(n * 3 + 4) DIV 5") + 1
       val aPrefix = sets.select(col("doc_id").as("a_id"),
-        explode(slice(col("gs"), lit(1), prefLen)).as("g"))
+        explode(slice(col("ghs"), lit(1), prefLen)).as("gh"))
       val cands = aPrefix
-        .join(sh.select(col("doc_id").as("b_id"), col("g")), "g")
+        .join(sh.select(col("doc_id").as("b_id"), col("gh")), "gh")
         .filter(col("a_id") =!= col("b_id"))
         .select("a_id", "b_id").distinct()
       cands
