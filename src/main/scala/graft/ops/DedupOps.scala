@@ -67,6 +67,11 @@ object DedupOps {
     * the built-in-HOF formulation as its executable specification. */
   def simhash(toks: Column): Column = graft.ops.expr.SimHash64.column(toks)
 
+  /** [[simhash]] with FNV-1a 64 token hashing ([[graft.ops.expr.SimHashFnv64]])
+    * — the cross-engine-checkable variant (FNV is a linear byte fold an
+    * external SQL engine can replay; xxhash64 is not). */
+  def simhashFnv(toks: Column): Column = graft.ops.expr.SimHash64.fnvColumn(toks)
+
   /** The HOF reference formulation of [[simhash]] (aggregate/zip_with over
     * a constant mask array): same arithmetic, built from built-ins only.
     * Kept as the equivalence oracle for the native expression — and as the

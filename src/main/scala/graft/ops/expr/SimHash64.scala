@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array, as one native codegen'd kernel.
   *
@@ -44,6 +45,39 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** [[SimHash64]] with FNV-1a 64 as the per-token hash instead of xxhash64.
+  *
+  * Same ±1 bit-counting arithmetic; the token hash is [[Fnv1a64.hash]] (a
+  * null token contributes the FNV offset basis, i.e. the empty-string
+  * hash). FNV-1a is a linear byte fold an external SQL engine can replay
+  * (per-char HUGEINT arithmetic), which makes signatures — and therefore
+  * the whole near-dup pair set — cross-engine checkable, where xxhash64's
+  * block mixing is not practically re-expressible. Oracle-facing queries
+  * use this variant; [[SimHash64]] remains for xxhash64-keyed paths.
+  */
+case class SimHashFnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_fnv64 requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.hashFnv(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.SimHash64.hashFnv($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFnv64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_fnv64"
+}
+
 object SimHash64 {
   /** Spark's xxhash64 default seed (XxHash64 expression). */
   private final val Seed = 42L
@@ -62,13 +96,36 @@ object SimHash64 {
           val s = arr.getUTF8String(i)
           XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
         }
-      var k = 0
-      while (k < 64) {
-        counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
-        k += 1
-      }
+      accumulate(counts, h)
       i += 1
     }
+    fold(counts)
+  }
+
+  /** [[SimHashFnv64]]'s kernel: identical counting, FNV-1a token hash. */
+  def hashFnv(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) Fnv1a64.hash(UTF8String.fromString(""))
+        else Fnv1a64.hash(arr.getUTF8String(i))
+      accumulate(counts, h)
+      i += 1
+    }
+    fold(counts)
+  }
+
+  private def accumulate(counts: Array[Int], h: Long): Unit = {
+    var k = 0
+    while (k < 64) {
+      counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+      k += 1
+    }
+  }
+
+  private def fold(counts: Array[Int]): Long = {
     var out = 0L
     var k = 0
     while (k < 64) {
@@ -81,5 +138,10 @@ object SimHash64 {
   def column(c: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+  }
+
+  def fnvColumn(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SimHashFnv64(GraftBridge.expression(c)))
   }
 }

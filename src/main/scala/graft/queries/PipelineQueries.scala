@@ -240,24 +240,65 @@ object PipelineQueries {
 
     // SimHash near-dup: 64-bit signatures, pigeonhole 16-bit chunk blocking
     // (hamming ≤ 3 guarantees a shared chunk), verified by exact hamming.
-    Q.noOracle("q_dedup_simhash") { (spark, dir) =>
+    // 64-bit SimHash near-dup pairs, ORACLE-CHECKED end to end: signatures
+    // use the FNV-1a token-hash variant (a linear byte fold DuckDB replays
+    // per character in HUGEINT arithmetic; xxhash64's block mixing is not
+    // practically re-expressible), so the oracle recomputes every
+    // signature, every hamming distance, and the exact pair set its own
+    // all-pairs way. The Spark side never goes all-pairs: candidates come
+    // from 4×16-bit pigeonhole chunks — LOSSLESS at hamming ≤ 3 (3 flipped
+    // bits cannot touch all 4 chunks) — and the verified distance is one
+    // xor+popcount on the two longs riding the join. At larger corpora the
+    // 16-bit chunk space saturates (~birthday at 10⁵ docs per language);
+    // the scale move is wider chunks over multiple index tables (the
+    // standard multi-index hamming scheme), same join shape.
+    Q("q_dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(t, tok ->
+        |        list_reduce(
+        |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |            list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+        |              c -> CAST(ascii(c) AS HUGEINT))),
+        |          (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                      % CAST(18446744073709551616 AS HUGEINT))),
+        |      h -> CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                ELSE h END AS BIGINT)) AS hs
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> CAST(k AS BIGINT)) & 1) = 1))
+        |                >= len(hs)
+        |           THEN 1 ELSE 0 END) AS b
+        |  FROM th)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_filter(range(0, 64), k -> a.b[k+1] <> b.b[k+1])) AS BIGINT)
+        |         AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(0, 64), k -> a.b[k+1] <> b.b[k+1])) <= 3
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
       val sims = tbl(spark, dir, "documents")
-        .select(col("doc_id"),
-          DedupOps.simhash(DedupOps.tokens(col("text"))).as("sim"))
-      // star-edge candidates per chunk bucket (see q_dedup_minhash):
-      // members verify against the bucket's min-id representative, with
-      // signatures riding the join inline (8 bytes/row)
+        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), DedupOps.simhashFnv(col("toks")).as("sim"))
       val chunked = sims
         .withColumn("chunk", explode(DedupOps.simhashChunks(col("sim"))))
-        .select("doc_id", "sim", "chunk")
-      val reps = chunked.groupBy("chunk").agg(min(col("doc_id")).as("a_id"))
-      chunked
-        .join(reps, "chunk")
-        .filter(col("doc_id") =!= col("a_id"))
-        .join(sims.select(col("doc_id").as("a_id"), col("sim").as("rep_sim")), "a_id")
-        .select(col("a_id"), col("doc_id").as("b_id"),
-          big(DedupOps.hamming(col("rep_sim"), col("sim"))).as("hamming"))
-        .filter(col("hamming") <= 6)
+      def side(p: String) = chunked.select(col("doc_id").as(s"${p}_id"),
+        col("sim").as(s"${p}_sim"), col("chunk"))
+      side("a").join(side("b"), "chunk")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          big(DedupOps.hamming(col("a_sim"), col("b_sim"))).as("hamming"))
+        .filter(col("hamming") <= 3)
         .distinct()
         .orderBy("a_id", "b_id")
     },

@@ -135,6 +135,24 @@ class DedupSpec extends SparkSpec {
     assert(empty.getLong(0) == -1L && empty.getLong(1) == -1L)
   }
 
+  test("FNV-variant simhash: pinned values, single-token identity, empty array") {
+    // pinned against an independent implementation of FNV-1a + sign-count
+    // (the same arithmetic the DuckDB oracle replays in HUGEINT)
+    val r = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("the", "quick", "brown", "fox")))
+      .toDF("t").select(DedupOps.simhashFnv($"t").as("s")).collect().map(_.getLong(0))
+    assert(r(0) == -5808553574619021907L)
+    assert(r(1) == -2378295205536862754L)
+    // a single token's simhash IS its FNV hash (one +1/-1 vote per bit)
+    val single = Seq(Tuple1(Seq("hello"))).toDF("t")
+      .select(DedupOps.simhashFnv($"t").as("s"),
+        graft.ops.VectorOps.fnv1a64(lit("hello")).as("h")).head()
+    assert(single.getLong(0) == single.getLong(1))
+    assert(single.getLong(0) == -6615550055289275125L)
+    // empty array: all counters 0 → all bits set
+    assert(Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(DedupOps.simhashFnv($"t")).head().getLong(0) == -1L)
+  }
+
   test("native expressions register for SQL (simhash64/vec_dot/jaccard_sorted/minhash_sig)") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)
