@@ -31,14 +31,16 @@ final class DeterministicHashEmbedder(val dim: Int = 16) extends Embedder {
     if (text == null || text.isEmpty) return out
     var i = 0
     while (i < dim) {
-      // FNV-1a avalanches poorly in its high bits when inputs differ only
-      // in a trailing salt, so finish with a murmur3-style mixer before
-      // extracting the bucket value.
-      var h = Fnv1a64.hash(text + "#" + i)
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
-      // map to [-1, 1) with 2^20 distinct levels
+      // LEADING dimension salt: FNV-1a avalanches poorly when inputs
+      // differ only in trailing bytes, but a differing PREFIX cascades
+      // through every subsequent byte of the fold — so no post-mixer is
+      // needed, and the whole per-component chain stays one linear byte
+      // fold an external SQL engine can replay in 128-bit integer
+      // arithmetic (this is what makes q_embed_det oracle-checkable).
+      val h = Fnv1a64.hash("#" + i + "#" + text)
+      // map to [-1, 1) with 2^20 distinct levels; every value is the exact
+      // rational bucket/2^19 - 1 (representable in float), so downstream
+      // integer recovery of the bucket is lossless.
       out(i) = ((h >>> 44).toInt / 524288.0f) - 1.0f
       i += 1
     }

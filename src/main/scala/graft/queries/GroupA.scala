@@ -9,6 +9,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import Q.big
+
 /** Group A — batch replay of the reference's CDC → embedding → vector-store
   * dataflow (SURVEY.md §2.3). Every query runs over the wire-envelope
   * roundtrip ([[Changelog.changes]]) so the JSON decode path S2-S4 is always
@@ -240,15 +242,58 @@ object GroupA {
         .orderBy("lsn")
     },
 
-    // Deterministic test featurizer (E1 stand-in) — UDF, no oracle. The
-    // declared output projects the array<float> vectors to stable scalars
-    // (dimension, rounded L2 norms, an fnv1a64 digest of the rounded
-    // components) so the driver's rows-only pandas sort can handle every
-    // column; the raw arrays stay internal to the pipeline paths.
-    Q.noOracle("q_embed_det") { (spark, dir) =>
+    // Deterministic test featurizer (E1 stand-in), ORACLE-CHECKED end to
+    // end: each embedding component is the exact rational bucket/2^19 - 1
+    // with bucket = fnv1a64("#i#" + text) >> 44, so the oracle recomputes
+    // every component from scratch — the FNV fold runs per character in
+    // HUGEINT arithmetic, the bucket extraction is one integer division,
+    // and the declared outputs (an exact-decimal L2 norm and an fnv1a64
+    // digest of the comma-joined buckets) pin all 16 components of every
+    // row. The embedding itself stays a UDF (it models an external model
+    // server); only its verifiable projection reaches the driver.
+    Q("q_embed_det",
+      s"""${Changelog.cte},
+         |txt AS (
+         |  SELECT pk, lsn,
+         |         coalesce(array_to_string(list_filter([title, content],
+         |                  x -> x IS NOT NULL AND x <> ''), ' '), '') AS text
+         |  FROM changes
+         |  WHERE table_name = 'documents' AND op <> 'd' AND has_after),
+         |b AS (
+         |  SELECT pk, lsn,
+         |    list_transform(range(0, 16), i ->
+         |      CAST(list_reduce(
+         |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |          list_transform(
+         |            list_filter(string_split('#' || CAST(i AS VARCHAR) || '#' || text,
+         |                                     ''), c -> c <> ''),
+         |            c -> CAST(ascii(c) AS HUGEINT))),
+         |        (acc, x) -> (xor(acc, x) * 1099511628211)
+         |                    % CAST(18446744073709551616 AS HUGEINT))
+         |        // 17592186044416 AS BIGINT)) AS buckets
+         |  FROM txt WHERE length(text) > 0),
+         |d AS (
+         |  SELECT pk, lsn, buckets,
+         |    list_reduce(
+         |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |        list_transform(
+         |          list_filter(string_split(array_to_string(buckets, ','), ''),
+         |                      c -> c <> ''),
+         |          c -> CAST(ascii(c) AS HUGEINT))),
+         |      (acc, x) -> (xor(acc, x) * 1099511628211)
+         |                  % CAST(18446744073709551616 AS HUGEINT)) AS dg
+         |  FROM b)
+         |SELECT pk, lsn, CAST(16 AS BIGINT) AS dim,
+         |       round(sqrt(CAST(list_sum(list_transform(buckets, bk ->
+         |         CAST((CAST(bk AS DOUBLE)/524288.0 - 1.0)
+         |              * (CAST(bk AS DOUBLE)/524288.0 - 1.0) AS DECIMAL(30,15))))
+         |         AS DOUBLE)), 6) AS l2_norm,
+         |       CAST(CASE WHEN dg >= CAST(9223372036854775808 AS HUGEINT)
+         |                 THEN dg - CAST(18446744073709551616 AS HUGEINT)
+         |                 ELSE dg END AS BIGINT) AS embed_digest
+         |FROM d
+         |ORDER BY lsn""".stripMargin) { (spark, dir) =>
       val embed = Embedders.embedColumn(Embedders.deterministic)
-      def digest(c: Column): Column =
-        VectorOps.fnv1a64(to_json(transform(c, x => round(x.cast(DoubleType), 6))))
       mapped(Changelog.changes(spark, dir))
         .filter(col("op") =!= "d" && col("after").isNotNull)
         .select(col("primary_key").as("pk"), lsnLong,
@@ -257,13 +302,17 @@ object GroupA {
             element_at(col("after"), "content"))).as("text"))
         .filter(length(col("text")) > 0)
         .withColumn("embedding", embed(col("text")))
-        .withColumn("norm_embedding", VectorOps.l2normalize(col("embedding")))
+        // exact integer recovery: components are bucket/2^19 - 1 with the
+        // bucket integral, so (x+1)*2^19 is an exact integral double
+        .withColumn("buckets",
+          transform(col("embedding"),
+            x => ((x.cast(DoubleType) + 1.0d) * 524288.0d).cast("long")))
         .select(col("pk"), col("lsn"),
-          size(col("embedding")).as("dim"),
+          big(size(col("embedding"))).as("dim"),
           round(VectorOps.l2normExact(col("embedding")), 6).as("l2_norm"),
-          round(VectorOps.l2normExact(col("norm_embedding")), 6).as("unit_norm"),
-          digest(col("embedding")).as("embed_digest"),
-          digest(col("norm_embedding")).as("norm_digest"))
+          VectorOps.fnv1a64(
+            array_join(transform(col("buckets"), _.cast("string")), ","))
+            .as("embed_digest"))
         .orderBy("lsn")
     }
   )
