@@ -43,6 +43,13 @@ object DedupOps {
   def minhashSignature(toks: Column, numHashes: Int): Column =
     graft.ops.expr.MinHashSig.column(toks, numHashes)
 
+  /** [[minhashSignature]] with FNV-1a permutation hashes
+    * ([[graft.ops.expr.MinHashSigFnv]]) — the cross-engine-checkable
+    * variant: an external SQL engine replays `fnv1a64("#p#" + token)` per
+    * character and reproduces the signature exactly. */
+  def minhashSignatureFnv(toks: Column, numHashes: Int): Column =
+    graft.ops.expr.MinHashSig.fnvColumn(toks, numHashes)
+
   /** The HOF reference formulation of [[minhashSignature]]: `numHashes`
     * array traversals, each `array_min(transform(..., xxhash64(t, i)))`.
     * Kept as the equivalence oracle for the native expression. */

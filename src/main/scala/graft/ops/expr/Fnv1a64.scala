@@ -41,9 +41,16 @@ object Fnv1a64 {
   private final val Prime = 0x100000001b3L
 
   /** Runtime kernel shared by interpreted eval and generated code. */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = fold(Offset, s)
+
+  def hash(s: String): Long = hash(UTF8String.fromString(s))
+
+  /** Continue an FNV-1a fold from an intermediate state — lets callers
+    * precompute a salt-prefix state once and stream suffixes through it
+    * (`fold(fold(Offset, prefix), suffix) == hash(prefix + suffix)`). */
+  def fold(state: Long, s: UTF8String): Long = {
     val bytes = s.getBytes
-    var h = Offset
+    var h = state
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)
@@ -52,8 +59,6 @@ object Fnv1a64 {
     }
     h
   }
-
-  def hash(s: String): Long = hash(UTF8String.fromString(s))
 
   def column(c: Column): Column = {
     import org.apache.spark.sql.GraftBridge

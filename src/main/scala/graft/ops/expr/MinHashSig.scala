@@ -45,9 +45,77 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def prettyName: String = "minhash_sig"
 }
 
+/** [[MinHashSig]] with FNV-1a 64 permutation hashes instead of salted
+  * xxhash64: permutation p of a token is `fnv1a64("#p#" + token)` (the
+  * leading salt avalanches through every token byte), minimized in SIGNED
+  * 64-bit order on both engines. FNV is a linear byte fold an external SQL
+  * engine replays per character in 128-bit arithmetic, which makes the
+  * whole signature — and everything derived from it (band collisions,
+  * agreement estimates) — cross-engine checkable. The kernel folds each
+  * permutation's precomputed prefix state through the token bytes, so a
+  * token's bytes stream once per permutation with zero allocations.
+  */
+case class MinHashSigFnv(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig_fnv requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.signatureFnv(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expr.MinHashSig.signatureFnv($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFnv =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig_fnv"
+}
+
 object MinHashSig {
   /** Spark's xxhash64 default seed (XxHash64 expression). */
   private final val Seed = 42L
+
+  /** Per-permutation FNV prefix states ("#p#" folded from the offset),
+    * cached per hash count — tiny and immutable. */
+  private val fnvPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** [[MinHashSigFnv]]'s kernel. A null token contributes the bare prefix
+    * state (the hash of "#p#"); empty input yields Long.MaxValue minima
+    * like the xxhash64 kernel. */
+  def signatureFnv(arr: ArrayData, numHashes: Int): ArrayData = {
+    val prefixes = fnvPrefixes.computeIfAbsent(numHashes, n =>
+      Array.tabulate(n)(p => Fnv1a64.hash("#" + p + "#")))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = if (arr.isNullAt(t)) null else arr.getUTF8String(t)
+      var p = 0
+      while (p < numHashes) {
+        val h =
+          if (tok == null) prefixes(p)
+          else Fnv1a64.fold(prefixes(p), tok)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def fnvColumn(c: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(MinHashSigFnv(GraftBridge.expression(c), numHashes))
+  }
 
   /** Runtime kernel shared by interpreted eval and generated code. A null
     * token contributes h1 = Seed — exactly the HOF form's `xxhash64(t, i)`,

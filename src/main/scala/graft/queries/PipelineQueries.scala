@@ -206,40 +206,107 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // MinHash + LSH banding: 16 salted-hash permutations, 4 bands × 4 rows;
-    // candidate pairs come from band-bucket equi-joins, then true Jaccard
-    // verification. xxhash64 has no DuckDB twin → rows-only check.
-    Q.noOracle("q_dedup_minhash") { (spark, dir) =>
-      val docs = docTokens(spark, dir)
-      val banded = docs
-        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
-        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 4, 4)))
-        .select("doc_id", "band")
-      // star-edge candidates: each bucket member pairs with the bucket's
-      // min-id representative (what connected-component dedup consumes),
-      // so a near-dup cluster of n docs yields n-1 edges, not n²/2 — the
-      // all-pairs form of the same corpus produced 50× the volume
-      val reps = banded.groupBy("band").agg(min(col("doc_id")).as("a_id"))
-      val pairs = banded.join(reps, "band")
-        .filter(col("doc_id") =!= col("a_id"))
-        .select(col("a_id"), col("doc_id").as("b_id"))
-        .distinct()
-      // verification: native merge-Jaccard over sorted token sets — open
-      // vocabulary, no mask/vocab passes (the set-mask popcount form stays
-      // available as DedupOps.setMasksOpt for closed-vocab pipelines)
-      def side(p: String) = docs.select(
-        col("doc_id").as(s"${p}_id"), array_sort(col("toks")).as(s"${p}t"))
-      pairs
-        .join(side("a"), "a_id")
-        .join(side("b"), "b_id")
-        .withColumn("jac", round(DedupOps.jaccardSorted(col("at"), col("bt")), 6))
-        .filter(col("jac") >= 0.5)
-        .select("a_id", "b_id", "jac")
+    // MinHash near-dup ESTIMATOR, ORACLE-CHECKED end to end: 16 FNV-1a
+    // permutation hashes (fnv1a64("#p#" + token), leading salt — a linear
+    // byte fold DuckDB replays per character in HUGEINT arithmetic),
+    // output = every pair whose signatures agree on ≥15 of 16 permutations
+    // (agreement/16 estimates Jaccard at ±1/16 resolution; the
+    // exact-verified ≥0.95 surface is q_ngram_jaccard's contract). The
+    // contract is a DETERMINISTIC function of the corpus — unlike banding
+    // RECALL vs true Jaccard, which is probabilistic — so the oracle
+    // recomputes every signature and every agreement count its own
+    // all-pairs way and must match exactly. The Spark side never goes
+    // all-pairs: candidates come from 2 bands × 8 rows — LOSSLESS for the
+    // ≥15 floor by pigeonhole (≤1 disagreeing permutation cannot touch
+    // both bands), the same argument as the simhash chunk blocking — and a
+    // band-key hash collision only adds a candidate the agree-floor
+    // verification rejects.
+    Q("q_dedup_minhash",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), p ->
+        |      list_min(
+        |        list_transform(
+        |          list_transform(t, tok ->
+        |            list_reduce(
+        |              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                list_transform(
+        |                  list_filter(string_split('#' || CAST(p AS VARCHAR) || '#' || tok,
+        |                                           ''), c -> c <> ''),
+        |                  c -> CAST(ascii(c) AS HUGEINT))),
+        |              (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                          % CAST(18446744073709551616 AS HUGEINT))),
+        |          h -> CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                    THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                    ELSE h END AS BIGINT)))) AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_filter(range(0, 16), i -> a.s[i+1] = b.s[i+1]))
+        |            AS BIGINT) AS agree,
+        |       CAST(len(list_filter(range(0, 16), i -> a.s[i+1] = b.s[i+1]))
+        |            AS DOUBLE) / 16.0 AS est
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(0, 16), i -> a.s[i+1] = b.s[i+1])) >= 15
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val sigs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          DedupOps.minhashSignatureFnv(col("toks"), 16).as("sig"))
+      // IDENTICAL-SIGNATURE COMPACTION before the banded join: exact-dup
+      // cliques (hundreds of members in this corpus) would otherwise sit in
+      // one band bucket and pay a quadratic bucket×bucket join through the
+      // shuffle. Grouping by signature first makes join volume a function
+      // of DISTINCT signatures, not corpus multiplicity; clique-internal
+      // pairs (agree = 16 by construction) and the member expansion of
+      // group-level matches are pure explodes with no shuffle.
+      val groups = sigs.groupBy("sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .localCheckpoint(true) // two consumers: intra pairs + banded join
+      val n = size(col("members"))
+      // within-group ordered pairs: members is sorted, so (m[i], m[j>i])
+      // is already (a_id < b_id)
+      val intra = groups.filter(n > 1)
+        .select(explode(flatten(transform(
+          sequence(lit(1), n - 1),
+          i => transform(slice(col("members"), i + 1, n - i),
+            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
+              b.as("b_id")))))).as("p"))
+        .select(col("p.a_id"), col("p.b_id"), lit(16L).as("agree"))
+      // cross-group candidates: 2 bands × 8 rows over DISTINCT signatures —
+      // lossless for the ≥15 floor (≤1 disagreeing permutation cannot touch
+      // both bands); a band-key hash collision only adds a candidate the
+      // agree floor rejects
+      val banded = groups
+        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 2, 8)))
+        .withColumn("bh", xxhash64(col("band")))
+      def side(p: String) = banded.select(col("members").as(s"${p}m"),
+        col("sig").as(s"${p}_sig"), col("bh"))
+      val cross = side("a").join(side("b"), "bh")
+        // order group pairs by their (distinct) first members so each
+        // unordered group pair appears once before the member expansion
+        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
+        .select(col("am"), col("bm"),
+          big(size(filter(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)))
+            .as("agree"))
+        .filter(col("agree") >= 15 && col("agree") < 16)
+        .dropDuplicates("am", "bm")
+        .select(explode(col("am")).as("x"), col("bm"), col("agree"))
+        .select(col("x"), explode(col("bm")).as("y"), col("agree"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("agree"))
+      intra.unionByName(cross)
+        .withColumn("est", col("agree").cast(DoubleType) / lit(16.0d))
         .orderBy("a_id", "b_id")
     },
 
-    // SimHash near-dup: 64-bit signatures, pigeonhole 16-bit chunk blocking
-    // (hamming ≤ 3 guarantees a shared chunk), verified by exact hamming.
     // 64-bit SimHash near-dup pairs, ORACLE-CHECKED end to end: signatures
     // use the FNV-1a token-hash variant (a linear byte fold DuckDB replays
     // per character in HUGEINT arithmetic; xxhash64's block mixing is not

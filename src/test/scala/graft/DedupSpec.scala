@@ -153,6 +153,25 @@ class DedupSpec extends SparkSpec {
       .select(DedupOps.simhashFnv($"t")).head().getLong(0) == -1L)
   }
 
+  test("FNV-variant minhash: pinned values, prefix-fold identity, empty array") {
+    // pinned against an independent implementation of min over
+    // fnv1a64("#p#" + token) in SIGNED 64-bit order
+    val sig = Seq(Tuple1(Seq("a", "b"))).toDF("t")
+      .select(DedupOps.minhashSignatureFnv($"t", 4).as("s"))
+      .head().getSeq[Long](0)
+    assert(sig == Seq(5589962729263556871L, 6277332319067202820L,
+      4406539672438762184L, 4963887614185679139L))
+    // kernel's prefix-fold continuation == hashing the concatenated string
+    val full = Seq(Tuple1(Seq("hello"))).toDF("t")
+      .select(DedupOps.minhashSignatureFnv($"t", 1).as("s"),
+        graft.ops.VectorOps.fnv1a64(lit("#0#hello")).as("h")).head()
+    assert(full.getSeq[Long](0).head == full.getLong(1))
+    // empty token array pins the Long.MaxValue identity
+    assert(Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(DedupOps.minhashSignatureFnv($"t", 2)).head()
+      .getSeq[Long](0).forall(_ == Long.MaxValue))
+  }
+
   test("native expressions register for SQL (simhash64/vec_dot/jaccard_sorted/minhash_sig)") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)

@@ -29,6 +29,22 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.invalidate(spark)
   }
 
+  test("first get() stores the cache buffers eagerly, before any consumer") {
+    // Regression: a bare persist() is lazy — a consumer whose first action
+    // reads the cached subtree through a broadcast build computes it
+    // WITHOUT storing the buffers, and every later consumer silently
+    // recomputes the artifact. getOrMaterialize must store all partitions
+    // up front.
+    val df = SessionCache.getOrMaterialize(spark, "scs-eager") {
+      spark.range(1000).toDF("n")
+    }
+    val cached = spark.sparkContext.getRDDStorageInfo
+      .filter(_.numCachedPartitions > 0)
+    assert(cached.nonEmpty,
+      "cache buffers must be stored by getOrMaterialize itself, not lazily")
+    SessionCache.invalidate(spark)
+  }
+
   test("invalidate racing an in-flight build waits and unpersists it") {
     val started = new CountDownLatch(1)
     val release = new CountDownLatch(1)
