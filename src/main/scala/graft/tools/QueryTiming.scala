@@ -1,6 +1,11 @@
 package graft.tools
+
+/** Dev tool: wall-time individual registry queries at a chosen SF
+  * (two passes — the second shows warm/cached cost, which is what the
+  * bench's min-of-two reports). Usage: runMain graft.tools.QueryTiming
+  * [query names...], SPARK_GRAFT_SF_DIR to change the fixture. */
 import org.apache.spark.sql.SparkSession
-object TmpTiming {
+object QueryTiming {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
