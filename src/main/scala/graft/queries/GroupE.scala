@@ -428,6 +428,59 @@ object GroupE {
         .orderBy("prev")
     },
 
+    // Collocation mining by PMI-style LIFT, float-free: adjacent bigrams
+    // with c_ab >= 5 ranked by lift = P(ab)/(P(a)P(b)) = c_ab*N/(c_a*c_b),
+    // materialized as the exact integer floor(c_ab*N*10^6/(c_a*c_b)) — the
+    // whole ordering is integer arithmetic (DECIMAL(38,0)/HUGEINT so the
+    // numerator cannot overflow at any corpus size), no log() and no
+    // engine-dependent float division anywhere. Shapes: one map-side
+    // shifted-zip bigram explode (never a positional self-join), two hash
+    // aggs, a broadcast 1-row corpus total, and a top-20 TakeOrdered on
+    // the (unique) bigram key.
+    Q("q_collocations",
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+         |n AS (SELECT sum(len(tk)) AS n FROM t),
+         |bg AS (
+         |  SELECT tk[i] AS a, tk[i + 1] AS b
+         |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         |pc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT u AS tok, count(*) AS c FROM (SELECT unnest(tk) AS u FROM t)
+         |        GROUP BY 1)
+         |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+         |       CAST((CAST(c_ab AS HUGEINT) * CAST(n.n AS HUGEINT) * 1000000)
+         |            // (CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT)) AS BIGINT)
+         |         AS lift_e6
+         |FROM pc JOIN uni ua ON pc.a = ua.tok
+         |        JOIN uni ub ON pc.b = ub.tok
+         |        CROSS JOIN n
+         |WHERE c_ab >= 5
+         |ORDER BY lift_e6 DESC, a, b LIMIT 20""".stripMargin) { (spark, dir) =>
+      val tk = toks(col("text"))
+      val n1 = greatest(size(tk) - 1, lit(0))
+      val docs = tbl(spark, dir, "documents")
+      val bg = docs
+        .select(explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val pc = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = docs.select(explode(tk).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = docs.select(sum(size(tk)).as("n"))
+      val dec = DecimalType(38, 0)
+      pc
+        .join(uni.select(col("tok").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("tok").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("num",
+          col("c_ab").cast(dec) * col("n").cast(dec) * lit(1000000).cast(dec))
+        .withColumn("den", col("ca").cast(dec) * col("cb").cast(dec))
+        .select(col("a"), col("b"), big(col("c_ab")).as("c_ab"),
+          expr("CAST(num DIV den AS BIGINT)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Event-sequence transition matrix (Markov bigram counts): per-user
     // consecutive event-type transitions ordered by (ts, event_id). One
     // pk-partitioned window (lag) + one hash agg — the session-mining

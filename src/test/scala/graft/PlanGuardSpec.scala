@@ -19,7 +19,7 @@ class PlanGuardSpec extends SparkSpec {
     * same way. */
   private val nonEquiAllowed =
     Set("q_cosine_topk", "q_knn_vote", "q_bm25", "q_maxsim", "q_snapshot_at",
-      "q_merge_upsert", "q_idf_novelty")
+      "q_merge_upsert", "q_idf_novelty", "q_collocations")
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
