@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.expr.{Fnv1a64, JaccardSorted, MinHashSig, SimHash64, SimHashFnv64, VecDist2, VecDot}
+import graft.ops.expr.{Fnv1a64, JaccardSorted, MinHashSig, MinHashSigFnv, SimHash64, SimHashFnv64, VecDist2, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,6 +56,18 @@ object GraftExtensions {
             s"minhash_sig: hash count must be an int literal, got $other")
         }
         MinHashSig(children.head, n)
+      }),
+    // minhash_sig_fnv(toks, n) — FNV-permutation variant, same literal rule
+    (new FunctionIdentifier("minhash_sig_fnv"),
+      new ExpressionInfo(classOf[MinHashSigFnv].getName, "minhash_sig_fnv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig_fnv takes (array<string>, int literal)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig_fnv: hash count must be an int literal, got $other")
+        }
+        MinHashSigFnv(children.head, n)
       }))
 
   /** Imperative registration onto a live session (the extensions class

@@ -170,6 +170,13 @@ class DedupSpec extends SparkSpec {
     assert(Seq(Tuple1(Seq.empty[String])).toDF("t")
       .select(DedupOps.minhashSignatureFnv($"t", 2)).head()
       .getSeq[Long](0).forall(_ == Long.MaxValue))
+    // SQL registry parity
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT minhash_sig_fnv(array('a','b'), 4) AS s")
+      .head().getSeq[Long](0) == Seq(5589962729263556871L, 6277332319067202820L,
+        4406539672438762184L, 4963887614185679139L))
+    assert(spark.sql("SELECT simhash_fnv64(array('hello')) AS s")
+      .head().getLong(0) == -6615550055289275125L)
   }
 
   test("native expressions register for SQL (simhash64/vec_dot/jaccard_sorted/minhash_sig)") {
