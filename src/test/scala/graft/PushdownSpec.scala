@@ -74,6 +74,22 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("signature dedup and collocation scans prune the documents table") {
+    // q_dedup_minhash / q_dedup_simhash need (doc_id, text) only — the
+    // lang/source/n_chars columns must never reach their scans
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
+      val extra = scans(name).filter(_.requiredSchema.fieldNames
+        .exists(Set("lang", "source", "n_chars")))
+      assert(extra.isEmpty, s"$name scans more than (doc_id, text)")
+    }
+    // q_collocations aggregates the token stream alone: every documents
+    // scan in its plan must read exactly the text column
+    val cs = scans("q_collocations")
+    assert(cs.nonEmpty)
+    assert(cs.forall(_.requiredSchema.fieldNames.sameElements(Array("text"))),
+      s"q_collocations must scan only text, got ${cs.map(_.requiredSchema.fieldNames.mkString(","))}")
+  }
+
   test("documents-table operators never read text when they only need ids") {
     // q_sample_stratified uses doc_id + lang only; dragging the text
     // column through the sample window would dominate its scan cost
