@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.expr.{Fnv1a64, JaccardSorted, MinHashSig, MinHashSigFnv, SimHash64, SimHashFnv64, VecDist2, VecDot}
+import graft.ops.expr.{ChunkSplit, Fnv1a64, JaccardSorted, MinHashSig, MinHashSigFnv, SimHash64, SimHashFnv64, VecDist2, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -42,6 +42,7 @@ object GraftExtensions {
     unary("fnv1a64", classOf[Fnv1a64], Fnv1a64(_)),
     unary("simhash64", classOf[SimHash64], SimHash64(_)),
     unary("simhash_fnv64", classOf[SimHashFnv64], SimHashFnv64(_)),
+    unary("chunk_split", classOf[ChunkSplit], ChunkSplit(_)),
     binary("vec_dot", classOf[VecDot], VecDot(_, _)),
     binary("vec_dist2", classOf[VecDist2], VecDist2(_, _)),
     binary("jaccard_sorted", classOf[JaccardSorted], JaccardSorted(_, _)),

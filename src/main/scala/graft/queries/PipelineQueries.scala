@@ -757,6 +757,145 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Frame-level video dedup, ORACLE-CHECKED end to end: each video's
+    // sampled frames (the q_media_meta schedule — stride ⌈frames/8⌉ over
+    // the decoder's frame count) get a deterministic signature (fnv1a64 of
+    // the frame's byte slice, the stub decode stand-in), and video pairs
+    // sharing ≥1 sampled-frame signature are detected through a frame
+    // inverted index — shared-content detection at FRAME granularity,
+    // which whole-file checksums miss (a re-container of the same frames
+    // still collides). EXACT matching only: no fake perceptual locality is
+    // claimed for the stub decoder. Shapes: one explode (≤8 frames/video),
+    // a distinct, and a sig equi-join — at production scale the standard
+    // mitigation for boilerplate hub frames (intros/logos) is a df-cap on
+    // the index, the same move as rare-prefix filtering in
+    // q_ngram_containment. Frames shorter than 8 bytes are skipped (a
+    // 1-byte slice would collide corpus-wide).
+    Q("q_frame_dedup",
+      """WITH v AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS HUGEINT))),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                  % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, text, n, CAST(1 + (h // 65536) % 240 AS BIGINT) AS nf
+        |  FROM v),
+        |k AS (
+        |  SELECT doc_id, text, n, nf, unnest(range(0, nf, (nf + 7) // 8)) AS k
+        |  FROM f),
+        |s AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(CASE WHEN fs >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN fs - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE fs END AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_reduce(
+        |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(
+        |            list_filter(string_split(
+        |              substring(text, (k*n)//nf + 1, ((k+1)*n)//nf - (k*n)//nf),
+        |              ''), c -> c <> ''),
+        |            c -> CAST(ascii(c) AS HUGEINT))),
+        |        (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                    % CAST(18446744073709551616 AS HUGEINT)) AS fs
+        |    FROM k
+        |    WHERE ((k+1)*n)//nf - (k*n)//nf >= 8))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val frames = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the mediaTable video rows
+        .select(col("doc_id"), col("text"),
+          length(col("text")).as("n"),
+          VectorOps.fnv1a64(col("text")).as("h"))
+        // the decoder's video frame count (StubDecoder: unsigned bit-slices)
+        .withColumn("nf",
+          (lit(1L) + expr("shiftrightunsigned(h, 16)") % 240L).cast("int"))
+        .withColumn("k",
+          explode(sequence(lit(0), col("nf") - 1,
+            expr("CAST((nf + 7) DIV 8 AS INT)"))))
+        .withColumn("lo", expr("(k * n) DIV nf"))
+        .withColumn("hi", expr("((k + 1) * n) DIV nf"))
+        .filter(col("hi") - col("lo") >= 8)
+        .select(col("doc_id"),
+          VectorOps.fnv1a64(expr("substring(text, lo + 1, hi - lo)")).as("sig"))
+        .distinct()
+      def side(p: String) = frames.select(col("doc_id").as(s"${p}_id"), col("sig"))
+      side("a").join(side("b"), "sig")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(big(count(lit(1))).as("shared"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Content-defined chunk dedup (the rsync/LBFS/storage-dedup
+    // algorithm), ORACLE-CHECKED end to end: chunk boundaries fall where
+    // the fnv1a64 of the trailing 8-byte window ≡ 0 (mod 32) — boundaries
+    // move WITH the content, so unlike fixed-offset frames (q_frame_dedup)
+    // an insertion early in a payload does not shift every later chunk,
+    // and payloads sharing byte runs still share chunks. Pairs sharing ≥1
+    // chunk of ≥16 bytes are reported with their shared-chunk count
+    // through a chunk inverted index. The join key is the chunk STRING
+    // (exact equality — a signature join would hang the oracle contract on
+    // a hash-collision argument); expected chunk length is 32 bytes, so
+    // the index rows stay small. At production scale the hub mitigation is
+    // a df-cap on the index, as in q_ngram_containment.
+    Q("q_chunk_dedup",
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) >= 16),
+        |b AS (
+        |  SELECT doc_id, text, n,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)],
+        |      list_filter(range(8, n + 1), i ->
+        |        list_reduce(
+        |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |            list_transform(
+        |              list_filter(string_split(substring(text, CAST(i AS INT) - 7, 8),
+        |                                       ''), c -> c <> ''),
+        |              c -> CAST(ascii(c) AS HUGEINT))),
+        |          (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                      % CAST(18446744073709551616 AS HUGEINT))
+        |        % 32 = 0)),
+        |      [CAST(n AS BIGINT)]) AS bs
+        |  FROM d),
+        |ch AS (
+        |  SELECT DISTINCT doc_id, chunk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(bs)), j ->
+        |        substring(text, CAST(bs[j] AS INT) + 1,
+        |                  CAST(bs[j+1] - bs[j] AS INT)))) AS chunk
+        |    FROM b)
+        |  WHERE length(chunk) >= 16)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      // native one-pass splitter (ChunkSplit): FNV's wrapping multiply is
+      // not expressible in ANSI-mode SQL lambdas, and per-position
+      // substring() would rescan the string from its start each time
+      val chunks = tbl(spark, dir, "documents")
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"),
+          explode(graft.ops.expr.ChunkSplit.column(col("text"))).as("chunk"))
+        .filter(length(col("chunk")) >= 16)
+        .distinct()
+      def side(p: String) = chunks.select(col("doc_id").as(s"${p}_id"), col("chunk"))
+      side("a").join(side("b"), "chunk")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(big(count(lit(1))).as("shared"))
+        .orderBy("a_id", "b_id")
+    },
+
     // Token-window chunking (50-token windows, stride 40): the
     // context-window preparation step of a training pipeline, as a pure
     // explode — one row in, ⌈(n-50)/40⌉+1 rows out, no shuffle.
