@@ -307,6 +307,84 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // The dedup DECISION step: detection queries emit pairs, this one
+    // emits the curation action — per signature-identical group (all 16
+    // MinHash permutations equal ⟹ near-certain duplicates), KEEP the
+    // longest member (max n_chars; tie → smallest doc_id, an explicit rule
+    // rather than an engine's unspecified arg_max tie-break) and name the
+    // dropped ids. ORACLE-CHECKED: the oracle recomputes signatures from
+    // per-character HUGEINT folds, groups, and applies the same rule.
+    // Shapes: one hash agg by signature, then pure array ops — argmax via
+    // array_max over (n_chars, -doc_id) structs (a nested `when` fold
+    // would duplicate subtrees exponentially), never a window over an
+    // array partition.
+    Q("q_dedup_keep",
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0),
+        |sig AS (
+        |  SELECT doc_id, n_chars,
+        |    array_to_string(list_transform(range(0, 16), p ->
+        |      list_min(
+        |        list_transform(
+        |          list_transform(t, tok ->
+        |            list_reduce(
+        |              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                list_transform(
+        |                  list_filter(string_split('#' || CAST(p AS VARCHAR) || '#' || tok,
+        |                                           ''), c -> c <> ''),
+        |                  c -> CAST(ascii(c) AS HUGEINT))),
+        |              (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                          % CAST(18446744073709551616 AS HUGEINT))),
+        |          h -> CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                    THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                    ELSE h END AS BIGINT)))), ',') AS gk
+        |  FROM toks),
+        |w AS (
+        |  SELECT gk, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY gk
+        |                            ORDER BY n_chars DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY gk) AS m
+        |  FROM sig),
+        |k AS (
+        |  SELECT gk, doc_id AS keeper_id, CAST(n_chars AS BIGINT) AS kept_chars,
+        |         CAST(m AS BIGINT) AS n_members
+        |  FROM w WHERE rn = 1 AND m > 1),
+        |dr AS (
+        |  SELECT gk, array_to_string(list_sort(list(doc_id)), ',') AS dropped
+        |  FROM w WHERE rn > 1 GROUP BY gk)
+        |SELECT keeper_id, kept_chars, n_members, dropped
+        |FROM k JOIN dr USING (gk)
+        |ORDER BY keeper_id""".stripMargin) { (spark, dir) =>
+      val groups = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          DedupOps.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("n_chars"),
+          DedupOps.minhashSignatureFnv(col("toks"), 16).as("sig"))
+        .groupBy("sig")
+        .agg(collect_list(struct(col("n_chars"), col("doc_id"))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      groups
+        .withColumn("best", array_max(transform(col("ms"),
+          m => struct(m.getField("n_chars").as("nc"),
+            (m.getField("doc_id") * -1).as("nd")))))
+        .select(
+          big(col("best.nd") * -1).as("keeper_id"),
+          big(col("best.nc")).as("kept_chars"),
+          big(size(col("ms"))).as("n_members"),
+          array_join(
+            transform(
+              array_sort(filter(
+                transform(col("ms"), m => m.getField("doc_id")),
+                d => d =!= col("best.nd") * -1)),
+              _.cast("string")), ",").as("dropped"))
+        .orderBy("keeper_id")
+    },
+
     // 64-bit SimHash near-dup pairs, ORACLE-CHECKED end to end: signatures
     // use the FNV-1a token-hash variant (a linear byte fold DuckDB replays
     // per character in HUGEINT arithmetic; xxhash64's block mixing is not
