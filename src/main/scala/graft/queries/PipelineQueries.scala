@@ -166,6 +166,45 @@ object PipelineQueries {
       jaccardPairs(spark, dir).orderBy("a_id", "b_id")
     },
 
+    // Cross-source contamination matrix — the dataset-release report next
+    // to q_dataset_card: how many verified ≥0.95 near-dup pairs connect
+    // each (source, source) combination, canonicalized so (a,b)=(b,a).
+    // Within-source counts on the diagonal expose internal duplication;
+    // off-diagonal cells expose sources scraping each other — the decision
+    // input for which source to drop. Rides the SAME session-cached pair
+    // artifact as q_ngram_jaccard/q_dup_components plus one broadcast-size
+    // doc→source join; the oracle recomputes the exact pair set its own
+    // all-pairs way.
+    Q("q_source_overlap",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6)
+        |        >= 0.95)
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS pairs
+        |FROM pairs
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+      val src = tbl(spark, dir, "documents").select(col("doc_id"), col("source"))
+      jaccardPairs(spark, dir)
+        .join(broadcast(src.select(col("doc_id").as("a_id"),
+          col("source").as("sa"))), "a_id")
+        .join(broadcast(src.select(col("doc_id").as("b_id"),
+          col("source").as("sb"))), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(big(count(lit(1))).as("pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Incremental (batch-vs-corpus) near-dedup: the ingest-time shape —
     // flag each NEW document (doc_id % 5 ≠ 0 models the arriving batch)
     // that near-duplicates an EXISTING one (% 5 = 0), keeping the best
