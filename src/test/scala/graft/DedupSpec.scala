@@ -179,6 +179,33 @@ class DedupSpec extends SparkSpec {
       .head().getLong(0) == -6615550055289275125L)
   }
 
+  test("chunk_split: pinned boundaries, shift invariance, SQL registry") {
+    import graft.ops.expr.ChunkSplit
+    val s = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the woods tonight again"
+    // pinned against an independent implementation of the 8-byte-window
+    // FNV boundary rule (hash % 32 == 0)
+    val parts = Seq(Tuple1(s)).toDF("t")
+      .select(ChunkSplit.column($"t").as("c")).head().getSeq[String](0)
+    assert(parts == Seq("the quick brown fox jum", "ps over t",
+      "he lazy dog and then runs far away in", "to the woods tonight again"))
+    assert(parts.mkString == s) // chunks partition the payload exactly
+    // content-defined = shift-invariant: an insertion at the FRONT changes
+    // only the chunk it lands in; every later chunk survives byte-identical
+    val shifted = Seq(Tuple1("oh " + s)).toDF("t")
+      .select(ChunkSplit.column($"t").as("c")).head().getSeq[String](0)
+    assert(shifted.toSet.intersect(parts.toSet).size == 3)
+    // SQL registry parity
+    GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT chunk_split('${s}') AS c")
+      .head().getSeq[String](0) == parts)
+    // degenerate inputs: empty → no chunks; short → one whole-payload chunk
+    assert(Seq(Tuple1("")).toDF("t")
+      .select(ChunkSplit.column($"t")).head().getSeq[String](0).isEmpty)
+    assert(Seq(Tuple1("short")).toDF("t")
+      .select(ChunkSplit.column($"t")).head().getSeq[String](0) == Seq("short"))
+  }
+
   test("native expressions register for SQL (simhash64/vec_dot/jaccard_sorted/minhash_sig)") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)
