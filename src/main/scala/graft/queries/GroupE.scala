@@ -87,6 +87,39 @@ object GroupE {
         .orderBy("lang")
     },
 
+    // Tokenizer fertility planning: per-language bytes-per-token as the
+    // exact integer ⌊Σbytes·10⁶ / Σtokens⌋ — the stat that sizes a token
+    // budget against a byte-metered corpus (CJK-heavy languages and
+    // whitespace-poor scripts diverge hard here). Docs with zero tokens
+    // are excluded from BOTH sums (a deterministic contract, not a
+    // division guard). One scan, one hash agg, integer arithmetic only.
+    Q("q_tok_fertility",
+      s"""WITH d AS (
+         |  SELECT lang, strlen(text) AS bytes, len($toksSql) AS toks
+         |  FROM documents
+         |  WHERE len($toksSql) > 0)
+         |SELECT lang,
+         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |       CAST((CAST(sum(bytes) AS HUGEINT) * 1000000)
+         |            // CAST(sum(toks) AS HUGEINT) AS BIGINT) AS bytes_per_token_e6
+         |FROM d GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(38, 0)
+      tbl(spark, dir, "documents")
+        .select(col("lang"), octet_length(col("text")).as("bytes"),
+          size(toks(col("text"))).as("toks"))
+        .filter(col("toks") > 0)
+        .groupBy("lang")
+        .agg(big(sum(col("bytes"))).as("total_bytes"),
+          big(sum(col("toks"))).as("total_tokens"))
+        .withColumn("num", col("total_bytes").cast(dec) * lit(1000000).cast(dec))
+        .withColumn("den", col("total_tokens").cast(dec))
+        .select(col("lang"), col("total_bytes"), col("total_tokens"),
+          expr("CAST(num DIV den AS BIGINT)").as("bytes_per_token_e6"))
+        .orderBy("lang")
+    },
+
     // Skip-bigram co-occurrence mining (word2vec-window statistics): token
     // pairs within distance ≤2, canonicalized (least, greatest), global
     // top-20 by count. Pairs are generated MAP-SIDE by zipping the token
