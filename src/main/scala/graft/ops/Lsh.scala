@@ -17,6 +17,22 @@ object Lsh {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Cross-engine-replayable hyperplanes: component (p,d) is
+    * `fnv1a64("pl:salt:p:d") mod 15 − 7` — an integer in [−7, 7]. An
+    * external SQL engine recomputes the planes from the same ASCII strings
+    * (FNV is a linear byte fold), so bucket assignment — and therefore the
+    * whole candidate set of an LSH query — becomes oracle-checkable, where
+    * a JVM-seeded Gaussian is not. 15-level quantization preserves the
+    * random-direction property LSH needs; recall on the fixture embeddings
+    * matches the Gaussian planes' (pinned by AnnRecallSpec). */
+  def fnvPlanes(numPlanes: Int, dim: Int, salt: String): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = graft.ops.expr.Fnv1a64.hash(s"pl:$salt:$p:$d")
+        (java.lang.Long.remainderUnsigned(h, 15L) - 7L).toDouble
+      }
+    }
+
   /** Sign-pattern bucket id, e.g. "10110010" for 8 planes. Each plane's
     * projection is a native dot kernel (graft.ops.expr.VecMath) against the
     * literal plane array — no per-plane intermediate arrays. */
@@ -49,14 +65,47 @@ object Lsh {
   /** Multi-probe buckets: the exact bucket plus all buckets at hamming
     * distance 1 (flipping each plane's bit), improving recall for vectors
     * near a hyperplane. */
-  def probeBuckets(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val exact = bucket(vec, planes)
-    val flipped = planes.indices.map { i =>
+  def probeBuckets(vec: Column, planes: Seq[Seq[Double]]): Column =
+    probesFromBucket(bucket(vec, planes), planes.size)
+
+  /** [[probeBuckets]] from an already-computed bucket string — callers that
+    * project the bucket column first evaluate the plane dots once per row
+    * instead of once per probe. */
+  def probesFromBucket(exact: Column, numPlanes: Int): Column = {
+    val flipped = (0 until numPlanes).map { i =>
       val pre = substring(exact, 1, i)
       val bit = substring(exact, i + 1, 1)
-      val post = substring(exact, i + 2, planes.size - i - 1)
+      val post = substring(exact, i + 2, numPlanes - i - 1)
       concat(pre, when(bit === "1", lit("0")).otherwise(lit("1")), post)
     }
     array(exact +: flipped: _*)
+  }
+
+  // ---- exact-decimal variants (oracle-checked queries) -------------------
+  // Same bucket semantics, but each plane projection is the exact
+  // DECIMAL(30,15) dot (VectorOps.dotExact): every per-element product is
+  // one IEEE double op rounded once into decimal and summed exactly, so the
+  // SIGN — hence the bucket string, hence the candidate set — is identical
+  // in any engine that replays the same arithmetic, independent of
+  // accumulation order. The fast double-accumulator forms above stay the
+  // non-oracle hot path.
+
+  /** [[bucket]] with exact-decimal projections. */
+  def bucketExact(vec: Column, planes: Seq[Seq[Double]]): Column =
+    concat(planes.map { p =>
+      when(VectorOps.dotExact(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** [[tableKeys]] with exact-decimal projections. */
+  def tableKeysExact(vec: Column, planes: Seq[Seq[Double]],
+                     tables: Int, planesPerTable: Int): Column = {
+    require(planes.size >= tables * planesPerTable,
+      s"need ${tables * planesPerTable} planes, got ${planes.size}")
+    array((0 until tables).map { t =>
+      val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      concat(lit(s"$t:") +: slice.map { p =>
+        when(VectorOps.dotExact(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }: _*)
   }
 }

@@ -29,6 +29,52 @@ object PipelineQueries {
   /** Exact-decimal L2 norm (deterministic across engines). */
   private def normExact(v: Column): Column = VectorOps.l2normExact(v)
 
+  // ---- shared oracle-SQL fragments for the hyperplane-LSH family --------
+  // DuckDB re-derives Lsh.fnvPlanes from the same ASCII strings (HUGEINT
+  // FNV-1a fold per character), then replays each plane projection as the
+  // same exact DECIMAL(30,15) sum the Spark side uses — bucket bits and
+  // candidate sets match bit-for-bit.
+
+  /** `planes(p, d, comp)`: comp = fnv1a64("pl:salt:p:d") mod 15 − 7. */
+  private def planesCte(salt: String, numPlanes: Int, dim: Int = 64): String =
+    s"""planes AS (
+       |  SELECT p, d,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(list_filter(string_split(
+       |            'pl:$salt:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR),
+       |            ''), c -> c <> ''),
+       |          c -> CAST(ascii(c) AS HUGEINT))),
+       |      (acc, x) -> (xor(acc, x) * 1099511628211)
+       |                  % CAST(18446744073709551616 AS HUGEINT))
+       |      % 15 AS BIGINT) - 7 AS comp
+       |  FROM range(0, $numPlanes) tp(p), range(0, $dim) td(d))""".stripMargin
+
+  /** `ve(vec_id, d, x)`: embedding components as 0-indexed doubles. */
+  private val vecElemsCte: String =
+    """ve AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)""".stripMargin
+
+  /** `dots(vec_id, p, dp)`: exact-decimal plane projections. */
+  private val planeDotsCte: String =
+    """dots AS (
+      |  SELECT v.vec_id, pl.p,
+      |         CAST(sum(CAST(v.x * CAST(pl.comp AS DOUBLE) AS DECIMAL(30,15)))
+      |              AS DOUBLE) AS dp
+      |  FROM ve v JOIN planes pl ON v.d = pl.d
+      |  GROUP BY v.vec_id, pl.p)""".stripMargin
+
+  /** `norms(vec_id, embedding, n)`: exact-decimal L2 norms. */
+  private val normsCte: String =
+    """norms AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(CAST(list_sum(list_transform(embedding,
+      |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
+      |              AS DOUBLE)) AS n
+      |  FROM embeddings)""".stripMargin
+
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
     * pair table is a pipeline artifact both q_ngram_jaccard and
@@ -487,18 +533,50 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // Embedding near-dup: random-hyperplane buckets (multi-probe on one
-    // side), candidates verified with exact cosine.
-    Q.noOracle("q_dedup_embedding") { (spark, dir) =>
-      val planes = Lsh.hyperplanes(numPlanes = 4, dim = 64)
+    // Embedding near-dup: hyperplane buckets (multi-probe on one side),
+    // candidates verified with exact cosine. Planes are FNV-derived
+    // integers (Lsh.fnvPlanes) and projections exact-decimal, so the oracle
+    // replays bucket assignment, probe flips, the candidate join, and the
+    // cosine verification — a full hash-match contract on the whole
+    // LSH pipeline, not just a rows-only count.
+    Q("q_dedup_embedding",
+      s"""WITH ${planesCte("dd", 4)},
+        |$vecElemsCte,
+        |$planeDotsCte,
+        |bl AS (
+        |  SELECT vec_id, list(CASE WHEN dp >= 0 THEN '1' ELSE '0' END
+        |                      ORDER BY p) AS bs
+        |  FROM dots GROUP BY vec_id),
+        |exact AS (SELECT vec_id, array_to_string(bs, '') AS bucket FROM bl),
+        |probes AS (
+        |  SELECT vec_id, unnest(list_prepend(array_to_string(bs, ''),
+        |    list_transform(range(0, 4), i ->
+        |      array_to_string(list_transform(range(0, 4), j ->
+        |        CASE WHEN j = i THEN (CASE WHEN bs[j+1] = '1' THEN '0' ELSE '1' END)
+        |             ELSE bs[j+1] END), '')))) AS bucket
+        |  FROM bl),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM probes a JOIN exact b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |$normsCte
+        |SELECT a_id, b_id, cos FROM (
+        |  SELECT p.a_id, p.b_id,
+        |    round(CAST(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |         i -> CAST(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                   AS DECIMAL(30,15)))) AS DOUBLE) / (a.n * b.n), 6) AS cos
+        |  FROM pairs p JOIN norms a ON p.a_id = a.vec_id
+        |               JOIN norms b ON p.b_id = b.vec_id)
+        |WHERE cos >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val planes = Lsh.fnvPlanes(numPlanes = 4, dim = 64, salt = "dd")
       val e = tbl(spark, dir, "embeddings")
       // norms computed once per vector; multi-probe duplicate pairs removed
-      // BEFORE the O(d) per-pair dot product; plain double math (rows-only
-      // query — no cross-engine decimal contract to honor)
+      // BEFORE the O(d) per-pair dot product
       val bucketed = e.select(col("vec_id"),
-        Lsh.bucket(col("embedding"), planes).as("bucket"))
-      val probed = e.select(col("vec_id"),
-        explode(Lsh.probeBuckets(col("embedding"), planes)).as("bucket"))
+        Lsh.bucketExact(col("embedding"), planes).as("bucket"))
+      val probed = bucketed.select(col("vec_id"),
+        explode(Lsh.probesFromBucket(col("bucket"), planes.size)).as("bucket"))
       // the dedupe shuffle moves bare id pairs (16 bytes/row); vectors are
       // broadcast-joined back only for the surviving candidates
       val pairs = probed.as("a")
@@ -507,14 +585,14 @@ object PipelineQueries {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
       val side = e.select(col("vec_id"), col("embedding"),
-        VectorOps.l2norm(col("embedding")).as("n"))
+        normExact(col("embedding")).as("n"))
       pairs
         .join(broadcast(side.select(col("vec_id").as("a_id"),
           col("embedding").as("av"), col("n").as("na"))), "a_id")
         .join(broadcast(side.select(col("vec_id").as("b_id"),
           col("embedding").as("bv"), col("n").as("nb"))), "b_id")
         .withColumn("cos",
-          round(VectorOps.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+          round(VectorOps.dotExact(col("av"), col("bv")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.35)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
@@ -568,24 +646,55 @@ object PipelineQueries {
     },
 
     // LSH-bucketed ANN — the scale path: probe buckets on the query side,
-    // equi-join on bucket, rank only collision candidates.
-    Q.noOracle("q_ann_lsh") { (spark, dir) =>
+    // equi-join on bucket, rank only collision candidates. FNV-derived
+    // planes + exact-decimal projections make the multi-table bucket keys,
+    // the candidate set, and the ranked output fully oracle-replayable.
+    Q("q_ann_lsh",
+      s"""WITH ${planesCte("ann", 32)},
+        |$vecElemsCte,
+        |$planeDotsCte,
+        |keys AS (
+        |  SELECT vec_id,
+        |         CAST((p // 4) AS VARCHAR) || ':' ||
+        |           string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY p) AS bucket
+        |  FROM dots GROUP BY vec_id, (p // 4)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM keys q JOIN keys c ON q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |$normsCte,
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |         i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+        |                   AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n), 6) AS sim
+        |  FROM cand JOIN norms q ON cand.query_id = q.vec_id
+        |            JOIN norms c ON cand.neighbor_id = c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       // multi-table OR-construction (8 tables × 4 planes): recall@5 ≈ 0.75
       // on the fixture embeddings where single-table multi-probe measured
       // 0.20 (AnnRecallSpec pins the floor); both sides explode their table
       // keys, so the candidate join stays a bucket equi-join
       val (tables, planesPerTable) = (8, 4)
-      val planes = Lsh.hyperplanes(tables * planesPerTable, dim = 64, seed = 7L)
+      val planes = Lsh.fnvPlanes(tables * planesPerTable, dim = 64, salt = "ann")
       val e = tbl(spark, dir, "embeddings")
       val cands = e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv"),
-        VectorOps.l2norm(col("embedding")).as("cn"),
-        explode(Lsh.tableKeys(col("embedding"), planes, tables, planesPerTable))
+        normExact(col("embedding")).as("cn"),
+        explode(Lsh.tableKeysExact(col("embedding"), planes, tables, planesPerTable))
           .as("bucket"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          VectorOps.l2norm(col("embedding")).as("qn"),
-          explode(Lsh.tableKeys(col("embedding"), planes, tables, planesPerTable))
+          normExact(col("embedding")).as("qn"),
+          explode(Lsh.tableKeysExact(col("embedding"), planes, tables, planesPerTable))
             .as("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -596,7 +705,7 @@ object PipelineQueries {
           col("qn"), col("cn"))
         .dropDuplicates("query_id", "neighbor_id") // multi-probe dups out first
         .withColumn("sim",
-          round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+          round(VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
         .select("query_id", "neighbor_id", "sim", "rn")

@@ -29,7 +29,8 @@ class AnnRecallSpec extends SparkSpec {
     val lsh = recallAt5(topk("q_ann_lsh"), exact)
     val ivf = recallAt5(topk("q_ann_ivf"), exact)
     info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f")
-    // measured on the fixtures: lsh ≈ 0.72-0.78 (8 tables × 4 planes),
+    // measured on the fixtures: lsh ≈ 0.68 (8 tables × 4 FNV-integer
+    // planes; the Gaussian planes they replaced measured 0.72-0.78),
     // ivf ≈ 0.96 (16 cells, 4 probed); floors leave headroom for noise
     assert(lsh >= 0.6, f"LSH recall collapsed: $lsh%.2f")
     assert(ivf >= 0.8, f"IVF recall collapsed: $ivf%.2f")
