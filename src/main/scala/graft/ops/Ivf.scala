@@ -15,32 +15,47 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Squared L2 distance between a vector column and a literal centroid
-    * (native kernel — evaluated k times per row in assignment/probing). */
-  private def dist2(v: Column, centroid: Seq[Double]): Column =
-    graft.ops.expr.VecMath.dist2Column(v, typedLit(centroid))
+    * (native kernel — evaluated k times per row in assignment/probing).
+    * `exact = true` swaps in the DECIMAL(30,15) form
+    * ([[VectorOps.dist2Exact]]) whose value — hence every argmin over it —
+    * is engine- and order-independent, the contract oracle-checked queries
+    * need; the double-accumulator kernel stays the non-oracle hot path. */
+  private def dist2(v: Column, centroid: Seq[Double], exact: Boolean): Column =
+    if (exact) VectorOps.dist2Exact(v, typedLit(centroid))
+    else graft.ops.expr.VecMath.dist2Column(v, typedLit(centroid))
 
   /** Nearest-centroid id for a vector column (ties → lowest id). Min-by is
     * `array_min` over (distance, id) structs — linear expression size; a
     * when-chain fold duplicates subtrees exponentially in k. */
-  def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+  def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])],
+                      exact: Boolean = false): Column =
     array_min(array(centroids.map { case (cid, c) =>
-      struct(dist2(v, c).as("d2"), lit(cid).as("cluster"))
+      struct(dist2(v, c, exact).as("d2"), lit(cid).as("cluster"))
     }: _*)).getField("cluster")
 
   /** Train k coarse centroids: deterministic seeds (first k vectors by id),
     * then `iterations` Lloyd steps executed as DataFrame jobs. Returns the
     * k×dim table (small; safe to collect/broadcast). */
   def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-            iterations: Int = 1): Seq[(Int, Seq[Double])] = {
+            iterations: Int = 1, exact: Boolean = false): Seq[(Int, Seq[Double])] = {
+    // exact mode: the centroid mean is an exact DECIMAL(30,15) sum divided
+    // in double — order-independent, so the trained centroids (and every
+    // distance computed against them) replay bit-identically elsewhere
+    val mean: Column =
+      if (exact)
+        sum(col("__x").cast("double").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double") / count(lit(1)).cast("double")
+      else avg(col("__x").cast("double"))
     val seeds = vectors.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble) }
     (0 until iterations).foldLeft(seeds.toSeq) { (centroids, _) =>
-      val assigned = vectors.withColumn("__c", nearestCentroid(col(vecCol), centroids))
+      val assigned = vectors.withColumn("__c",
+        nearestCentroid(col(vecCol), centroids, exact))
       val updated = assigned
         .select(col("__c"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
         .groupBy("__c", "__p")
-        .agg(avg(col("__x").cast("double")).as("__m"))
+        .agg(mean.as("__m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
@@ -53,18 +68,19 @@ object Ivf {
 
   /** Index: (id, cluster) assignment of every vector. */
   def index(vectors: DataFrame, idCol: String, vecCol: String,
-            centroids: Seq[(Int, Seq[Double])]): DataFrame =
+            centroids: Seq[(Int, Seq[Double])], exact: Boolean = false): DataFrame =
     vectors.select(col(idCol), col(vecCol),
-      nearestCentroid(col(vecCol), centroids).as("cluster"))
+      nearestCentroid(col(vecCol), centroids, exact).as("cluster"))
 
   /** Top-`nprobe` nearest cells per query vector (`idCol` identifies the
     * query row). */
   def probes(queries: DataFrame, idCol: String, vecCol: String,
-             centroids: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+             centroids: Seq[(Int, Seq[Double])], nprobe: Int,
+             exact: Boolean = false): DataFrame = {
     val cells = queries.select(
       col("*"),
       explode(array(centroids.map { case (cid, c) =>
-        struct(lit(cid).as("cluster"), dist2(col(vecCol), c).as("d2"))
+        struct(lit(cid).as("cluster"), dist2(col(vecCol), c, exact).as("d2"))
       }: _*)).as("probe"))
       .select(col("*"), col("probe.cluster").as("cluster"), col("probe.d2").as("d2"))
       .drop("probe")

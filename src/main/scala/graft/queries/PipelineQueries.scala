@@ -714,25 +714,91 @@ object PipelineQueries {
 
     // IVF-style ANN: coarse centroids from one distributed Lloyd iteration,
     // cluster-assignment index, queries probe their 4 nearest cells only —
-    // the data-adaptive counterpart to the hyperplane-LSH path.
-    Q.noOracle("q_ann_ivf") { (spark, dir) =>
+    // the data-adaptive counterpart to the hyperplane-LSH path. Seeds are
+    // deterministic (first k by id) and all distances/means run in exact
+    // decimal, so DuckDB replays the full train → index → probe → rank
+    // pipeline: assignment as an argmin over the seed centroids, the
+    // centroid update as unnest + group-by, and ranking as exact cosine.
+    Q("q_ann_ivf",
+      s"""WITH $vecElemsCte,
+        |s AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |m0 AS (SELECT s.c, v.d, v.x AS m FROM s JOIN ve v USING (vec_id)),
+        |d0 AS (
+        |  SELECT v.vec_id, m0.c,
+        |         CAST(sum(CAST((v.x - m0.m)*(v.x - m0.m) AS DECIMAL(30,15)))
+        |              AS DOUBLE) AS d2
+        |  FROM ve v JOIN m0 ON v.d = m0.d
+        |  GROUP BY v.vec_id, m0.c),
+        |a0 AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |upd AS (
+        |  SELECT a0.c, v.d,
+        |         CAST(sum(CAST(v.x AS DECIMAL(30,15))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS m
+        |  FROM a0 JOIN ve v USING (vec_id) GROUP BY a0.c, v.d),
+        |m1 AS (
+        |  SELECT m0.c, m0.d, coalesce(upd.m, m0.m) AS m
+        |  FROM m0 LEFT JOIN upd ON m0.c = upd.c AND m0.d = upd.d),
+        |dall AS (
+        |  SELECT v.vec_id, m1.c,
+        |         CAST(sum(CAST((v.x - m1.m)*(v.x - m1.m) AS DECIMAL(30,15)))
+        |              AS DOUBLE) AS d2
+        |  FROM ve v JOIN m1 ON v.d = m1.d
+        |  GROUP BY v.vec_id, m1.c),
+        |idx AS (
+        |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |    FROM dall) WHERE rn = 1),
+        |qp AS (
+        |  SELECT vec_id AS query_id, c AS cluster FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |    FROM dall WHERE vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT qp.query_id, idx.neighbor_id
+        |  FROM qp JOIN idx USING (cluster)
+        |  WHERE idx.neighbor_id <> qp.query_id),
+        |$normsCte,
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |         i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+        |                   AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n), 6) AS sim
+        |  FROM cand JOIN norms q ON cand.query_id = q.vec_id
+        |            JOIN norms c ON cand.neighbor_id = c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
-      val centroids = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16)
-      val indexed = graft.ops.Ivf.index(e, "vec_id", "embedding", centroids)
+      val centroids = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16,
+        exact = true)
+      val indexed = graft.ops.Ivf.index(e, "vec_id", "embedding", centroids,
+        exact = true)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-          VectorOps.l2norm(col("embedding")).as("cn"), col("cluster"))
+          normExact(col("embedding")).as("cn"), col("cluster"))
       val queries = graft.ops.Ivf.probes(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            VectorOps.l2norm(col("embedding")).as("qn")),
-        "query_id", "qv", centroids, nprobe = 4)
+            normExact(col("embedding")).as("qn")),
+        "query_id", "qv", centroids, nprobe = 4, exact = true)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       broadcast(queries)
         .join(indexed, Seq("cluster"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          round(VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
             .as("sim"))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
@@ -907,12 +973,39 @@ object PipelineQueries {
     },
 
     // Binary media payloads through per-partition decoders (stubbed decode,
-    // real distribution plumbing) — no SQL twin, rows-only.
-    Q.noOracle("q_multimodal_extract") { (spark, dir) =>
+    // real distribution plumbing). ORACLE-CHECKED: the stub decoder's
+    // dims/frames/checksum are FNV-derived from the payload bytes, which
+    // DuckDB refolds per character in HUGEINT (same contract q_media_meta
+    // proves for the downstream prep plan) — so the mapPartitions decode
+    // path itself is hash-matched, not just non-empty.
+    Q("q_multimodal_extract",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |         length(text) AS n_bytes,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |             list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |               c -> CAST(ascii(c) AS HUGEINT))),
+        |           (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                       % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM documents)
+        |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |       64 + CAST(h % 16 AS BIGINT) * 32 AS width,
+        |       64 + CAST((h // 256) % 9 AS BIGINT) * 32 AS height,
+        |       CASE WHEN modality = 'video'
+        |            THEN 1 + CAST((h // 65536) % 240 AS BIGINT)
+        |            ELSE 1 END AS n_frames,
+        |       CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE h END AS BIGINT) AS checksum
+        |FROM f
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
         .toDF()
-        .select("doc_id", "modality", "n_bytes", "width", "height",
-          "n_frames", "checksum")
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          big(col("width")).as("width"), big(col("height")).as("height"),
+          big(col("n_frames")).as("n_frames"), col("checksum"))
         .orderBy("doc_id")
     },
 
