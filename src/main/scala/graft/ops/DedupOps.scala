@@ -96,12 +96,48 @@ object DedupOps {
   }
 
   /** Pigeonhole blocks for hamming-distance search: 4 16-bit chunks of the
-    * simhash — any pair within hamming distance 3 shares ≥1 exact chunk. */
+    * simhash — any pair within hamming distance 3 shares ≥1 exact chunk.
+    * A 16-bit key space birthday-saturates around 1e5 docs per blocking
+    * group (random-collision candidates grow as n²/2^16); use
+    * [[simhashMultiKeys]] past that. Kept as the small-corpus form and the
+    * executable contrast case for the saturation guard spec. */
   def simhashChunks(sim: Column): Column =
     array((0 until 4).map { c =>
       concat_ws(":", lit(c),
         shiftright(sim, c * 16).bitwiseAND(0xffffL).cast("string"))
     }: _*)
+
+  // ---- multi-index hamming blocks (the at-scale blocking scheme) --------
+
+  /** Block bit-lengths: 64 bits as 4×11 + 2×10, LSB first. */
+  private val BlockLens = Vector(11, 11, 11, 11, 10, 10)
+  private val BlockOffs = BlockLens.scanLeft(0)(_ + _).init
+
+  /** Multi-index hamming blocking (the scheme of Manku et al., WWW'07 §3):
+    * the 64-bit signature splits into 6 blocks; a pair within hamming
+    * distance 3 has ≥3 blocks with no differing bit, so it agrees exactly
+    * on at least one of the C(6,3)=20 block TRIPLES — candidate generation
+    * stays lossless for the hamming≤3 contract while each key carries
+    * 31-33 bits instead of a single chunk's 16. Random-collision candidate
+    * volume drops by ~2^16: n²/2^33-ish per table keeps hamming blocking
+    * sub-quadratic out to 1e6-1e7 docs per blocking group. Each key packs
+    * (table id, three block values) into ONE long — bits [34,39) the table
+    * id, bits [0,33) the concatenated blocks — so the candidate join is a
+    * bare long equi-join, never a string join. */
+  def simhashMultiKeys(sim: Column): Column = {
+    val blocks = BlockLens.zip(BlockOffs).map { case (len, off) =>
+      shiftright(sim, off).bitwiseAND(lit((1L << len) - 1L))
+    }
+    val triples = for {
+      i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6
+    } yield (i, j, k)
+    array(triples.zipWithIndex.map { case ((i, j, k), t) =>
+      shiftleft(blocks(i), BlockLens(j) + BlockLens(k))
+        .bitwiseOR(shiftleft(blocks(j), BlockLens(k)))
+        .bitwiseOR(blocks(k))
+        .bitwiseOR(lit(t.toLong << 34))
+    }: _*)
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -520,8 +520,12 @@ object PipelineQueries {
         .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"), DedupOps.simhashFnv(col("toks")).as("sim"))
+      // multi-index block-triple keys (lossless for hamming≤3, ~32-bit key
+      // space): random-collision candidate volume stays sub-quadratic out
+      // to 1e6-1e7 docs where single 16-bit chunks saturate around 1e5 —
+      // the oracle is unaffected because candidates are verified exactly
       val chunked = sims
-        .withColumn("chunk", explode(DedupOps.simhashChunks(col("sim"))))
+        .withColumn("chunk", explode(DedupOps.simhashMultiKeys(col("sim"))))
       def side(p: String) = chunked.select(col("doc_id").as(s"${p}_id"),
         col("sim").as(s"${p}_sim"), col("chunk"))
       side("a").join(side("b"), "chunk")

@@ -38,4 +38,54 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("multi-index simhash blocking stays sub-quadratic where chunks saturate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // saturation-shaped fixture: uniform random 64-bit signatures (no true
+    // near-dups) — everything the blocker emits is a random collision.
+    // At n=4000, 16-bit chunks expect 4·C(n,2)/2^16 ≈ 488 spurious
+    // candidates (and grow quadratically: 100× docs → 10,000× pairs);
+    // 20 block-triple tables at ~32 bits expect ≈ 0.02.
+    val n = 4000
+    val rnd = new scala.util.Random(11)
+    val sigs = Seq.fill(n)(rnd.nextLong()).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "sim")
+    def candidates(keys: org.apache.spark.sql.Column): Long = {
+      val k = sigs.withColumn("k", explode(keys))
+      k.select($"id".as("a"), $"k")
+        .join(k.select($"id".as("b"), $"k"), "k")
+        .filter($"a" < $"b").select("a", "b").distinct().count()
+    }
+    val viaChunks = candidates(graft.ops.DedupOps.simhashChunks($"sim"))
+    val viaMulti = candidates(graft.ops.DedupOps.simhashMultiKeys($"sim"))
+    info(s"random-collision candidates: chunks=$viaChunks multi=$viaMulti")
+    assert(viaChunks > 100, s"fixture not saturation-shaped: $viaChunks")
+    assert(viaMulti < viaChunks / 20,
+      s"multi-index blocking lost its selectivity: $viaMulti vs $viaChunks")
+    // losslessness: every pair within hamming distance 3 must still be a
+    // candidate (pigeonhole over the 6 blocks — ≥3 untouched blocks form
+    // one of the C(6,3) triple tables)
+    val base = Seq.fill(200)(rnd.nextLong())
+    val perturbed = base.zipWithIndex.flatMap { case (s, i) =>
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val mutated = (0 until flips).foldLeft(s)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      Seq((i.toLong * 2, s), (i.toLong * 2 + 1, mutated))
+    }.toDF("id", "sim")
+    val keys = perturbed.withColumn("k",
+      explode(graft.ops.DedupOps.simhashMultiKeys($"sim")))
+    val found = keys.select($"id".as("a"), $"sim".as("sa"), $"k")
+      .join(keys.select($"id".as("b"), $"sim".as("sb"), $"k"), "k")
+      .filter($"a" < $"b" && bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      .select("a", "b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val expected = perturbed.as[(Long, Long)].collect()
+      .combinations(2).collect {
+        case Array((ia, sa), (ib, sb))
+          if java.lang.Long.bitCount(sa ^ sb) <= 3 =>
+          (math.min(ia, ib), math.max(ia, ib))
+      }.toSet
+    assert(expected.subsetOf(found),
+      s"multi-index blocking dropped ${(expected -- found).size} true pairs")
+  }
 }
