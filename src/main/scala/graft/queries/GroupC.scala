@@ -400,9 +400,9 @@ object GroupC {
     // ONCE; candidate token lists are grouped per doc so each (query
     // token × candidate doc) row evaluates the max over an in-row array —
     // no per-token-pair row explosion. The 20-row query-token side
-    // broadcasts; candidates stream (the brute-force baseline — an
-    // LSH-bucketed variant would reuse q_ann_lsh's bucket join for the
-    // scale path). DECIMAL accumulators keep the dot and the per-query
+    // broadcasts; candidates stream (the brute-force baseline;
+    // q_maxsim_ann is the LSH-prefiltered scale path, and this exact form
+    // is its recall reference). DECIMAL accumulators keep the dot and the per-query
     // sum order-independent; max is order-free by nature.
     Q("q_maxsim",
       """WITH norms AS (

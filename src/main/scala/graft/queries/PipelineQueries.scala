@@ -809,6 +809,91 @@ object PipelineQueries {
         .orderBy("query_id", "rn")
     },
 
+    // ANN-accelerated MaxSim — the scale path q_maxsim (GroupC) keeps as
+    // its exact contract: multi-table LSH keys on every TOKEN vector, a
+    // (qdoc, cdoc) candidate prefilter from bucket collisions (a doc pair
+    // survives iff ≥1 query token collides with ≥1 candidate token), then
+    // exact MaxSim rescoring of survivors only — the candidate stream
+    // never cross-joins. FNV planes + exact-decimal math make the whole
+    // approximate pipeline (keys, candidate set, rescored ranking)
+    // hash-match oracle-checkable, not merely recall-pinned.
+    Q("q_maxsim_ann",
+      s"""WITH ${planesCte("ms", 32)},
+        |$vecElemsCte,
+        |$planeDotsCte,
+        |keys AS (
+        |  SELECT vec_id,
+        |         CAST((p // 4) AS VARCHAR) || ':' ||
+        |           string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY p) AS bucket
+        |  FROM dots GROUP BY vec_id, (p // 4)),
+        |qk AS (SELECT DISTINCT vec_id // 4 AS qdoc, bucket
+        |       FROM keys WHERE vec_id < 20),
+        |ck AS (SELECT DISTINCT vec_id // 8 AS cdoc, bucket
+        |       FROM keys WHERE vec_id >= 40),
+        |cand AS (SELECT DISTINCT qk.qdoc, ck.cdoc FROM qk JOIN ck USING (bucket)),
+        |$normsCte,
+        |qt AS (SELECT vec_id // 4 AS qdoc, embedding, n
+        |       FROM norms WHERE vec_id < 20),
+        |cd AS (SELECT vec_id // 8 AS cdoc,
+        |              list(struct_pack(v := embedding, n := n)) AS toks
+        |       FROM norms WHERE vec_id >= 40 GROUP BY 1),
+        |pair AS (
+        |  SELECT qt.qdoc, cand.cdoc,
+        |         list_max(list_transform(cd.toks, t ->
+        |           CAST(list_sum(list_transform(range(1, len(qt.embedding)+1),
+        |             i -> CAST(CAST(qt.embedding[i] AS DOUBLE)
+        |                       * CAST(t.v[i] AS DOUBLE) AS DECIMAL(30,15))))
+        |                AS DOUBLE) / (qt.n * t.n))) AS best
+        |  FROM cand JOIN cd ON cand.cdoc = cd.cdoc
+        |            JOIN qt ON cand.qdoc = qt.qdoc),
+        |score AS (
+        |  SELECT qdoc, cdoc,
+        |         round(CAST(sum(CAST(best AS DECIMAL(38,15))) AS DOUBLE), 6) AS maxsim
+        |  FROM pair GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qdoc, cdoc, maxsim,
+        |         row_number() OVER (PARTITION BY qdoc
+        |                            ORDER BY maxsim DESC, cdoc) AS rn
+        |  FROM score)
+        |SELECT qdoc, cdoc, maxsim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY qdoc, rn""".stripMargin) { (spark, dir) =>
+      val (tables, planesPerTable) = (8, 4)
+      val planes = Lsh.fnvPlanes(tables * planesPerTable, dim = 64, salt = "ms")
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), normExact(col("embedding")).as("n"))
+      val qt = e.filter(col("vec_id") < 20)
+        .select(expr("vec_id DIV 4").as("qdoc"), col("embedding").as("qv"),
+          col("n").as("qn"))
+      val ct = e.filter(col("vec_id") >= 40)
+      // per-token keys, deduped per DOC before the join: the collision join
+      // moves (doc, bucket) pairs only — token vectors stay out of it
+      val qk = qt.select(col("qdoc"),
+        explode(Lsh.tableKeysExact(col("qv"), planes, tables, planesPerTable))
+          .as("bucket")).distinct()
+      val ck = ct.select(expr("vec_id DIV 8").as("cdoc"),
+        explode(Lsh.tableKeysExact(col("embedding"), planes, tables, planesPerTable))
+          .as("bucket")).distinct()
+      val cand = qk.join(ck, Seq("bucket")).select("qdoc", "cdoc").distinct()
+      val cd = ct.groupBy(expr("vec_id DIV 8").as("cdoc"))
+        .agg(collect_list(struct(col("embedding").as("v"), col("n").as("n")))
+          .as("toks"))
+      val w = Window.partitionBy(col("qdoc"))
+        .orderBy(col("maxsim").desc, col("cdoc"))
+      cand.join(cd, Seq("cdoc")).join(broadcast(qt), Seq("qdoc"))
+        .withColumn("best", array_max(transform(col("toks"), t =>
+          VectorOps.dotExact(col("qv"), t.getField("v")) /
+            (col("qn") * t.getField("n")))))
+        .groupBy("qdoc", "cdoc")
+        .agg(round(sum(col("best").cast(DecimalType(38, 15))).cast(DoubleType), 6)
+          .as("maxsim"))
+        .withColumn("rn", big(row_number().over(w)))
+        .filter(col("rn") <= 3)
+        .select("qdoc", "cdoc", "maxsim", "rn")
+        .orderBy("qdoc", "rn")
+    },
+
     // Per-label centroid: posexplode + exact-decimal mean per component —
     // the UDAF-shaped aggregation, expressed as a first-class hash agg.
     Q("q_vector_centroid",
