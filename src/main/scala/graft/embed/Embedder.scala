@@ -37,7 +37,7 @@ final class DeterministicHashEmbedder(val dim: Int = 16) extends Embedder {
       // needed, and the whole per-component chain stays one linear byte
       // fold an external SQL engine can replay in 128-bit integer
       // arithmetic (this is what makes q_embed_det oracle-checkable).
-      val h = Fnv1a64.hash("#" + i + "#" + text)
+      val h = Fnv1a64.hashCodePoints("#" + i + "#" + text)
       // map to [-1, 1) with 2^20 distinct levels; every value is the exact
       // rational bucket/2^19 - 1 (representable in float), so downstream
       // integer recovery of the bucket is lossless.

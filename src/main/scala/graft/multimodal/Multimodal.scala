@@ -61,6 +61,14 @@ object Multimodal {
   * bytes. The Spark-side plumbing (schema, per-partition lifecycle, batch
   * shape) is real and tested; swap [[StubDecoder.decode]] for a JNI/FFI
   * binding to get a production decoder.
+  *
+  * Contract note: the checksum folds payload BYTES — the right semantic
+  * for binary media (there are no "characters" in pixel data) — while the
+  * SQL oracles of q_media_meta / q_multimodal_extract / q_frame_dedup
+  * refold the fixture's text per CHARACTER. The two coincide exactly when
+  * the fixture corpus is pure ASCII, which DedupSpec guards as an explicit
+  * precondition (the text kernels, by contrast, fold codepoints and hold
+  * for arbitrary text).
   */
 final class StubDecoder private () extends Serializable {
   def decode(r: MediaRow): MediaFeatures = {

@@ -60,6 +60,46 @@ object Fnv1a64 {
     h
   }
 
+  /** Continue an FNV-1a fold over the string's Unicode CODEPOINTS — one
+    * xor-multiply per codepoint rather than per UTF-8 byte. Identical to
+    * [[fold]] on ASCII; on non-ASCII it matches an external SQL engine
+    * that replays the fold per CHARACTER (DuckDB's `ascii(c)` over
+    * `string_split(s, '')` yields the codepoint), which is the
+    * cross-engine contract every oracle-checked TEXT kernel promises
+    * (MinHashSigFnv, SimHashFnv64, ChunkSplit, the deterministic
+    * embedder). The byte fold above stays the point-id scheme: that one is
+    * reference-faithful (qdrant.go:174-179 hashes bytes) and its
+    * oracle-checked inputs are ASCII by construction (digit/comma
+    * strings), where the two folds coincide. */
+  def foldCodePoints(state: Long, s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = state
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var k = 1
+        while (k < len && i + k < bytes.length) {
+          cp = (cp << 6) | (bytes(i + k) & 0x3f)
+          k += 1
+        }
+      }
+      h ^= cp.toLong
+      h *= Prime
+      i += len
+    }
+    h
+  }
+
+  def hashCodePoints(s: UTF8String): Long = foldCodePoints(Offset, s)
+
+  def hashCodePoints(s: String): Long = hashCodePoints(UTF8String.fromString(s))
+
   def column(c: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(Fnv1a64(GraftBridge.expression(c)))

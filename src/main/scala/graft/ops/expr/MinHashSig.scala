@@ -47,13 +47,15 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
 /** [[MinHashSig]] with FNV-1a 64 permutation hashes instead of salted
   * xxhash64: permutation p of a token is `fnv1a64("#p#" + token)` (the
-  * leading salt avalanches through every token byte), minimized in SIGNED
-  * 64-bit order on both engines. FNV is a linear byte fold an external SQL
-  * engine replays per character in 128-bit arithmetic, which makes the
-  * whole signature — and everything derived from it (band collisions,
-  * agreement estimates) — cross-engine checkable. The kernel folds each
-  * permutation's precomputed prefix state through the token bytes, so a
-  * token's bytes stream once per permutation with zero allocations.
+  * leading salt avalanches through every subsequent position), minimized
+  * in SIGNED 64-bit order on both engines. The fold is per Unicode
+  * CODEPOINT ([[Fnv1a64.foldCodePoints]]) — exactly what an external SQL
+  * engine replays per character in 128-bit arithmetic — which makes the
+  * whole signature, and everything derived from it (band collisions,
+  * agreement estimates), cross-engine checkable for ARBITRARY text, not
+  * just ASCII where bytes and characters coincide. The kernel folds each
+  * permutation's precomputed prefix state through the token's codepoints,
+  * so a token streams once per permutation with zero allocations.
   */
 case class MinHashSigFnv(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -103,7 +105,7 @@ object MinHashSig {
       while (p < numHashes) {
         val h =
           if (tok == null) prefixes(p)
-          else Fnv1a64.fold(prefixes(p), tok)
+          else Fnv1a64.foldCodePoints(prefixes(p), tok)
         if (h < mins(p)) mins(p) = h
         p += 1
       }

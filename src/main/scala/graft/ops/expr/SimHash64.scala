@@ -47,13 +47,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** [[SimHash64]] with FNV-1a 64 as the per-token hash instead of xxhash64.
   *
-  * Same ±1 bit-counting arithmetic; the token hash is [[Fnv1a64.hash]] (a
+  * Same ±1 bit-counting arithmetic; the token hash is
+  * [[Fnv1a64.hashCodePoints]] — a linear fold over Unicode CODEPOINTS (a
   * null token contributes the FNV offset basis, i.e. the empty-string
-  * hash). FNV-1a is a linear byte fold an external SQL engine can replay
-  * (per-char HUGEINT arithmetic), which makes signatures — and therefore
-  * the whole near-dup pair set — cross-engine checkable, where xxhash64's
-  * block mixing is not practically re-expressible. Oracle-facing queries
-  * use this variant; [[SimHash64]] remains for xxhash64-keyed paths.
+  * hash). An external SQL engine replays exactly that per-character in
+  * HUGEINT arithmetic, which makes signatures — and therefore the whole
+  * near-dup pair set — cross-engine checkable for arbitrary text, where
+  * xxhash64's block mixing is not practically re-expressible.
+  * Oracle-facing queries use this variant; [[SimHash64]] remains for
+  * xxhash64-keyed paths.
   */
 case class SimHashFnv64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -110,7 +112,7 @@ object SimHash64 {
     while (i < n) {
       val h =
         if (arr.isNullAt(i)) Fnv1a64.hash(UTF8String.fromString(""))
-        else Fnv1a64.hash(arr.getUTF8String(i))
+        else Fnv1a64.hashCodePoints(arr.getUTF8String(i))
       accumulate(counts, h)
       i += 1
     }

@@ -210,8 +210,13 @@ final class BinarySegmentReader(path: String, startLsn: Long,
     val in = fs.open(p)
     val bytes =
       try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
+        // one segment is buffered per partition; past 2 GiB the Int cast
+        // would overflow (truncated read) — fail with the remedy instead
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Int.MaxValue,
+          s"segment $path is $len bytes; split segments above 2 GiB — " +
+            "the replay reader buffers one whole segment per partition")
+        val buf = new Array[Byte](len.toInt)
         in.readFully(0, buf)
         buf
       } finally in.close()

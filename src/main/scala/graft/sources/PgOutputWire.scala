@@ -44,7 +44,9 @@ object PgOutputWire {
       after: Option[Map[String, String]],
       lsn: Long)
 
-  private final case class Relation(
+  /** Relation-cache entry (public so a multi-segment reader can seed
+    * [[decodeSegment]] with the previous segment's cache). */
+  final case class Relation(
       namespace: String, name: String, cols: Array[String])
 
   private final case class Pending(
@@ -54,11 +56,26 @@ object PgOutputWire {
 
   /** Decode one framed segment into its committed changes. `idColumn`
     * resolves the per-table primary-key column (reference:
-    * internal/config/config.go:61-66 mapping.id_column; default "id"). */
+    * internal/config/config.go:61-66 mapping.id_column; default "id").
+    *
+    * Segment contract: a live pgoutput connection sends each Relation
+    * message ONCE per session, while this replay decoder starts each
+    * segment with an empty relation cache — so segment files must be
+    * SELF-CONTAINED (every relId preceded by its Relation message in the
+    * same file), which is how the capture path writes them. A reader
+    * carrying state across segment files can seed the cache via
+    * `seedRelations`; a relId with no Relation from either source fails
+    * with an actionable error rather than a bare key miss. */
   def decodeSegment(bytes: Array[Byte],
-                    idColumn: String => String = _ => "id"): Seq[Change] = {
+                    idColumn: String => String = _ => "id",
+                    seedRelations: Map[Int, Relation] = Map.empty): Seq[Change] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val relations = mutable.Map[Int, Relation]()
+    val relations = mutable.Map[Int, Relation]() ++= seedRelations
+    def relationOf(relId: Int): Relation = relations.getOrElse(relId,
+      throw new IllegalStateException(
+        s"unknown relation id $relId: segment is missing its Relation " +
+          "message (segments must be self-contained, or pass the prior " +
+          "segment's relation cache as seedRelations)"))
     val pending = mutable.ArrayBuffer[Pending]()
     val out = mutable.ArrayBuffer[Change]()
 
@@ -88,16 +105,16 @@ object PgOutputWire {
         case 'I' =>
           val relId = m.getInt()
           require(m.get() == 'N', "insert must carry a new tuple")
-          val after = tuple(m, relations(relId).cols)
+          val after = tuple(m, relationOf(relId).cols)
           pending += Pending("c", relId, None, Some(after))
         case 'U' =>
           val relId = m.getInt()
           val tag = m.get()
           if (tag == 'K' || tag == 'O') {
-            tuple(m, relations(relId).cols) // old tuple parsed, DISCARDED
+            tuple(m, relationOf(relId).cols) // old tuple parsed, DISCARDED
             require(m.get() == 'N', "update must carry a new tuple")
           } else require(tag == 'N', s"unexpected update tuple tag $tag")
-          val after = tuple(m, relations(relId).cols)
+          val after = tuple(m, relationOf(relId).cols)
           pending += Pending("u", relId, None, Some(after))
         case 'D' =>
           val relId = m.getInt()
@@ -106,14 +123,14 @@ object PgOutputWire {
             if (tag == 'K' || tag == 'O')
               // a zero-column identity tuple is "no old tuple" — the blind
               // delete case (reference: postgres.go:602-619)
-              Some(tuple(m, relations(relId).cols)).filter(_.nonEmpty)
+              Some(tuple(m, relationOf(relId).cols)).filter(_.nonEmpty)
             else None
           pending += Pending("d", relId, before, None)
         case 'C' => // Commit: flags(1) commitLSN(8) endLSN(8) ts(8)
           m.get()
           val commitLsn = m.getLong()
           pending.foreach { p =>
-            val rel = relations(p.relId)
+            val rel = relationOf(p.relId)
             val idCol = idColumn(s"${rel.namespace}.${rel.name}")
             val pk = p.op match {
               case "d" => p.before.flatMap(_.get(idCol)).flatMap(Option(_))
@@ -155,8 +172,16 @@ object PgOutputWire {
           b.get(bs)
           new String(bs, StandardCharsets.UTF_8)
         case 'n' | 'u' => null
-        case other => throw new IllegalArgumentException(
-          s"unknown tuple column tag $other")
+        case 'b' =>
+          // binary representation (publication binary = true): a
+          // text-mode consumer can't decode it — consume the framed
+          // payload and degrade to null, like the reference's default
+          // case (postgres.go parseTupleData), instead of failing the
+          // partition
+          val len = b.getInt()
+          b.position(b.position() + len)
+          null
+        case _ => null // unknown tag → null (reference default case)
       }
       if (i < cols.length) m += (cols(i) -> v)
       i += 1

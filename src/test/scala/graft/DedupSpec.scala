@@ -183,7 +183,7 @@ class DedupSpec extends SparkSpec {
     import graft.ops.expr.ChunkSplit
     val s = "the quick brown fox jumps over the lazy dog and then runs far " +
       "away into the woods tonight again"
-    // pinned against an independent implementation of the 8-byte-window
+    // pinned against an independent implementation of the 8-char-window
     // FNV boundary rule (hash % 32 == 0)
     val parts = Seq(Tuple1(s)).toDF("t")
       .select(ChunkSplit.column($"t").as("c")).head().getSeq[String](0)
@@ -204,6 +204,85 @@ class DedupSpec extends SparkSpec {
       .select(ChunkSplit.column($"t")).head().getSeq[String](0).isEmpty)
     assert(Seq(Tuple1("short")).toDF("t")
       .select(ChunkSplit.column($"t")).head().getSeq[String](0) == Seq("short"))
+  }
+
+  test("FNV text kernels fold codepoints — the oracle contract beyond ASCII") {
+    import graft.ops.expr.{ChunkSplit, Fnv1a64}
+    // independent per-codepoint reimplementation of what the DuckDB oracles
+    // compute: ascii(c) per character of string_split(s, '')
+    def refFold(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h ^= cp.toLong; h *= 0x100000001b3L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val texts = Seq("héllo wörld", "中文 文本", "plain ascii", "emoji 🚀 test")
+    texts.foreach(t => assert(Fnv1a64.hashCodePoints(t) == refFold(t)))
+    // simhash of a single token is the token's hash (±1 counting over one
+    // element reproduces its bit pattern) — pins the kernel's fold
+    Seq("café", "中文", "ascii").foreach { tok =>
+      val got = Seq(Tuple1(Seq(tok))).toDF("t")
+        .select(DedupOps.simhashFnv($"t")).head().getLong(0)
+      assert(got == refFold(tok), s"simhash fold diverged on '$tok'")
+    }
+    // minhash permutation p = min over tokens of fold("#p#" + token)
+    val toks = Seq("café", "中文")
+    val sig = Seq(Tuple1(toks)).toDF("t")
+      .select(DedupOps.minhashSignatureFnv($"t", 4)).head().getSeq[Long](0)
+    (0 until 4).foreach { p =>
+      assert(sig(p) == toks.map(tok => refFold(s"#$p#$tok")).min)
+    }
+    // deterministic embedder: same codepoint fold behind each component
+    val emb = new graft.embed.DeterministicHashEmbedder(4).embed("café")
+    val expected = (0 until 4).map(i =>
+      ((refFold(s"#$i#café") >>> 44).toInt / 524288.0f) - 1.0f)
+    assert(emb.toSeq == expected)
+    // chunk boundaries land BETWEEN characters: chunks reassemble exactly,
+    // and match a char-level reference splitter (a byte-offset splitter
+    // would bisect multi-byte characters and emit invalid UTF-8)
+    def refChunks(s: String): Seq[String] = {
+      val cps = s.codePoints.toArray
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var lo = 0
+      for (j <- 8 to cps.length) {
+        var h = 0xcbf29ce484222325L
+        for (k <- j - 8 until j) { h ^= cps(k).toLong; h *= 0x100000001b3L }
+        if (java.lang.Math.floorMod(h, 32L) == 0L) {
+          out += new String(cps, lo, j - lo)
+          lo = j
+        }
+      }
+      if (lo < cps.length) out += new String(cps, lo, cps.length - lo)
+      out.toSeq
+    }
+    // boundaries are probabilistic (hash % 32): embed the ASCII sentence
+    // whose boundaries the pinned test above proves exist, flanked by
+    // multi-byte text so chunk slices cross non-ASCII regions
+    val payload = "héllo wörld à la carte ¡ñandú! 中文数据 🚀 " +
+      "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the woods tonight again ünd wieder 中文"
+    val parts = Seq(Tuple1(payload)).toDF("t")
+      .select(ChunkSplit.column($"t")).head().getSeq[String](0)
+    assert(parts.mkString == payload)
+    assert(parts == refChunks(payload))
+    assert(parts.size > 1, "fixture payload produced no content boundary")
+  }
+
+  test("fixture corpus is ASCII — the byte-folding media stub's oracle precondition") {
+    // the multimodal stub decoder folds payload BYTES (binary payloads have
+    // no characters; a real decoder hashes pixel data), while its oracle
+    // folds per character — equivalent iff the fixture text is pure ASCII.
+    // Guard that precondition so datagen drift fails loudly, not as a
+    // silent oracle divergence.
+    val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+      .count(t => t != null && t.exists(_ >= 0x80))
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII documents break the byte-vs-char fold equivalence")
   }
 
   test("native expressions register for SQL (simhash64/vec_dot/jaccard_sorted/minhash_sig)") {
