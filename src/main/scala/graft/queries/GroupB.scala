@@ -95,6 +95,86 @@ object GroupB {
         .orderBy("c_custkey")
     },
 
+    // TPC-H Q3 shape (shipping-priority): the canonical 3-table
+    // dim⋈fact⋈fact headline. The filtered BUILDING customer slice
+    // broadcasts into the date-filtered orders scan (semi-reducing it
+    // before any wide shuffle); only then does the one genuine fact-fact
+    // shuffle join with lineitem run, on the join key both sides already
+    // need — at 1000 executors that is one co-partitioned exchange of
+    // pre-filtered rows, not three. Revenue sums exactly in DECIMAL;
+    // top-10 is a TakeOrdered, never a global sort.
+    Q("q_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        |            AS DOUBLE) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+      val cust = tbl(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          dstr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q10 shape (returned-item report): 4-table join where the
+    // aggregation keys are CUSTOMER attributes — facts join first on
+    // orderkey, the result shuffles once on custkey into customer, and
+    // the 25-row nation table broadcasts last. Customer is a growing
+    // dimension (1.5M rows per TPC-H SF), so it is deliberately NOT
+    // broadcast — the custkey shuffle is the honest 100TB plan.
+    Q("q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        |            AS DOUBLE) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (spark, dir) =>
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = tbl(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = tbl(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // TPC-H Q1 shape: hash aggregate with map-side partial aggregation;
     // the group-by key cardinality is tiny so the shuffle is a few rows.
     Q("q_agg_hash",

@@ -39,6 +39,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("TPC-H headline joins: hinted dims broadcast, fact-fact shuffles") {
+    // disable size-based auto-broadcast so the asserted shapes are the
+    // ones a 100TB run would get (where no fact side fits the threshold):
+    // explicit broadcast() hints must survive, everything else must
+    // shuffle on its join key
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      for (name <- Seq("q_tpch_q3", "q_tpch_q10")) {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.sparkPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name lost its dimension broadcast")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name fact-fact join is not a shuffle join")
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerate join")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("multi-index simhash blocking stays sub-quadratic where chunks saturate") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
