@@ -178,6 +178,88 @@ object DedupOps {
       throw new IllegalArgumentException(
         s"setMasks supports vocabularies up to ${MaskWords * 64} tokens"))
 
+  /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac) for
+    * a corpus of (doc_id, lang, toks) rows, where `toks` is the SORTED
+    * distinct token set ([[sortedTokenSet]]) and never empty. Candidates
+    * come from MinHash band buckets (16 salted-hash perms, 8 bands × 2
+    * rows, lang folded into the bucket key), NOT a within-language
+    * all-pairs join. At the 0.95 threshold a true pair misses all 8 bands
+    * with probability (1 − 0.95²)⁸ ≈ 1e-8.
+    *
+    * Verification payload adapts to the vocabulary: 4 flat mask words +
+    * size on a closed ≤256-token vocabulary (inline AND+popcount), deduped
+    * bare id pairs + the native merge-Jaccard kernel otherwise — identical
+    * integers either way, so results don't depend on which path ran
+    * (ScaleOpsSpec proves the two paths emit the same pair set).
+    * `forceOpenVocab` exists for that equivalence proof (and for corpora
+    * where the vocabulary probe collect is undesirable).
+    *
+    * Hot-path mechanics (each proven individually at sf0.1):
+    *  - band keys join as xxhash64 LONGS, not ~50-char strings (a hash
+    *    collision only adds a candidate that exact verification rejects);
+    *  - per-document kernels (signature, size, mask) attach BEFORE the
+    *    band explode, so each runs once per document, not once per band;
+    *  - an integer size-ratio prefilter runs inside the join: round(jac,6)
+    *    ≥ 0.95 implies min(sz)/max(sz) ≥ 0.9499995, checked at the
+    *    slightly looser 0.949999 so the bound can never drop a true pair;
+    *  - the BigDecimal `round` runs only on raw-threshold survivors
+    *    (~true pairs), never on the candidate stream.
+    */
+  def nearDupPairs(docs: org.apache.spark.sql.DataFrame,
+                   forceOpenVocab: Boolean = false): org.apache.spark.sql.DataFrame = {
+    def banding(base: org.apache.spark.sql.DataFrame) = base
+      .withColumn("sig", minhashSignature(col("toks"), 16))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("band", explode(bandKeys(col("sig"), 8, 2)))
+      .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
+    // lang rides both sides and is re-checked at the join: bh already
+    // folds lang in, but a bucket-key xxhash64 collision would otherwise
+    // admit a cross-language pair that genuine Jaccard verification CANNOT
+    // reject — the equality restores the exact contract instead of a
+    // 2^-64 argument.
+    val sizeOk =
+      col("alang") === col("blang") &&
+        least(col("asz"), col("bsz")) * 2000000L >=
+          greatest(col("asz"), col("bsz")) * 1899998L
+    def finish(withRaw: org.apache.spark.sql.DataFrame) = withRaw
+      .filter(col("raw") >= 0.949999)
+      .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("jac"))
+      .filter(col("jac") >= 0.95)
+      .distinct()
+    val vocabOpt = if (forceOpenVocab) None else closedVocab(docs, "toks")
+    vocabOpt match {
+      case Some(vocab) =>
+        val banded = banding(docs
+          .withColumn("mask", tokenSetMask(col("toks"), vocab)))
+          .select(col("doc_id") +: col("lang") +: col("bh") +: col("sz") +:
+            (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
+        def side(p: String) = banded.select(
+          col("doc_id").as(s"${p}_id") +: col("lang").as(s"${p}lang") +:
+            col("bh") +: col("sz").as(s"${p}sz") +:
+            (0 to 3).map(w => col(s"w$w").as(s"$p$w")): _*)
+        val inter = (0 to 3).map(w =>
+          bit_count(col(s"a$w").bitwiseAND(col(s"b$w")))).reduce(_ + _)
+        finish(side("a").join(side("b"), Seq("bh"))
+          .filter(col("a_id") < col("b_id") && sizeOk)
+          .select(col("a_id"), col("b_id"),
+            (inter.cast("double") /
+              (col("asz") + col("bsz") - inter).cast("double")).as("raw")))
+      case None =>
+        val bandedIds = banding(docs)
+        def ids(p: String) = bandedIds.select(
+          col("doc_id").as(s"${p}_id"), col("lang").as(s"${p}lang"),
+          col("bh"), col("sz").as(s"${p}sz"))
+        val pairs = ids("a").join(ids("b"), Seq("bh"))
+          .filter(col("a_id") < col("b_id") && sizeOk)
+          .select("a_id", "b_id").distinct()
+        def toks(p: String) = docs.select(
+          col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
+        finish(pairs.join(toks("a"), "a_id").join(toks("b"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            jaccardSorted(col("at"), col("bt")).as("raw")))
+    }
+  }
+
   /** Corpus vocabulary index when it fits the mask capacity, else None.
     * One bounded limit-(cap+1) collect (≤ 257 rows on the driver). */
   def closedVocab(docs: org.apache.spark.sql.DataFrame,

@@ -78,30 +78,12 @@ object PipelineQueries {
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
     * pair table is a pipeline artifact both q_ngram_jaccard and
-    * q_dup_components consume — a real pipeline computes it once.
-    *
-    * Candidates come from MinHash band buckets (16 salted-hash perms,
-    * 8 bands × 2 rows, lang folded into the bucket key), NOT from a
-    * within-language all-pairs join — per-language blocking is quadratic in
-    * corpus size. At the 0.95 threshold a true pair misses all 8 bands with
-    * probability (1 − 0.95²)⁸ ≈ 1e-8, recall-safe for the oracle, which
-    * recomputes the exact pair set its own all-pairs way.
-    *
-    * Hot-path mechanics (each proven individually at sf0.1):
-    *  - band keys join as xxhash64 LONGS, not ~50-char strings (a hash
-    *    collision only adds a candidate that exact verification rejects);
-    *  - per-document kernels (signature, size, mask) attach BEFORE the band
-    *    explode, so each runs once per document, not once per band;
-    *  - an integer size-ratio prefilter runs inside the join: round(jac,6)
-    *    ≥ 0.95 implies min(sz)/max(sz) ≥ 0.9499995, checked at the slightly
-    *    looser 0.949999 so the bound can never drop an oracle pair;
-    *  - verification payloads stay bytes-sized: 4 flat mask words + size on
-    *    a closed vocabulary (inline AND+popcount), deduped bare id pairs +
-    *    the native merge-Jaccard kernel on open vocabularies — identical
-    *    integers either way, so the oracle does not depend on the path;
-    *  - the BigDecimal `round` runs only on raw-threshold survivors
-    *    (~true pairs), never on the multi-million-pair candidate stream.
-    */
+    * q_dup_components consume — a real pipeline computes it once. The
+    * banding/verification pipeline itself is [[DedupOps.nearDupPairs]]
+    * (recall math, size prefilter, closed-vs-open-vocabulary payloads and
+    * their equivalence proof documented there); the oracle recomputes the
+    * exact pair set its own all-pairs way, so it does not depend on which
+    * verification path ran. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionCache.getOrMaterialize(spark, s"jaccard_pairs:$dir") {
       val docs = tbl(spark, dir, "documents")
@@ -112,56 +94,7 @@ object PipelineQueries {
         // prefilter, a quadratic candidate blob verification must drain.
         // They can never emit (0/0 Jaccard is null), so drop them up front.
         .filter(size(col("toks")) > 0)
-      def banding(base: DataFrame): DataFrame = base
-        .withColumn("sig", DedupOps.minhashSignature(col("toks"), 16))
-        .withColumn("sz", size(col("toks")))
-        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 8, 2)))
-        .withColumn("bh", xxhash64(concat_ws("|", col("lang"), col("band"))))
-      // lang rides both sides and is re-checked at the join: bh already
-      // folds lang in, but a bucket-key xxhash64 collision would otherwise
-      // admit a cross-language pair that genuine Jaccard verification CANNOT
-      // reject (the oracle's join is `a.lang = b.lang`) — the equality
-      // restores the exact oracle contract instead of a 2^-64 argument.
-      val sizeOk =
-        col("alang") === col("blang") &&
-          least(col("asz"), col("bsz")) * 2000000L >=
-            greatest(col("asz"), col("bsz")) * 1899998L
-      def finish(withRaw: DataFrame): DataFrame = withRaw
-        .filter(col("raw") >= 0.949999)
-        .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("jac"))
-        .filter(col("jac") >= 0.95)
-        .distinct()
-      DedupOps.closedVocab(docs, "toks") match {
-        case Some(vocab) =>
-          val banded = banding(docs
-            .withColumn("mask", DedupOps.tokenSetMask(col("toks"), vocab)))
-            .select(col("doc_id") +: col("lang") +: col("bh") +: col("sz") +:
-              (0 to 3).map(w => element_at(col("mask"), w + 1).as(s"w$w")): _*)
-          def side(p: String) = banded.select(
-            col("doc_id").as(s"${p}_id") +: col("lang").as(s"${p}lang") +:
-              col("bh") +: col("sz").as(s"${p}sz") +:
-              (0 to 3).map(w => col(s"w$w").as(s"$p$w")): _*)
-          val inter = (0 to 3).map(w =>
-            bit_count(col(s"a$w").bitwiseAND(col(s"b$w")))).reduce(_ + _)
-          finish(side("a").join(side("b"), Seq("bh"))
-            .filter(col("a_id") < col("b_id") && sizeOk)
-            .select(col("a_id"), col("b_id"),
-              (inter.cast("double") /
-                (col("asz") + col("bsz") - inter).cast("double")).as("raw")))
-        case None =>
-          val bandedIds = banding(docs)
-          def ids(p: String) = bandedIds.select(
-            col("doc_id").as(s"${p}_id"), col("lang").as(s"${p}lang"),
-            col("bh"), col("sz").as(s"${p}sz"))
-          val pairs = ids("a").join(ids("b"), Seq("bh"))
-            .filter(col("a_id") < col("b_id") && sizeOk)
-            .select("a_id", "b_id").distinct()
-          def toks(p: String) = docs.select(
-            col("doc_id").as(s"${p}_id"), col("toks").as(s"${p}t"))
-          finish(pairs.join(toks("a"), "a_id").join(toks("b"), "b_id")
-            .select(col("a_id"), col("b_id"),
-              DedupOps.jaccardSorted(col("at"), col("bt")).as("raw")))
-      }
+      DedupOps.nearDupPairs(docs)
     }
 
   val all: Seq[Q] = Seq(

@@ -33,6 +33,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedSum == directSum) // decimal partials → exact, order-free
   }
 
+  test("open-vocabulary near-dup path: fallback selected, pairs match mask path") {
+    import graft.ops.DedupOps
+    // synthetic corpus whose vocabulary EXCEEDS the 256-token mask cap, so
+    // the production entry point must select the merge-Jaccard fallback —
+    // the path the ASCII fixtures (≤256 distinct tokens) never exercise.
+    // Structure: 150 base docs of 30 tokens from a 400-token vocabulary,
+    // each followed by a clone missing one token (jaccard 29/30 ≈ 0.967).
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 400).map(i => s"tok$i")
+    val docs = (0 until 150).flatMap { i =>
+      val toks = rnd.shuffle(vocab).take(30).sorted
+      Seq((i.toLong * 2, "en", toks), (i.toLong * 2 + 1, "en", toks.tail))
+    }.toDF("doc_id", "lang", "toks")
+    assert(DedupOps.closedVocab(docs, "toks").isEmpty,
+      "corpus fits the mask cap — not an open-vocabulary fixture")
+    val got = DedupOps.nearDupPairs(docs)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // independent all-pairs oracle over the same corpus
+    val all = docs.as[(Long, String, Seq[String])].collect()
+    val expected = all.combinations(2).collect {
+      case Array((ia, _, ta), (ib, _, tb)) =>
+        val inter = ta.toSet.intersect(tb.toSet).size
+        val jac = inter.toDouble / (ta.size + tb.size - inter)
+        (math.min(ia, ib), math.max(ia, ib)) ->
+          BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 >= 0.95).toMap
+    assert(expected.nonEmpty && got == expected,
+      s"open-vocab pairs diverged: got ${got.size}, expected ${expected.size}")
+    // path equivalence on a shared ≤256-vocab sub-corpus: the mask path
+    // (natural selection) and the forced open path must emit identical
+    // integers — the "results don't depend on which path ran" contract
+    val small = (0 until 60).flatMap { i =>
+      val toks = rnd.shuffle(vocab.take(200)).take(25).sorted
+      Seq((i.toLong * 2, "en", toks), (i.toLong * 2 + 1, "en", toks.tail))
+    }.toDF("doc_id", "lang", "toks")
+    assert(DedupOps.closedVocab(small, "toks").isDefined)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val viaMask = pairSet(DedupOps.nearDupPairs(small))
+    val viaMerge = pairSet(DedupOps.nearDupPairs(small, forceOpenVocab = true))
+    assert(viaMask.nonEmpty && viaMask == viaMerge)
+  }
+
   test("vector-store compaction preserves current state, shrinks the log") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val store = new ParquetVectorStore(dir)
