@@ -33,11 +33,29 @@ object Ivf {
       struct(dist2(v, c, exact).as("d2"), lit(cid).as("cluster"))
     }: _*)).getField("cluster")
 
+  /** Above this k, [[train]] switches from literal-expression Lloyd steps
+    * to the join-based [[trainDf]] pipeline: a literal argmin embeds k
+    * structs per row in the expression tree, and the update's driver
+    * collect pulls k×dim doubles — both fine at coarse-quantizer sizes
+    * (k ≤ a few dozen) and wrong at k in the tens of thousands (k=65536,
+    * dim=1024 is a 256MB driver pull per iteration). */
+  val MaxLiteralK = 64
+
   /** Train k coarse centroids: deterministic seeds (first k vectors by id),
     * then `iterations` Lloyd steps executed as DataFrame jobs. Returns the
-    * k×dim table (small; safe to collect/broadcast). */
+    * k×dim table (small; safe to collect/broadcast). Above [[MaxLiteralK]]
+    * the iterations run through [[trainDf]] (one bounded k×dim collect at
+    * the very end to honor this signature — callers at extreme k should
+    * consume [[trainDf]] + [[assignByJoin]] and never materialize
+    * centroids on the driver at all). */
   def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
             iterations: Int = 1, exact: Boolean = false): Seq[(Int, Seq[Double])] = {
+    if (k > MaxLiteralK) {
+      return trainDf(vectors, idCol, vecCol, k, iterations, exact)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+    }
     // exact mode: the centroid mean is an exact DECIMAL(30,15) sum divided
     // in double — order-independent, so the trained centroids (and every
     // distance computed against them) replay bit-identically elsewhere
@@ -65,6 +83,65 @@ object Ivf {
       centroids.map { case (c, prev) => c -> updated.getOrElse(c, prev) }
     }
   }
+
+  private def dist2Cols(v: Column, c: Column, exact: Boolean): Column =
+    if (exact) VectorOps.dist2Exact(v, c)
+    else graft.ops.expr.VecMath.dist2Column(v, c)
+
+  /** Lloyd training entirely as DataFrame jobs — the large-k path: the
+    * centroid table stays a (cluster, centroid) DataFrame end to end, so
+    * nothing k×dim-sized ever reaches the driver and no expression embeds
+    * k literals. Assignment is [[assignByJoin]]; the update re-assembles
+    * per-cluster component means into arrays inside one hash agg; empty
+    * cells keep their previous centroid via the left join. Each round
+    * localCheckpoints eagerly — iterative self-joins otherwise double the
+    * logical plan per iteration. Arithmetic (and the `exact` decimal mode)
+    * is identical to the literal path: IvfSpec proves the two produce the
+    * same centroids at the same k. */
+  def trainDf(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              iterations: Int = 1, exact: Boolean = false): DataFrame = {
+    val mean: Column =
+      if (exact)
+        sum(col("__x").cast("double").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double") / count(lit(1)).cast("double")
+      else avg(col("__x").cast("double"))
+    // seeds: first k by id; the row_number window spans only the k-row
+    // limit result, never the corpus
+    val seeds = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__sid"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .withColumn("cluster", row_number().over(Window.orderBy(col("__sid"))) - 1)
+      .select(col("cluster"), col("centroid"))
+      .localCheckpoint(true)
+    (0 until iterations).foldLeft(seeds) { (centroids, _) =>
+      val assigned = assignByJoin(vectors, idCol, vecCol, centroids, exact)
+      val updated = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy("cluster", "__p")
+        .agg(mean.as("__m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m")).as("upd"))
+      centroids.join(updated, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("upd"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Assignment without literal expressions: vectors stream past the
+    * broadcast (cluster, centroid) table; the per-vector argmin is a
+    * `min` over (d2, cluster) structs in one hash agg — ties break to the
+    * lowest cluster, the same contract as [[nearestCentroid]]. Returns
+    * (idCol, vecCol, cluster). */
+  def assignByJoin(vectors: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, exact: Boolean = false): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        struct(dist2Cols(col(vecCol), col("centroid"), exact).as("d2"),
+          col("cluster")).as("__dc"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        min(col("__dc")).getField("cluster").as("cluster"))
 
   /** Index: (id, cluster) assignment of every vector. */
   def index(vectors: DataFrame, idCol: String, vecCol: String,

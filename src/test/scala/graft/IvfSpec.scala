@@ -36,6 +36,36 @@ class IvfSpec extends SparkSpec {
     assert(joined == 5)
   }
 
+  test("large-k training: DataFrame path equals the literal path, no k-literal plans") {
+    // synthetic corpus big enough for k=256 (the fixture has too few rows):
+    // 600 16-dim vectors with a fixed seed
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 600).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    // equivalence at a k both paths handle, in exact-decimal mode so the
+    // comparison is bit-for-bit (double aggregation order differs between
+    // the two pipelines otherwise)
+    val viaLiteral = Ivf.train(vecs, "vec_id", "embedding", k = 32,
+      iterations = 2, exact = true)
+    val viaDf = Ivf.trainDf(vecs, "vec_id", "embedding", k = 32,
+      iterations = 2, exact = true)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    assert(viaDf == viaLiteral)
+    // k=256 > MaxLiteralK: train() must route through the DataFrame path
+    // and still produce a complete, covering quantizer
+    assert(256 > Ivf.MaxLiteralK)
+    val big = Ivf.train(vecs, "vec_id", "embedding", k = 256, exact = true)
+    assert(big.size == 256 && big.forall(_._2.size == 16))
+    val idx = Ivf.assignByJoin(vecs, "vec_id", "embedding",
+      Ivf.trainDf(vecs, "vec_id", "embedding", k = 256, exact = true),
+      exact = true)
+    assert(idx.count() == 600)
+    assert(idx.groupBy("cluster").count().count() > 32,
+      "large-k quantizer degenerated")
+  }
+
   test("IVF ANN recall vs brute force on the probed queries") {
     import graft.ops.VectorOps
     val ann = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
