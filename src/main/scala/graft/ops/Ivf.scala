@@ -16,12 +16,16 @@ object Ivf {
 
   /** Squared L2 distance between a vector column and a literal centroid
     * (native kernel — evaluated k times per row in assignment/probing).
-    * `exact = true` swaps in the DECIMAL(30,15) form
-    * ([[VectorOps.dist2Exact]]) whose value — hence every argmin over it —
-    * is engine- and order-independent, the contract oracle-checked queries
-    * need; the double-accumulator kernel stays the non-oracle hot path. */
+    * `exact = true` swaps in the quantized-integer form
+    * ([[graft.ops.expr.VecQuant.dist2Column]]): components quantize to
+    * floor(x·2²⁴) and the squared distance is an exact long sum, so its
+    * value — hence every argmin over it — is engine- and order-independent,
+    * the contract oracle-checked queries need, at codegen'd long-arithmetic
+    * speed. In exact mode centroid components are already-quantized
+    * integers carried in the Seq[Double] (exactly, they are < 2⁵³).
+    * The double-accumulator kernel stays the non-oracle hot path. */
   private def dist2(v: Column, centroid: Seq[Double], exact: Boolean): Column =
-    if (exact) VectorOps.dist2Exact(v, typedLit(centroid))
+    if (exact) graft.ops.expr.VecQuant.dist2Column(v, typedLit(centroid.map(_.toLong)))
     else graft.ops.expr.VecMath.dist2Column(v, typedLit(centroid))
 
   /** Nearest-centroid id for a vector column (ties → lowest id). Min-by is
@@ -56,17 +60,18 @@ object Ivf {
         .map(r => r.getInt(0) -> r.getSeq[Double](1))
         .sortBy(_._1).toSeq
     }
-    // exact mode: the centroid mean is an exact DECIMAL(30,15) sum divided
-    // in double — order-independent, so the trained centroids (and every
+    // exact mode: components quantize to floor(x·2²⁴); the updated centroid
+    // component is floor(Σqx / count) — the long sum is exact (and < 2⁵³,
+    // so its double image is too), the IEEE division is exactly rounded,
+    // and the floor re-quantizes, so the trained centroids (and every
     // distance computed against them) replay bit-identically elsewhere
-    val mean: Column =
-      if (exact)
-        sum(col("__x").cast("double").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
-          .cast("double") / count(lit(1)).cast("double")
-      else avg(col("__x").cast("double"))
+    val mean: Column = quantMean(exact)
     val seeds = vectors.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect().zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble) }
+      .map { case (r, i) =>
+        val v = r.getSeq[Float](0).map(_.toDouble)
+        i -> (if (exact) v.map(x => graft.ops.expr.VecQuant.q(x).toDouble) else v)
+      }
     (0 until iterations).foldLeft(seeds.toSeq) { (centroids, _) =>
       val assigned = vectors.withColumn("__c",
         nearestCentroid(col(vecCol), centroids, exact))
@@ -84,8 +89,16 @@ object Ivf {
     }
   }
 
+  /** Per-component centroid update: exact mode re-quantizes the mean of the
+    * quantized components (see [[train]]); fast mode is a plain avg. */
+  private def quantMean(exact: Boolean): Column =
+    if (exact)
+      floor(sum(floor(col("__x").cast("double") * graft.ops.expr.VecQuant.Scale))
+        .cast("double") / count(lit(1)).cast("double")).cast("double")
+    else avg(col("__x").cast("double"))
+
   private def dist2Cols(v: Column, c: Column, exact: Boolean): Column =
-    if (exact) VectorOps.dist2Exact(v, c)
+    if (exact) graft.ops.expr.VecQuant.dist2Column(v, transform(c, x => x.cast("long")))
     else graft.ops.expr.VecMath.dist2Column(v, c)
 
   /** Lloyd training entirely as DataFrame jobs — the large-k path: the
@@ -95,21 +108,20 @@ object Ivf {
     * per-cluster component means into arrays inside one hash agg; empty
     * cells keep their previous centroid via the left join. Each round
     * localCheckpoints eagerly — iterative self-joins otherwise double the
-    * logical plan per iteration. Arithmetic (and the `exact` decimal mode)
-    * is identical to the literal path: IvfSpec proves the two produce the
-    * same centroids at the same k. */
+    * logical plan per iteration. Arithmetic (and the `exact` quantized
+    * mode) is identical to the literal path: IvfSpec proves the two produce
+    * the same centroids at the same k. */
   def trainDf(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               iterations: Int = 1, exact: Boolean = false): DataFrame = {
-    val mean: Column =
-      if (exact)
-        sum(col("__x").cast("double").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
-          .cast("double") / count(lit(1)).cast("double")
-      else avg(col("__x").cast("double"))
+    val mean: Column = quantMean(exact)
     // seeds: first k by id; the row_number window spans only the k-row
     // limit result, never the corpus
+    val seedComponent: Column => Column =
+      if (exact) x => floor(x.cast("double") * graft.ops.expr.VecQuant.Scale).cast("double")
+      else x => x.cast("double")
     val seeds = vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("__sid"),
-        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+        transform(col(vecCol), seedComponent).as("centroid"))
       .withColumn("cluster", row_number().over(Window.orderBy(col("__sid"))) - 1)
       .select(col("cluster"), col("centroid"))
       .localCheckpoint(true)

@@ -81,31 +81,52 @@ object Lsh {
     array(exact +: flipped: _*)
   }
 
-  // ---- exact-decimal variants (oracle-checked queries) -------------------
-  // Same bucket semantics, but each plane projection is the exact
-  // DECIMAL(30,15) dot (VectorOps.dotExact): every per-element product is
-  // one IEEE double op rounded once into decimal and summed exactly, so the
-  // SIGN — hence the bucket string, hence the candidate set — is identical
-  // in any engine that replays the same arithmetic, independent of
-  // accumulation order. The fast double-accumulator forms above stay the
-  // non-oracle hot path.
+  // ---- quantized-integer variants (oracle-checked queries) ---------------
+  // Same bucket semantics, but each plane projection is the exact integer
+  // Σ wᵢ·floor(xᵢ·2²⁴) ([[graft.ops.expr.VecQuant]]): the quantization is one
+  // deterministic IEEE op per element and the weighted sum is exact long
+  // arithmetic, so the SIGN — hence the bucket id, hence the candidate set
+  // of an LSH query — is identical in any engine that replays the same
+  // integer fold. Buckets are BIGINTs (bit p of the bucket = plane p's
+  // sign), not strings: cheaper to shuffle, join, and probe (bit-flip =
+  // XOR). The double-accumulator forms above stay the non-oracle hot path.
 
-  /** [[bucket]] with exact-decimal projections. */
-  def bucketExact(vec: Column, planes: Seq[Seq[Double]]): Column =
-    concat(planes.map { p =>
-      when(VectorOps.dotExact(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+  /** Integer hyperplanes: [[fnvPlanes]] components as longs. */
+  def fnvPlanesL(numPlanes: Int, dim: Int, salt: String): Seq[Seq[Long]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = graft.ops.expr.Fnv1a64.hash(s"pl:$salt:$p:$d")
+        java.lang.Long.remainderUnsigned(h, 15L) - 7L
+      }
+    }
 
-  /** [[tableKeys]] with exact-decimal projections. */
-  def tableKeysExact(vec: Column, planes: Seq[Seq[Double]],
-                     tables: Int, planesPerTable: Int): Column = {
+  /** Bucket id as a BIGINT: bit p is set iff plane p's quantized projection
+    * is ≥ 0. */
+  def bucketQ(vec: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(graft.ops.expr.VecQuant.wdotColumn(vec, typedLit(p)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-probe buckets from a BIGINT bucket: the exact bucket plus each
+    * single-bit flip (XOR with 2ᵖ). */
+  def probesQ(bucket: Column, numPlanes: Int): Column =
+    array(bucket +: (0 until numPlanes).map(i =>
+      bucket.bitwiseXOR(lit(1L << i))): _*)
+
+  /** Multi-table BIGINT bucket keys (OR-construction): table t's key is
+    * `t·2^planesPerTable + bits(t)` — the table index lives in the high
+    * bits, so buckets of different tables never join. */
+  def tableKeysQ(vec: Column, planes: Seq[Seq[Long]],
+                 tables: Int, planesPerTable: Int): Column = {
     require(planes.size >= tables * planesPerTable,
       s"need ${tables * planesPerTable} planes, got ${planes.size}")
     array((0 until tables).map { t =>
       val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
-      concat(lit(s"$t:") +: slice.map { p =>
-        when(VectorOps.dotExact(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))
-      }: _*)
+      slice.zipWithIndex.map { case (p, i) =>
+        when(graft.ops.expr.VecQuant.wdotColumn(vec, typedLit(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong << planesPerTable)
     }: _*)
   }
 }

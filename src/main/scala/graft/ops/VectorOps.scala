@@ -43,20 +43,6 @@ object VectorOps {
       lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType)
   }
 
-  /** Exact-decimal squared L2 distance: per element, one IEEE subtraction
-    * and one multiply (each rounded once, deterministically), then an exact
-    * decimal sum — engine- and order-independent, so centroid ASSIGNMENT
-    * (an argmin over these values) becomes oracle-replayable. */
-  def dist2Exact(a: Column, b: Column): Column = {
-    val dec = DecimalType(30, 15)
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast(DoubleType) - y.cast(DoubleType)
-        (d * d).cast(dec)
-      }),
-      lit(0).cast(dec), (acc, p) => (acc + p).cast(dec)).cast(DoubleType)
-  }
-
   /** Exact-decimal L2 norm (deterministic across engines). */
   def l2normExact(v: Column): Column = {
     val dec = DecimalType(30, 15)

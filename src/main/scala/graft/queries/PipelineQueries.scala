@@ -30,10 +30,12 @@ object PipelineQueries {
   private def normExact(v: Column): Column = VectorOps.l2normExact(v)
 
   // ---- shared oracle-SQL fragments for the hyperplane-LSH family --------
-  // DuckDB re-derives Lsh.fnvPlanes from the same ASCII strings (HUGEINT
-  // FNV-1a fold per character), then replays each plane projection as the
-  // same exact DECIMAL(30,15) sum the Spark side uses — bucket bits and
-  // candidate sets match bit-for-bit.
+  // DuckDB re-derives Lsh.fnvPlanesL from the same ASCII strings (HUGEINT
+  // FNV-1a fold per character), quantizes every embedding component to
+  // floor(x·2²⁴) — one exactly-replayable IEEE op — and then replays each
+  // plane projection, bucket id, squared norm, and candidate cosine in pure
+  // BIGINT arithmetic (graft.ops.expr.VecQuant's contract): bucket bits and
+  // candidate sets match bit-for-bit, with no decimal folds on either side.
 
   /** `planes(p, d, comp)`: comp = fnv1a64("pl:salt:p:d") mod 15 − 7. */
   private def planesCte(salt: String, numPlanes: Int, dim: Int = 64): String =
@@ -50,30 +52,41 @@ object PipelineQueries {
        |      % 15 AS BIGINT) - 7 AS comp
        |  FROM range(0, $numPlanes) tp(p), range(0, $dim) td(d))""".stripMargin
 
-  /** `ve(vec_id, d, x)`: embedding components as 0-indexed doubles. */
-  private val vecElemsCte: String =
-    """ve AS (
+  /** `qe(vec_id, d, qx)`: quantized components floor(x·2²⁴), 0-indexed. */
+  private val quantElemsCte: String =
+    """qe AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0)
+      |              AS BIGINT) AS qx
       |  FROM embeddings)""".stripMargin
 
-  /** `dots(vec_id, p, dp)`: exact-decimal plane projections. */
-  private val planeDotsCte: String =
+  /** `dots(vec_id, p, dp)`: integer plane projections Σ comp·qx. */
+  private val quantDotsCte: String =
     """dots AS (
-      |  SELECT v.vec_id, pl.p,
-      |         CAST(sum(CAST(v.x * CAST(pl.comp AS DOUBLE) AS DECIMAL(30,15)))
-      |              AS DOUBLE) AS dp
-      |  FROM ve v JOIN planes pl ON v.d = pl.d
+      |  SELECT v.vec_id, pl.p, CAST(sum(pl.comp * v.qx) AS BIGINT) AS dp
+      |  FROM qe v JOIN planes pl ON v.d = pl.d
       |  GROUP BY v.vec_id, pl.p)""".stripMargin
 
-  /** `norms(vec_id, embedding, n)`: exact-decimal L2 norms. */
-  private val normsCte: String =
-    """norms AS (
-      |  SELECT vec_id, embedding,
-      |         sqrt(CAST(list_sum(list_transform(embedding,
-      |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
-      |              AS DOUBLE)) AS n
-      |  FROM embeddings)""".stripMargin
+  /** `qn(vec_id, q, n2)`: quantized vectors + exact squared norms. */
+  private val quantNormsCte: String =
+    """qn AS (
+      |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+      |  FROM (SELECT vec_id,
+      |          list_transform(embedding,
+      |            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+      |        FROM embeddings))""".stripMargin
+
+  /** Quantized-cosine SQL over `qn` rows aliased `a`/`b` (round 6). */
+  private def quantCosSql(a: String, b: String): String =
+    s"""round(CAST(CAST(list_sum(list_transform(range(1, len($a.q)+1),
+       |        i -> $a.q[i] * $b.q[i])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST($a.n2 AS DOUBLE)) * sqrt(CAST($b.n2 AS DOUBLE))), 6)""".stripMargin
+
+  /** Quantized cosine between two vector columns with precomputed squared
+    * quantized norms — the Spark twin of [[quantCosSql]]. */
+  private def quantCos(av: Column, bv: Column, n2a: Column, n2b: Column): Column =
+    round(graft.ops.expr.VecQuant.dotColumn(av, bv).cast(DoubleType) /
+      (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType))), 6)
 
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
@@ -471,49 +484,46 @@ object PipelineQueries {
     },
 
     // Embedding near-dup: hyperplane buckets (multi-probe on one side),
-    // candidates verified with exact cosine. Planes are FNV-derived
-    // integers (Lsh.fnvPlanes) and projections exact-decimal, so the oracle
-    // replays bucket assignment, probe flips, the candidate join, and the
+    // candidates verified with quantized cosine. Planes are FNV-derived
+    // integers (Lsh.fnvPlanesL) and every projection/norm/dot an exact long
+    // sum over floor(x·2²⁴) components, so the oracle replays bucket
+    // assignment, probe flips (bit XORs), the candidate join, and the
     // cosine verification — a full hash-match contract on the whole
     // LSH pipeline, not just a rows-only count.
     Q("q_dedup_embedding",
       s"""WITH ${planesCte("dd", 4)},
-        |$vecElemsCte,
-        |$planeDotsCte,
+        |$quantElemsCte,
+        |$quantDotsCte,
         |bl AS (
-        |  SELECT vec_id, list(CASE WHEN dp >= 0 THEN '1' ELSE '0' END
-        |                      ORDER BY p) AS bs
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dp >= 0
+        |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+        |              AS BIGINT) AS bucket
         |  FROM dots GROUP BY vec_id),
-        |exact AS (SELECT vec_id, array_to_string(bs, '') AS bucket FROM bl),
         |probes AS (
-        |  SELECT vec_id, unnest(list_prepend(array_to_string(bs, ''),
-        |    list_transform(range(0, 4), i ->
-        |      array_to_string(list_transform(range(0, 4), j ->
-        |        CASE WHEN j = i THEN (CASE WHEN bs[j+1] = '1' THEN '0' ELSE '1' END)
-        |             ELSE bs[j+1] END), '')))) AS bucket
+        |  SELECT vec_id, unnest(list_prepend(bucket,
+        |    list_transform(range(0, 4),
+        |      i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket
         |  FROM bl),
         |pairs AS (
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM probes a JOIN exact b
+        |  FROM probes a JOIN bl b
         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |$normsCte
+        |$quantNormsCte
         |SELECT a_id, b_id, cos FROM (
-        |  SELECT p.a_id, p.b_id,
-        |    round(CAST(list_sum(list_transform(range(1, len(a.embedding)+1),
-        |         i -> CAST(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
-        |                   AS DECIMAL(30,15)))) AS DOUBLE) / (a.n * b.n), 6) AS cos
-        |  FROM pairs p JOIN norms a ON p.a_id = a.vec_id
-        |               JOIN norms b ON p.b_id = b.vec_id)
+        |  SELECT p.a_id, p.b_id, ${quantCosSql("a", "b")} AS cos
+        |  FROM pairs p JOIN qn a ON p.a_id = a.vec_id
+        |               JOIN qn b ON p.b_id = b.vec_id)
         |WHERE cos >= 0.35
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val planes = Lsh.fnvPlanes(numPlanes = 4, dim = 64, salt = "dd")
+      val planes = Lsh.fnvPlanesL(numPlanes = 4, dim = 64, salt = "dd")
       val e = tbl(spark, dir, "embeddings")
-      // norms computed once per vector; multi-probe duplicate pairs removed
-      // BEFORE the O(d) per-pair dot product
+      // quantized norms computed once per vector; multi-probe duplicate
+      // pairs removed BEFORE the O(d) per-pair dot product
       val bucketed = e.select(col("vec_id"),
-        Lsh.bucketExact(col("embedding"), planes).as("bucket"))
+        Lsh.bucketQ(col("embedding"), planes).as("bucket"))
       val probed = bucketed.select(col("vec_id"),
-        explode(Lsh.probesFromBucket(col("bucket"), planes.size)).as("bucket"))
+        explode(Lsh.probesQ(col("bucket"), planes.size)).as("bucket"))
       // the dedupe shuffle moves bare id pairs (16 bytes/row); vectors are
       // broadcast-joined back only for the surviving candidates
       val pairs = probed.as("a")
@@ -522,14 +532,13 @@ object PipelineQueries {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
       val side = e.select(col("vec_id"), col("embedding"),
-        normExact(col("embedding")).as("n"))
+        graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding")).as("n2"))
       pairs
         .join(broadcast(side.select(col("vec_id").as("a_id"),
-          col("embedding").as("av"), col("n").as("na"))), "a_id")
+          col("embedding").as("av"), col("n2").as("n2a"))), "a_id")
         .join(broadcast(side.select(col("vec_id").as("b_id"),
-          col("embedding").as("bv"), col("n").as("nb"))), "b_id")
-        .withColumn("cos",
-          round(VectorOps.dotExact(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+          col("embedding").as("bv"), col("n2").as("n2b"))), "b_id")
+        .withColumn("cos", quantCos(col("av"), col("bv"), col("n2a"), col("n2b")))
         .filter(col("cos") >= 0.35)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
@@ -584,30 +593,29 @@ object PipelineQueries {
 
     // LSH-bucketed ANN — the scale path: probe buckets on the query side,
     // equi-join on bucket, rank only collision candidates. FNV-derived
-    // planes + exact-decimal projections make the multi-table bucket keys,
-    // the candidate set, and the ranked output fully oracle-replayable.
+    // integer planes + quantized projections make the multi-table BIGINT
+    // bucket keys, the candidate set, and the ranked output fully
+    // oracle-replayable.
     Q("q_ann_lsh",
       s"""WITH ${planesCte("ann", 32)},
-        |$vecElemsCte,
-        |$planeDotsCte,
+        |$quantElemsCte,
+        |$quantDotsCte,
+        |tk AS (SELECT vec_id, p // 4 AS t, p % 4 AS i, dp FROM dots),
         |keys AS (
         |  SELECT vec_id,
-        |         CAST((p // 4) AS VARCHAR) || ':' ||
-        |           string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
-        |                      ORDER BY p) AS bucket
-        |  FROM dots GROUP BY vec_id, (p // 4)),
+        |         CAST(sum(CASE WHEN dp >= 0
+        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |              + (t << 4) AS BIGINT) AS bucket
+        |  FROM tk GROUP BY vec_id, t),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM keys q JOIN keys c ON q.bucket = c.bucket
         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |$normsCte,
+        |$quantNormsCte,
         |scored AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    round(CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
-        |         i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
-        |                   AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n), 6) AS sim
-        |  FROM cand JOIN norms q ON cand.query_id = q.vec_id
-        |            JOIN norms c ON cand.neighbor_id = c.vec_id),
+        |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
+        |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
+        |            JOIN qn c ON cand.neighbor_id = c.vec_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id
@@ -619,19 +627,19 @@ object PipelineQueries {
       // multi-table OR-construction (8 tables × 4 planes): recall@5 ≈ 0.75
       // on the fixture embeddings where single-table multi-probe measured
       // 0.20 (AnnRecallSpec pins the floor); both sides explode their table
-      // keys, so the candidate join stays a bucket equi-join
+      // keys, so the candidate join stays a bucket equi-join on longs
       val (tables, planesPerTable) = (8, 4)
-      val planes = Lsh.fnvPlanes(tables * planesPerTable, dim = 64, salt = "ann")
+      val planes = Lsh.fnvPlanesL(tables * planesPerTable, dim = 64, salt = "ann")
       val e = tbl(spark, dir, "embeddings")
+      val n2 = graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding"))
       val cands = e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"),
-        normExact(col("embedding")).as("cn"),
-        explode(Lsh.tableKeysExact(col("embedding"), planes, tables, planesPerTable))
+        col("embedding").as("cv"), n2.as("cn2"),
+        explode(Lsh.tableKeysQ(col("embedding"), planes, tables, planesPerTable))
           .as("bucket"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          normExact(col("embedding")).as("qn"),
-          explode(Lsh.tableKeysExact(col("embedding"), planes, tables, planesPerTable))
+          n2.as("qn2"),
+          explode(Lsh.tableKeysQ(col("embedding"), planes, tables, planesPerTable))
             .as("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -639,10 +647,9 @@ object PipelineQueries {
         .join(cands, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
-          col("qn"), col("cn"))
+          col("qn2"), col("cn2"))
         .dropDuplicates("query_id", "neighbor_id") // multi-probe dups out first
-        .withColumn("sim",
-          round(VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
         .select("query_id", "neighbor_id", "sim", "rn")
@@ -652,21 +659,22 @@ object PipelineQueries {
     // IVF-style ANN: coarse centroids from one distributed Lloyd iteration,
     // cluster-assignment index, queries probe their 4 nearest cells only —
     // the data-adaptive counterpart to the hyperplane-LSH path. Seeds are
-    // deterministic (first k by id) and all distances/means run in exact
-    // decimal, so DuckDB replays the full train → index → probe → rank
-    // pipeline: assignment as an argmin over the seed centroids, the
-    // centroid update as unnest + group-by, and ranking as exact cosine.
+    // deterministic (first k by id, quantized to floor(x·2²⁴)), distances
+    // are exact long sums, and the centroid update re-quantizes
+    // floor(Σqx/count) — one exactly-rounded IEEE divide — so DuckDB
+    // replays the full train → index → probe → rank pipeline: assignment
+    // as an integer argmin over the seed centroids, the centroid update as
+    // unnest + group-by, and ranking as quantized cosine.
     Q("q_ann_ivf",
-      s"""WITH $vecElemsCte,
+      s"""WITH $quantElemsCte,
         |s AS (
         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |m0 AS (SELECT s.c, v.d, v.x AS m FROM s JOIN ve v USING (vec_id)),
+        |m0 AS (SELECT s.c, v.d, v.qx AS m FROM s JOIN qe v USING (vec_id)),
         |d0 AS (
         |  SELECT v.vec_id, m0.c,
-        |         CAST(sum(CAST((v.x - m0.m)*(v.x - m0.m) AS DECIMAL(30,15)))
-        |              AS DOUBLE) AS d2
-        |  FROM ve v JOIN m0 ON v.d = m0.d
+        |         CAST(sum((v.qx - m0.m)*(v.qx - m0.m)) AS BIGINT) AS d2
+        |  FROM qe v JOIN m0 ON v.d = m0.d
         |  GROUP BY v.vec_id, m0.c),
         |a0 AS (
         |  SELECT vec_id, c FROM (
@@ -675,17 +683,16 @@ object PipelineQueries {
         |    FROM d0) WHERE rn = 1),
         |upd AS (
         |  SELECT a0.c, v.d,
-        |         CAST(sum(CAST(v.x AS DECIMAL(30,15))) AS DOUBLE)
-        |           / CAST(count(*) AS DOUBLE) AS m
-        |  FROM a0 JOIN ve v USING (vec_id) GROUP BY a0.c, v.d),
+        |         CAST(floor(CAST(sum(v.qx) AS DOUBLE)
+        |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        |  FROM a0 JOIN qe v USING (vec_id) GROUP BY a0.c, v.d),
         |m1 AS (
         |  SELECT m0.c, m0.d, coalesce(upd.m, m0.m) AS m
         |  FROM m0 LEFT JOIN upd ON m0.c = upd.c AND m0.d = upd.d),
         |dall AS (
         |  SELECT v.vec_id, m1.c,
-        |         CAST(sum(CAST((v.x - m1.m)*(v.x - m1.m) AS DECIMAL(30,15)))
-        |              AS DOUBLE) AS d2
-        |  FROM ve v JOIN m1 ON v.d = m1.d
+        |         CAST(sum((v.qx - m1.m)*(v.qx - m1.m)) AS BIGINT) AS d2
+        |  FROM qe v JOIN m1 ON v.d = m1.d
         |  GROUP BY v.vec_id, m1.c),
         |idx AS (
         |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
@@ -701,14 +708,11 @@ object PipelineQueries {
         |  SELECT qp.query_id, idx.neighbor_id
         |  FROM qp JOIN idx USING (cluster)
         |  WHERE idx.neighbor_id <> qp.query_id),
-        |$normsCte,
+        |$quantNormsCte,
         |scored AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    round(CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
-        |         i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
-        |                   AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n), 6) AS sim
-        |  FROM cand JOIN norms q ON cand.query_id = q.vec_id
-        |            JOIN norms c ON cand.neighbor_id = c.vec_id),
+        |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
+        |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
+        |            JOIN qn c ON cand.neighbor_id = c.vec_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id
@@ -718,16 +722,17 @@ object PipelineQueries {
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
+      val n2 = graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding"))
       val centroids = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16,
         exact = true)
       val indexed = graft.ops.Ivf.index(e, "vec_id", "embedding", centroids,
         exact = true)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-          normExact(col("embedding")).as("cn"), col("cluster"))
+          n2.as("cn2"), col("cluster"))
       val queries = graft.ops.Ivf.probes(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            normExact(col("embedding")).as("qn")),
+            n2.as("qn2")),
         "query_id", "qv", centroids, nprobe = 4, exact = true)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -735,8 +740,7 @@ object PipelineQueries {
         .join(indexed, Seq("cluster"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-            .as("sim"))
+          quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")).as("sim"))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
         .orderBy("query_id", "rn")
@@ -747,37 +751,38 @@ object PipelineQueries {
     // (qdoc, cdoc) candidate prefilter from bucket collisions (a doc pair
     // survives iff ≥1 query token collides with ≥1 candidate token), then
     // exact MaxSim rescoring of survivors only — the candidate stream
-    // never cross-joins. FNV planes + exact-decimal math make the whole
-    // approximate pipeline (keys, candidate set, rescored ranking)
+    // never cross-joins. FNV integer planes + quantized long math make the
+    // whole approximate pipeline (keys, candidate set, rescored ranking)
     // hash-match oracle-checkable, not merely recall-pinned.
     Q("q_maxsim_ann",
       s"""WITH ${planesCte("ms", 32)},
-        |$vecElemsCte,
-        |$planeDotsCte,
+        |$quantElemsCte,
+        |$quantDotsCte,
+        |tk AS (SELECT vec_id, p // 4 AS t, p % 4 AS i, dp FROM dots),
         |keys AS (
         |  SELECT vec_id,
-        |         CAST((p // 4) AS VARCHAR) || ':' ||
-        |           string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
-        |                      ORDER BY p) AS bucket
-        |  FROM dots GROUP BY vec_id, (p // 4)),
+        |         CAST(sum(CASE WHEN dp >= 0
+        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |              + (t << 4) AS BIGINT) AS bucket
+        |  FROM tk GROUP BY vec_id, t),
         |qk AS (SELECT DISTINCT vec_id // 4 AS qdoc, bucket
         |       FROM keys WHERE vec_id < 20),
         |ck AS (SELECT DISTINCT vec_id // 8 AS cdoc, bucket
         |       FROM keys WHERE vec_id >= 40),
         |cand AS (SELECT DISTINCT qk.qdoc, ck.cdoc FROM qk JOIN ck USING (bucket)),
-        |$normsCte,
-        |qt AS (SELECT vec_id // 4 AS qdoc, embedding, n
-        |       FROM norms WHERE vec_id < 20),
+        |$quantNormsCte,
+        |qt AS (SELECT vec_id // 4 AS qdoc, q, n2
+        |       FROM qn WHERE vec_id < 20),
         |cd AS (SELECT vec_id // 8 AS cdoc,
-        |              list(struct_pack(v := embedding, n := n)) AS toks
-        |       FROM norms WHERE vec_id >= 40 GROUP BY 1),
+        |              list(struct_pack(v := q, n2 := n2)) AS toks
+        |       FROM qn WHERE vec_id >= 40 GROUP BY 1),
         |pair AS (
         |  SELECT qt.qdoc, cand.cdoc,
         |         list_max(list_transform(cd.toks, t ->
-        |           CAST(list_sum(list_transform(range(1, len(qt.embedding)+1),
-        |             i -> CAST(CAST(qt.embedding[i] AS DOUBLE)
-        |                       * CAST(t.v[i] AS DOUBLE) AS DECIMAL(30,15))))
-        |                AS DOUBLE) / (qt.n * t.n))) AS best
+        |           CAST(CAST(list_sum(list_transform(range(1, len(qt.q)+1),
+        |             i -> qt.q[i] * t.v[i])) AS BIGINT) AS DOUBLE)
+        |           / (sqrt(CAST(qt.n2 AS DOUBLE)) * sqrt(CAST(t.n2 AS DOUBLE)))))
+        |           AS best
         |  FROM cand JOIN cd ON cand.cdoc = cd.cdoc
         |            JOIN qt ON cand.qdoc = qt.qdoc),
         |score AS (
@@ -793,31 +798,35 @@ object PipelineQueries {
         |FROM ranked WHERE rn <= 3
         |ORDER BY qdoc, rn""".stripMargin) { (spark, dir) =>
       val (tables, planesPerTable) = (8, 4)
-      val planes = Lsh.fnvPlanes(tables * planesPerTable, dim = 64, salt = "ms")
+      val planes = Lsh.fnvPlanesL(tables * planesPerTable, dim = 64, salt = "ms")
       val e = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), normExact(col("embedding")).as("n"))
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding"))
+            .as("n2"))
       val qt = e.filter(col("vec_id") < 20)
         .select(expr("vec_id DIV 4").as("qdoc"), col("embedding").as("qv"),
-          col("n").as("qn"))
+          col("n2").as("qn2"))
       val ct = e.filter(col("vec_id") >= 40)
       // per-token keys, deduped per DOC before the join: the collision join
       // moves (doc, bucket) pairs only — token vectors stay out of it
       val qk = qt.select(col("qdoc"),
-        explode(Lsh.tableKeysExact(col("qv"), planes, tables, planesPerTable))
+        explode(Lsh.tableKeysQ(col("qv"), planes, tables, planesPerTable))
           .as("bucket")).distinct()
       val ck = ct.select(expr("vec_id DIV 8").as("cdoc"),
-        explode(Lsh.tableKeysExact(col("embedding"), planes, tables, planesPerTable))
+        explode(Lsh.tableKeysQ(col("embedding"), planes, tables, planesPerTable))
           .as("bucket")).distinct()
       val cand = qk.join(ck, Seq("bucket")).select("qdoc", "cdoc").distinct()
       val cd = ct.groupBy(expr("vec_id DIV 8").as("cdoc"))
-        .agg(collect_list(struct(col("embedding").as("v"), col("n").as("n")))
+        .agg(collect_list(struct(col("embedding").as("v"), col("n2").as("n2")))
           .as("toks"))
       val w = Window.partitionBy(col("qdoc"))
         .orderBy(col("maxsim").desc, col("cdoc"))
       cand.join(cd, Seq("cdoc")).join(broadcast(qt), Seq("qdoc"))
         .withColumn("best", array_max(transform(col("toks"), t =>
-          VectorOps.dotExact(col("qv"), t.getField("v")) /
-            (col("qn") * t.getField("n")))))
+          graft.ops.expr.VecQuant.dotColumn(col("qv"), t.getField("v"))
+            .cast(DoubleType) /
+            (sqrt(col("qn2").cast(DoubleType)) *
+              sqrt(t.getField("n2").cast(DoubleType))))))
         .groupBy("qdoc", "cdoc")
         .agg(round(sum(col("best").cast(DecimalType(38, 15))).cast(DoubleType), 6)
           .as("maxsim"))
