@@ -402,27 +402,21 @@ object GroupC {
     // no per-token-pair row explosion. The 20-row query-token side
     // broadcasts; candidates stream (the brute-force baseline;
     // q_maxsim_ann is the LSH-prefiltered scale path, and this exact form
-    // is its recall reference). DECIMAL accumulators keep the dot and the per-query
-    // sum order-independent; max is order-free by nature.
+    // is its recall reference). Per-token cosines run the quantized-integer
+    // contract (Q.quantCosRaw — exact long dots, one deterministic double
+    // divide); the per-query-doc sum goes through an exact DECIMAL
+    // accumulator, so it is order-independent; max is order-free by nature.
     Q("q_maxsim",
-      """WITH norms AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(CAST(list_sum(list_transform(embedding,
-        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
-        |              AS DOUBLE)) AS n
-        |  FROM embeddings),
-        |qt AS (SELECT vec_id // 4 AS qdoc, vec_id, embedding, n
-        |       FROM norms WHERE vec_id < 20),
+      s"""WITH ${quantNormsCte()},
+        |qt AS (SELECT vec_id // 4 AS qdoc, vec_id, q, n2
+        |       FROM qn WHERE vec_id < 20),
         |cd AS (SELECT vec_id // 8 AS cdoc,
-        |              list(struct_pack(v := embedding, n := n)) AS toks
-        |       FROM norms WHERE vec_id >= 40 GROUP BY 1),
+        |              list(struct_pack(v := q, n2 := n2)) AS toks
+        |       FROM qn WHERE vec_id >= 40 GROUP BY 1),
         |pair AS (
         |  SELECT qt.qdoc, cd.cdoc,
         |         list_max(list_transform(cd.toks, t ->
-        |           CAST(list_sum(list_transform(range(1, len(qt.embedding)+1),
-        |             i -> CAST(CAST(qt.embedding[i] AS DOUBLE)
-        |                       * CAST(t.v[i] AS DOUBLE) AS DECIMAL(30,15))))
-        |                AS DOUBLE) / (qt.n * t.n))) AS best
+        |           ${quantCosRawSql("qt.q", "qt.n2", "t.v", "t.n2")})) AS best
         |  FROM qt CROSS JOIN cd),
         |score AS (
         |  SELECT qdoc, cdoc,
@@ -436,23 +430,20 @@ object GroupC {
         |SELECT qdoc, cdoc, maxsim, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY qdoc, rn""".stripMargin) { (spark, dir) =>
-      import graft.ops.VectorOps
       val e = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.l2normExact(col("embedding")).as("n"))
+        .select(col("vec_id"), col("embedding"), quantN2(col("embedding")).as("n2"))
       val qt = e.filter(col("vec_id") < 20)
         .select(expr("vec_id DIV 4").as("qdoc"), col("embedding").as("qv"),
-          col("n").as("qn"))
+          col("n2").as("qn2"))
       val cd = e.filter(col("vec_id") >= 40)
         .groupBy(expr("vec_id DIV 8").as("cdoc"))
-        .agg(collect_list(struct(col("embedding").as("v"), col("n").as("n")))
+        .agg(collect_list(struct(col("embedding").as("v"), col("n2").as("n2")))
           .as("toks"))
       val w = Window.partitionBy(col("qdoc"))
         .orderBy(col("maxsim").desc, col("cdoc"))
       broadcast(qt).crossJoin(cd)
         .withColumn("best", array_max(transform(col("toks"), t =>
-          VectorOps.dotExact(col("qv"), t.getField("v")) /
-            (col("qn") * t.getField("n")))))
+          quantCosRaw(col("qv"), t.getField("v"), col("qn2"), t.getField("n2")))))
         .groupBy("qdoc", "cdoc")
         .agg(round(sum(col("best").cast(DecimalType(38, 15))).cast(DoubleType), 6)
           .as("maxsim"))

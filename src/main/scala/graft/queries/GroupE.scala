@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.ops.VectorOps
 import graft.queries.Q._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -244,23 +243,16 @@ object GroupE {
     // label). Same broadcast-queries/stream-candidates plan as
     // q_cosine_topk — the vote adds one tiny aggregation over 50 rows.
     Q("q_knn_vote",
-      """WITH norms AS (
-        |  SELECT vec_id, embedding, label,
-        |         sqrt(CAST(list_sum(list_transform(embedding,
-        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
-        |              AS DOUBLE)) AS n
-        |  FROM embeddings),
+      s"""WITH ${quantNormsCte("label")},
         |pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-        |         CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
-        |              i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
-        |                        AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n) AS cos
-        |  FROM norms q JOIN norms c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |         ${quantCosSql("q", "c")} AS sim
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
         |topk AS (
         |  SELECT query_id, label FROM (
         |    SELECT query_id, label,
         |           row_number() OVER (PARTITION BY query_id
-        |                              ORDER BY round(cos, 6) DESC, neighbor_id) AS rn
+        |                              ORDER BY sim DESC, neighbor_id) AS rn
         |    FROM pairs) WHERE rn <= 5),
         |votes AS (
         |  SELECT query_id, label, count(*) AS v FROM topk GROUP BY 1, 2)
@@ -271,20 +263,19 @@ object GroupE {
         |ORDER BY query_id""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"),
-          VectorOps.l2normExact(col("embedding")).as("n"))
+          quantN2(col("embedding")).as("n2"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("n").as("qn"))
+          col("n2").as("qn2"))
       val cands = e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"), col("n").as("cn"), col("label"))
+        col("embedding").as("cv"), col("n2").as("cn2"), col("label"))
       val wTop = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
       val wVote = Window.partitionBy("query_id")
         .orderBy(col("votes").desc, col("label"))
       broadcast(queries)
         .join(cands, col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(
-          VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 5)
         .groupBy("query_id", "label")

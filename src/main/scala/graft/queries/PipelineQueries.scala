@@ -67,26 +67,8 @@ object PipelineQueries {
       |  FROM qe v JOIN planes pl ON v.d = pl.d
       |  GROUP BY v.vec_id, pl.p)""".stripMargin
 
-  /** `qn(vec_id, q, n2)`: quantized vectors + exact squared norms. */
-  private val quantNormsCte: String =
-    """qn AS (
-      |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
-      |  FROM (SELECT vec_id,
-      |          list_transform(embedding,
-      |            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
-      |        FROM embeddings))""".stripMargin
-
-  /** Quantized-cosine SQL over `qn` rows aliased `a`/`b` (round 6). */
-  private def quantCosSql(a: String, b: String): String =
-    s"""round(CAST(CAST(list_sum(list_transform(range(1, len($a.q)+1),
-       |        i -> $a.q[i] * $b.q[i])) AS BIGINT) AS DOUBLE)
-       |      / (sqrt(CAST($a.n2 AS DOUBLE)) * sqrt(CAST($b.n2 AS DOUBLE))), 6)""".stripMargin
-
-  /** Quantized cosine between two vector columns with precomputed squared
-    * quantized norms — the Spark twin of [[quantCosSql]]. */
-  private def quantCos(av: Column, bv: Column, n2a: Column, n2b: Column): Column =
-    round(graft.ops.expr.VecQuant.dotColumn(av, bv).cast(DoubleType) /
-      (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType))), 6)
+  /** `qn(vec_id, q, n2)` (shared [[Q.quantNormsCte]], no extra columns). */
+  private val quantNorms: String = quantNormsCte()
 
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
@@ -509,7 +491,7 @@ object PipelineQueries {
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM probes a JOIN bl b
         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |$quantNormsCte
+        |$quantNorms
         |SELECT a_id, b_id, cos FROM (
         |  SELECT p.a_id, p.b_id, ${quantCosSql("a", "b")} AS cos
         |  FROM pairs p JOIN qn a ON p.a_id = a.vec_id
@@ -532,7 +514,7 @@ object PipelineQueries {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
       val side = e.select(col("vec_id"), col("embedding"),
-        graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding")).as("n2"))
+        quantN2(col("embedding")).as("n2"))
       pairs
         .join(broadcast(side.select(col("vec_id").as("a_id"),
           col("embedding").as("av"), col("n2").as("n2a"))), "a_id")
@@ -547,44 +529,37 @@ object PipelineQueries {
     // ---- similarity search ----------------------------------------------
 
     // Brute-force cosine top-k: oracle baseline. The 10-query side is
-    // broadcast; candidates stream — no shuffle of the big side.
+    // broadcast; candidates stream — no shuffle of the big side. Scoring
+    // runs the quantized-integer contract (Q.quantCos), so sim values and
+    // the ranking replay bit-for-bit in DuckDB.
     Q("q_cosine_topk",
-      """WITH norms AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(CAST(list_sum(list_transform(embedding,
-        |              x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15))))
-        |              AS DOUBLE)) AS n
-        |  FROM embeddings),
+      s"""WITH $quantNorms,
         |pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
-        |              i -> CAST(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
-        |                        AS DECIMAL(30,15)))) AS DOUBLE) / (q.n * c.n) AS cos
-        |  FROM norms q JOIN norms c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |         ${quantCosSql("q", "c")} AS sim
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
         |ranked AS (
-        |  SELECT query_id, neighbor_id, round(cos, 6) AS sim,
+        |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY round(cos, 6) DESC, neighbor_id) AS rn
+        |                            ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM pairs)
         |SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
-      // per-vector exact norms computed once (the oracle divides by the
+      // per-vector quantized norms computed once (the oracle divides by the
       // same precomputed sqrt), so only the dot product is per-pair work
       val e = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.l2normExact(col("embedding")).as("n"))
+        .select(col("vec_id"), col("embedding"), quantN2(col("embedding")).as("n2"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("n").as("qn"))
+          col("n2").as("qn2"))
       val cands = e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"), col("n").as("cn"))
+        col("embedding").as("cv"), col("n2").as("cn2"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       broadcast(queries)
         .join(cands, col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(
-          VectorOps.dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
         .select("query_id", "neighbor_id", "sim", "rn")
@@ -611,7 +586,7 @@ object PipelineQueries {
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM keys q JOIN keys c ON q.bucket = c.bucket
         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |$quantNormsCte,
+        |$quantNorms,
         |scored AS (
         |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
         |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
@@ -631,7 +606,7 @@ object PipelineQueries {
       val (tables, planesPerTable) = (8, 4)
       val planes = Lsh.fnvPlanesL(tables * planesPerTable, dim = 64, salt = "ann")
       val e = tbl(spark, dir, "embeddings")
-      val n2 = graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding"))
+      val n2 = quantN2(col("embedding"))
       val cands = e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv"), n2.as("cn2"),
         explode(Lsh.tableKeysQ(col("embedding"), planes, tables, planesPerTable))
@@ -708,7 +683,7 @@ object PipelineQueries {
         |  SELECT qp.query_id, idx.neighbor_id
         |  FROM qp JOIN idx USING (cluster)
         |  WHERE idx.neighbor_id <> qp.query_id),
-        |$quantNormsCte,
+        |$quantNorms,
         |scored AS (
         |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
         |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
@@ -722,7 +697,7 @@ object PipelineQueries {
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
-      val n2 = graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding"))
+      val n2 = quantN2(col("embedding"))
       val centroids = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16,
         exact = true)
       val indexed = graft.ops.Ivf.index(e, "vec_id", "embedding", centroids,
@@ -770,7 +745,7 @@ object PipelineQueries {
         |ck AS (SELECT DISTINCT vec_id // 8 AS cdoc, bucket
         |       FROM keys WHERE vec_id >= 40),
         |cand AS (SELECT DISTINCT qk.qdoc, ck.cdoc FROM qk JOIN ck USING (bucket)),
-        |$quantNormsCte,
+        |$quantNorms,
         |qt AS (SELECT vec_id // 4 AS qdoc, q, n2
         |       FROM qn WHERE vec_id < 20),
         |cd AS (SELECT vec_id // 8 AS cdoc,
@@ -779,10 +754,7 @@ object PipelineQueries {
         |pair AS (
         |  SELECT qt.qdoc, cand.cdoc,
         |         list_max(list_transform(cd.toks, t ->
-        |           CAST(CAST(list_sum(list_transform(range(1, len(qt.q)+1),
-        |             i -> qt.q[i] * t.v[i])) AS BIGINT) AS DOUBLE)
-        |           / (sqrt(CAST(qt.n2 AS DOUBLE)) * sqrt(CAST(t.n2 AS DOUBLE)))))
-        |           AS best
+        |           ${quantCosRawSql("qt.q", "qt.n2", "t.v", "t.n2")})) AS best
         |  FROM cand JOIN cd ON cand.cdoc = cd.cdoc
         |            JOIN qt ON cand.qdoc = qt.qdoc),
         |score AS (
@@ -800,9 +772,7 @@ object PipelineQueries {
       val (tables, planesPerTable) = (8, 4)
       val planes = Lsh.fnvPlanesL(tables * planesPerTable, dim = 64, salt = "ms")
       val e = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          graft.ops.expr.VecQuant.dotColumn(col("embedding"), col("embedding"))
-            .as("n2"))
+        .select(col("vec_id"), col("embedding"), quantN2(col("embedding")).as("n2"))
       val qt = e.filter(col("vec_id") < 20)
         .select(expr("vec_id DIV 4").as("qdoc"), col("embedding").as("qv"),
           col("n2").as("qn2"))
@@ -823,10 +793,7 @@ object PipelineQueries {
         .orderBy(col("maxsim").desc, col("cdoc"))
       cand.join(cd, Seq("cdoc")).join(broadcast(qt), Seq("qdoc"))
         .withColumn("best", array_max(transform(col("toks"), t =>
-          graft.ops.expr.VecQuant.dotColumn(col("qv"), t.getField("v"))
-            .cast(DoubleType) /
-            (sqrt(col("qn2").cast(DoubleType)) *
-              sqrt(t.getField("n2").cast(DoubleType))))))
+          quantCosRaw(col("qv"), t.getField("v"), col("qn2"), t.getField("n2")))))
         .groupBy("qdoc", "cdoc")
         .agg(round(sum(col("best").cast(DecimalType(38, 15))).cast(DoubleType), 6)
           .as("maxsim"))

@@ -60,4 +60,47 @@ object Q {
 
   /** Integer output normalized to BIGINT on both engines. */
   def big(c: Column): Column = c.cast(LongType)
+
+  // ---- quantized-integer contract for embedding-similarity oracles ------
+  // Components quantize to floor(x·2²⁴) — one exactly-replayable IEEE op —
+  // and every dot/norm is an exact 64-bit integer sum (order- and
+  // engine-independent); only the final cosine divide runs in double,
+  // itself exactly rounded. Spark side: [[graft.ops.expr.VecQuant]]
+  // codegen'd kernels. DuckDB side: the CTE/snippets below.
+
+  /** `qn(vec_id[, extra…], q, n2)` CTE: quantized vectors + exact squared
+    * norms, one row per embedding. */
+  def quantNormsCte(extra: String*): String = {
+    val cols = ("vec_id" +: extra).mkString(", ")
+    s"""qn AS (
+       |  SELECT $cols, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+       |  FROM (SELECT $cols,
+       |          list_transform(embedding,
+       |            x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS q
+       |        FROM embeddings))""".stripMargin
+  }
+
+  /** Quantized cosine over two `qn` rows aliased `a`/`b`, rounded to 6. */
+  def quantCosSql(a: String, b: String): String =
+    s"round(${quantCosRawSql(s"$a.q", s"$a.n2", s"$b.q", s"$b.n2")}, 6)"
+
+  /** Unrounded quantized cosine from explicit vector/norm expressions. */
+  def quantCosRawSql(aq: String, an2: String, bq: String, bn2: String): String =
+    s"""CAST(CAST(list_sum(list_transform(range(1, len($aq)+1),
+       |        i -> $aq[i] * $bq[i])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
+
+  /** Quantized squared norm Σ q(xᵢ)² of a vector column. */
+  def quantN2(v: Column): Column = graft.ops.expr.VecQuant.dotColumn(v, v)
+
+  /** Quantized cosine of two vector columns with precomputed squared
+    * quantized norms, rounded to 6 — the Spark twin of [[quantCosSql]]. */
+  def quantCos(av: Column, bv: Column, n2a: Column, n2b: Column): Column =
+    round(quantCosRaw(av, bv, n2a, n2b), 6)
+
+  /** Unrounded [[quantCos]] (per-token MaxSim terms round only the final
+    * per-doc sum). */
+  def quantCosRaw(av: Column, bv: Column, n2a: Column, n2b: Column): Column =
+    graft.ops.expr.VecQuant.dotColumn(av, bv).cast(DoubleType) /
+      (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
 }
