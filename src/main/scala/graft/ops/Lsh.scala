@@ -17,22 +17,6 @@ object Lsh {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Cross-engine-replayable hyperplanes: component (p,d) is
-    * `fnv1a64("pl:salt:p:d") mod 15 − 7` — an integer in [−7, 7]. An
-    * external SQL engine recomputes the planes from the same ASCII strings
-    * (FNV is a linear byte fold), so bucket assignment — and therefore the
-    * whole candidate set of an LSH query — becomes oracle-checkable, where
-    * a JVM-seeded Gaussian is not. 15-level quantization preserves the
-    * random-direction property LSH needs; recall on the fixture embeddings
-    * matches the Gaussian planes' (pinned by AnnRecallSpec). */
-  def fnvPlanes(numPlanes: Int, dim: Int, salt: String): Seq[Seq[Double]] =
-    (0 until numPlanes).map { p =>
-      (0 until dim).map { d =>
-        val h = graft.ops.expr.Fnv1a64.hash(s"pl:$salt:$p:$d")
-        (java.lang.Long.remainderUnsigned(h, 15L) - 7L).toDouble
-      }
-    }
-
   /** Sign-pattern bucket id, e.g. "10110010" for 8 planes. Each plane's
     * projection is a native dot kernel (graft.ops.expr.VecMath) against the
     * literal plane array — no per-plane intermediate arrays. */
@@ -41,26 +25,6 @@ object Lsh {
       val dotp = graft.ops.expr.VecMath.dotColumn(vec, typedLit(p))
       when(dotp >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
-
-  /** Multi-table bucket keys (OR-construction): `tables` independent hash
-    * tables of `planesPerTable` hyperplanes each; two vectors are candidates
-    * iff they collide in ≥1 table. The standard recall lever for
-    * high-dimensional data, where single-table multi-probe recall collapses:
-    * collision probability for a pair at angle θ is
-    * 1-(1-(1-θ/π)^k)^L instead of one table's (1-θ/π)^k. Key embeds the
-    * table index so buckets of different tables never join. */
-  def tableKeys(vec: Column, planes: Seq[Seq[Double]],
-                tables: Int, planesPerTable: Int): Column = {
-    require(planes.size >= tables * planesPerTable,
-      s"need ${tables * planesPerTable} planes, got ${planes.size}")
-    array((0 until tables).map { t =>
-      val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
-      concat(lit(s"$t:") +: slice.map { p =>
-        val dotp = graft.ops.expr.VecMath.dotColumn(vec, typedLit(p))
-        when(dotp >= 0, lit("1")).otherwise(lit("0"))
-      }: _*)
-    }: _*)
-  }
 
   /** Multi-probe buckets: the exact bucket plus all buckets at hamming
     * distance 1 (flipping each plane's bit), improving recall for vectors
@@ -91,7 +55,14 @@ object Lsh {
   // sign), not strings: cheaper to shuffle, join, and probe (bit-flip =
   // XOR). The double-accumulator forms above stay the non-oracle hot path.
 
-  /** Integer hyperplanes: [[fnvPlanes]] components as longs. */
+  /** Cross-engine-replayable integer hyperplanes: component (p,d) is
+    * `fnv1a64("pl:salt:p:d") mod 15 − 7` — an integer in [−7, 7]. An
+    * external SQL engine recomputes the planes from the same ASCII strings
+    * (FNV is a linear fold), so bucket assignment — and therefore the whole
+    * candidate set of an LSH query — becomes oracle-checkable, where a
+    * JVM-seeded Gaussian is not. 15-level quantization preserves the
+    * random-direction property LSH needs; recall on the fixture embeddings
+    * stays near the Gaussian planes' (floor pinned by AnnRecallSpec). */
   def fnvPlanesL(numPlanes: Int, dim: Int, salt: String): Seq[Seq[Long]] =
     (0 until numPlanes).map { p =>
       (0 until dim).map { d =>
@@ -114,7 +85,12 @@ object Lsh {
     array(bucket +: (0 until numPlanes).map(i =>
       bucket.bitwiseXOR(lit(1L << i))): _*)
 
-  /** Multi-table BIGINT bucket keys (OR-construction): table t's key is
+  /** Multi-table BIGINT bucket keys (OR-construction): `tables` independent
+    * hash tables of `planesPerTable` hyperplanes each; two vectors are
+    * candidates iff they collide in ≥1 table — the standard recall lever
+    * for high-dimensional data, where single-table multi-probe recall
+    * collapses (collision probability for a pair at angle θ is
+    * 1-(1-(1-θ/π)^k)^L instead of one table's (1-θ/π)^k). Table t's key is
     * `t·2^planesPerTable + bits(t)` — the table index lives in the high
     * bits, so buckets of different tables never join. */
   def tableKeysQ(vec: Column, planes: Seq[Seq[Long]],
