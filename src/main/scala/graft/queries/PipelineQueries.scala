@@ -70,6 +70,49 @@ object PipelineQueries {
   /** `qn(vec_id, q, n2)` (shared [[Q.quantNormsCte]], no extra columns). */
   private val quantNorms: String = quantNormsCte()
 
+  /** PQ training replay (over `qe`): per-subspace seeds from the first k
+    * vectors, one Lloyd iteration with floor(Σqx/count) updates, final
+    * codes. Exposes `m1(s, c, i, m)` (trained codebooks), `dall(vec_id, s,
+    * c, d2)` (all per-cell distances), `code(vec_id, s, c)` (assignments) —
+    * the SQL twin of [[graft.ops.Pq.train]]/[[graft.ops.Pq.encode]] at
+    * subspaces=8, subDim=8, k=16. */
+  private val pqTrainCtes: String =
+    """s8 AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |m0 AS (SELECT q.d // 8 AS s, s8.c, q.d % 8 AS i, q.qx AS m
+      |       FROM s8 JOIN qe q USING (vec_id)),
+      |d0 AS (
+      |  SELECT v.vec_id, m0.s, m0.c,
+      |         CAST(sum((v.qx - m0.m)*(v.qx - m0.m)) AS BIGINT) AS d2
+      |  FROM qe v JOIN m0 ON v.d // 8 = m0.s AND v.d % 8 = m0.i
+      |  GROUP BY v.vec_id, m0.s, m0.c),
+      |a0 AS (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT vec_id, s, c,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |upd AS (
+      |  SELECT a0.s, a0.c, v.d % 8 AS i,
+      |         CAST(floor(CAST(sum(v.qx) AS DOUBLE)
+      |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+      |  FROM a0 JOIN qe v ON a0.vec_id = v.vec_id AND v.d // 8 = a0.s
+      |  GROUP BY a0.s, a0.c, i),
+      |m1 AS (
+      |  SELECT m0.s, m0.c, m0.i, coalesce(upd.m, m0.m) AS m
+      |  FROM m0 LEFT JOIN upd
+      |    ON m0.s = upd.s AND m0.c = upd.c AND m0.i = upd.i),
+      |dall AS (
+      |  SELECT v.vec_id, m1.s, m1.c,
+      |         CAST(sum((v.qx - m1.m)*(v.qx - m1.m)) AS BIGINT) AS d2
+      |  FROM qe v JOIN m1 ON v.d // 8 = m1.s AND v.d % 8 = m1.i
+      |  GROUP BY v.vec_id, m1.s, m1.c),
+      |code AS (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT vec_id, s, c,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |    FROM dall) WHERE rn = 1)""".stripMargin
+
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
     * pair table is a pipeline artifact both q_ngram_jaccard and
@@ -718,6 +761,110 @@ object PipelineQueries {
           quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")).as("sim"))
         .withColumn("rn", big(row_number().over(w)))
         .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    },
+
+    // Product quantization, the memory half of the IVF-PQ stack (see
+    // graft.ops.Pq): per-subspace codebooks from one Lloyd iteration over
+    // quantized sub-vectors, every vector encoded as 8 small code ids.
+    // Deterministic seeds + integer distances + floor(Σqx/count) updates
+    // make training AND the emitted codes fully oracle-replayable.
+    Q("q_pq_encode",
+      s"""WITH $quantElemsCte,
+        |$pqTrainCtes
+        |SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(c AS BIGINT) AS code
+        |FROM code
+        |ORDER BY vec_id, s""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val cells = graft.ops.Pq.train(e, "vec_id", "embedding",
+        subspaces = 8, k = 16)
+      graft.ops.Pq.encode(e, "vec_id", "embedding", cells,
+        subspaces = 8, subDim = 8)
+        .select(col("vec_id"), big(col("s")).as("s"), big(col("code")).as("code"))
+        .orderBy("vec_id", "s")
+    },
+
+    // Two-stage PQ search, the canonical billion-vector plan: (1) ADC — each
+    // query precomputes its distance to all 128 (subspace, code) cells and a
+    // candidate's approximate distance is sum-of-8-lookups over its codes;
+    // the corpus side of this join carries CODES ONLY (8 small ints/vector,
+    // ~30× smaller than the embeddings). (2) The top-20 ADC shortlist per
+    // query is rescored with the EXACT quantized L2 distance (via the dot
+    // identity d² = n²a + n²b − 2·a·b, still pure long arithmetic) — exact
+    // work touches 4% of the corpus. Integer distances end to end, so both
+    // stages hash-match the oracle with no float anywhere.
+    Q("q_pq_adc",
+      s"""WITH $quantElemsCte,
+        |$pqTrainCtes,
+        |qd AS (
+        |  SELECT vec_id AS query_id, s, c AS code, d2
+        |  FROM dall WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT qd.query_id, code.vec_id AS neighbor_id,
+        |         CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+        |  FROM code JOIN qd ON code.s = qd.s AND code.c = qd.code
+        |  WHERE code.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY adc_dist, neighbor_id) AS rn
+        |    FROM adc) WHERE rn <= 20),
+        |$quantNorms,
+        |rescored AS (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |         CAST(a.n2 + b.n2
+        |              - 2 * CAST(list_sum(list_transform(range(1, len(a.q)+1),
+        |                    i -> a.q[i] * b.q[i])) AS BIGINT) AS BIGINT) AS l2_dist
+        |  FROM shortlist sl JOIN qn a ON sl.query_id = a.vec_id
+        |                    JOIN qn b ON sl.neighbor_id = b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, l2_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY l2_dist, neighbor_id) AS rn
+        |  FROM rescored)
+        |SELECT query_id, neighbor_id, l2_dist, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val cells = graft.ops.Pq.train(e, "vec_id", "embedding",
+        subspaces = 8, k = 16)
+      val codes = graft.ops.Pq.encode(e, "vec_id", "embedding", cells,
+        subspaces = 8, subDim = 8)
+        .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
+      val qd = graft.ops.Pq.adcTable(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding", cells, subDim = 8)
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      val shortlist = codes
+        .join(broadcast(qd), Seq("s", "code"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("d2")).as("adc_dist"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 20)
+        .select("query_id", "neighbor_id")
+      // rescore: the tiny (query_id, neighbor_id, query vector) shortlist
+      // broadcasts; the corpus vector side STREAMS (never broadcast — it is
+      // the 100TB column), and only shortlist members survive the join
+      val qside = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          quantN2(col("embedding")).as("qn2"))
+      val cside = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), quantN2(col("embedding")).as("cn2"))
+      val wL2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2_dist"), col("neighbor_id"))
+      broadcast(shortlist.join(broadcast(qside), Seq("query_id")))
+        .join(cside, Seq("neighbor_id"))
+        .withColumn("l2_dist",
+          big(col("qn2") + col("cn2")
+            - lit(2L) * graft.ops.expr.VecQuant.dotColumn(col("qv"), col("cv"))))
+        .withColumn("rn", big(row_number().over(wL2)))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "l2_dist", "rn")
         .orderBy("query_id", "rn")
     },
 
