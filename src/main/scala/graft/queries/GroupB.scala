@@ -5,7 +5,7 @@ import graft.queries.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Group B — relational operator surface (SURVEY.md §2.3): scans, joins,
   * aggregation, windows, sorts, set ops, scalar/date/JSON functions,
@@ -173,6 +173,96 @@ object GroupB {
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // TPC-H Q18 shape (large-volume orders): the HAVING subquery is ONE
+    // hash agg over lineitem reduced to bare orderkeys, semi-joined back
+    // before any wide row is built — the big fact is scanned twice but
+    // shuffled only as (key, qty) pairs and the qualifying-order set
+    // (0.1-1% of orders) broadcasts into everything downstream. Quantity
+    // sums and the threshold compare run in exact DECIMAL, so the HAVING
+    // boundary is engine-independent.
+    Q("q_tpch_q18",
+      """WITH big_orders AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250),
+        |li AS (SELECT l_orderkey, l_quantity FROM lineitem
+        |       WHERE l_orderkey IN (SELECT l_orderkey FROM big_orders))
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN li ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(25, 6)
+      val li = tbl(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val bigOrders = li
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(dec)).as("__q"))
+        .filter(col("__q") > lit(250).cast(dec))
+        .select("l_orderkey")
+      val qualified = li.join(broadcast(bigOrders), Seq("l_orderkey"), "left_semi")
+      val ord = tbl(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      qualified
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(spark, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          dstr(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table star. Every
+    // genuine dimension (supplier⋈nation⋈region, pre-filtered to one
+    // region) collapses into ONE broadcast before touching a fact; the
+    // single wide shuffle is lineitem⋈orders on orderkey, then one custkey
+    // exchange into customer with the same-nation filter applied as a join
+    // predicate — 2 shuffles total where a naive plan pays 5.
+    Q("q_tpch_q5",
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        |            AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN supplier ON l_suppkey = s_suppkey
+        |                          AND c_nationkey = s_nationkey
+        |              JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+      val supp = tbl(spark, dir, "supplier")
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(spark, dir, "region"))
+          .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      tbl(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     },
 
     // TPC-H Q1 shape: hash aggregate with map-side partial aggregation;

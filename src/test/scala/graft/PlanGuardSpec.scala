@@ -48,7 +48,7 @@ class PlanGuardSpec extends SparkSpec {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
-      for (name <- Seq("q_tpch_q3", "q_tpch_q10")) {
+      for (name <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q5")) {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.sparkPlan.toString
         assert(plan.contains("BroadcastHashJoin"),
