@@ -1646,6 +1646,93 @@ object PipelineQueries {
         .orderBy("degree")
     },
 
+    // PageRank over the near-dup graph (3 damped iterations): ranks the
+    // canonical representative inside boilerplate/template clusters — the
+    // hub a curation pass keeps — where min-id components (q_dup_components)
+    // only label membership. Arithmetic is scaled-integer end to end:
+    // ranks carry 10¹², every per-edge contribution is rank DIV degree and
+    // the damping step is (85·Σ) DIV 100 — floor division of non-negative
+    // longs, identical in any engine, so three unrolled iterations
+    // hash-match the oracle with no float anywhere. Each iteration is two
+    // shuffles (contribution agg on dst, rank join on node); edges stay
+    // partitioned, nothing collects — the standard power-iteration plan
+    // that scales to billion-edge graphs (at which point ranks move to
+    // DECIMAL(38) accumulators; noted, not needed at 2⁶³÷85 total mass).
+    Q("q_pagerank",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (
+        |  SELECT d.node,
+        |         CAST(150000000000 + (85 * coalesce(c.contrib, 0)) // 100
+        |              AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(r.r // sd.deg) AS BIGINT) AS contrib
+        |    FROM edges e JOIN r0 r ON e.src = r.node
+        |                 JOIN deg sd ON e.src = sd.node
+        |    GROUP BY e.dst) c ON d.node = c.node),
+        |r2 AS (
+        |  SELECT d.node,
+        |         CAST(150000000000 + (85 * coalesce(c.contrib, 0)) // 100
+        |              AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(r.r // sd.deg) AS BIGINT) AS contrib
+        |    FROM edges e JOIN r1 r ON e.src = r.node
+        |                 JOIN deg sd ON e.src = sd.node
+        |    GROUP BY e.dst) c ON d.node = c.node),
+        |r3 AS (
+        |  SELECT d.node,
+        |         CAST(150000000000 + (85 * coalesce(c.contrib, 0)) // 100
+        |              AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(r.r // sd.deg) AS BIGINT) AS contrib
+        |    FROM edges e JOIN r2 r ON e.src = r.node
+        |                 JOIN deg sd ON e.src = sd.node
+        |    GROUP BY e.dst) c ON d.node = c.node)
+        |SELECT r3.node AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+        |       r3.r AS rank_e12
+        |FROM r3 JOIN deg ON r3.node = deg.node
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      var r = deg.select(col("node"), lit(1000000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(r.select(col("node").as("src"), col("r")), "src")
+          .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+          .select(col("dst").as("node"), expr("r DIV sdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("contrib"))
+        r = deg.select(col("node"))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr("CAST(150000000000 + (85 * coalesce(contrib, CAST(0 AS BIGINT)))" +
+              " DIV 100 AS BIGINT)").as("r"))
+          .localCheckpoint(true)
+      }
+      r.join(deg, "node")
+        .select(col("node").as("doc_id"), big(col("deg")).as("degree"),
+          col("r").as("rank_e12"))
+        .orderBy("doc_id")
+    },
+
     // Dataset card: the per-source curation profile a data team publishes
     // with a release — doc/token/language counts plus near-duplicate
     // exposure, joining the corpus scan with the SHARED verified ≥0.95
