@@ -135,6 +135,18 @@ object PipelineQueries {
       DedupOps.nearDupPairs(docs)
     }
 
+  /** PQ codebooks for a fixture dir, trained once per process and shared by
+    * q_pq_encode / q_pq_adc — the [[jaccardPairs]] principle for a
+    * driver-side artifact: a real pipeline trains the quantizer once and
+    * every encoder/searcher loads it. Keyed by dir only (fixture data is
+    * immutable for the session); the value is subspaces·k·subDim longs. */
+  private val pqCells =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Pq.Cell]]()
+  private def pqCodebooks(spark: SparkSession, dir: String): Seq[graft.ops.Pq.Cell] =
+    pqCells.computeIfAbsent(dir, _ =>
+      graft.ops.Pq.train(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        subspaces = 8, k = 16))
+
   val all: Seq[Q] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -776,8 +788,7 @@ object PipelineQueries {
         |FROM code
         |ORDER BY vec_id, s""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
-      val cells = graft.ops.Pq.train(e, "vec_id", "embedding",
-        subspaces = 8, k = 16)
+      val cells = pqCodebooks(spark, dir)
       graft.ops.Pq.encode(e, "vec_id", "embedding", cells,
         subspaces = 8, subDim = 8)
         .select(col("vec_id"), big(col("s")).as("s"), big(col("code")).as("code"))
@@ -828,8 +839,7 @@ object PipelineQueries {
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
-      val cells = graft.ops.Pq.train(e, "vec_id", "embedding",
-        subspaces = 8, k = 16)
+      val cells = pqCodebooks(spark, dir)
       val codes = graft.ops.Pq.encode(e, "vec_id", "embedding", cells,
         subspaces = 8, subDim = 8)
         .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
