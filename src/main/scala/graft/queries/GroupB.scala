@@ -265,6 +265,88 @@ object GroupB {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q4 shape (order-priority checking): a correlated EXISTS against
+    // the big fact. The subquery never materializes wide rows — lineitem is
+    // pre-filtered and projected to BARE ORDERKEYS before the left-semi
+    // join, so the only exchange carries (orderkey) pairs both sides
+    // already hash by; the date window prunes orders at the scan. The
+    // fixture lacks l_commitdate/l_receiptdate, so l_returnflag = 'R'
+    // stands in as the "late" predicate — the plan shape (filtered fact
+    // semi-join fact + tiny-key agg) is the point.
+    Q("q_tpch_q4",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val flagged = tbl(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(big(count(lit(1))).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    // TPC-H join topology — EXISTS (another supplier touched the order)
+    // plus NOT EXISTS (another supplier was ALSO late). The Spark-first
+    // plan replaces both correlated self-scans with ONE hash agg over
+    // lineitem: per order, count distinct suppliers and distinct LATE
+    // suppliers — `nsupp > 1` is the EXISTS, `nlate = 1` is the NOT
+    // EXISTS (the probe row's supplier is itself late, so a singleton
+    // late-set can only be them). Two scans of the fact become one agg +
+    // one co-keyed orderkey join; supplier broadcasts at the end. The
+    // fixture lacks commit/receipt dates, so l_returnflag = 'R' models
+    // "late" (same adaptation as q_tpch_q4).
+    Q("q_tpch_q21",
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |        JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val orderStats = li
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("__nsupp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("__nlate"))
+        .filter(col("__nsupp") > 1 && col("__nlate") === 1)
+        .select("l_orderkey")
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orderStats, Seq("l_orderkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(spark, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(big(count(lit(1))).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
     // TPC-H Q1 shape: hash aggregate with map-side partial aggregation;
     // the group-by key cardinality is tiny so the shuffle is a few rows.
     Q("q_agg_hash",

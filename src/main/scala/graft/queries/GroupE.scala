@@ -452,6 +452,54 @@ object GroupE {
         .orderBy("prev")
     },
 
+    // Corpus-LM fluency scoring — the CCNet/Gopher "perplexity filter"
+    // reshaped for exact cross-engine replay: score each document by the
+    // mean INVERSE conditional probability of its bigrams under the
+    // corpus's own bigram LM. surprise(a,b) = ⌊c_a·10⁶ / c_ab⌋ (≥10⁶;
+    // rare transitions score high), doc score = ⌊Σsurprise / n_bigrams⌋ —
+    // a log-free, float-free perplexity ordering (monotone in the
+    // geometric-mean argument's arithmetic-mean proxy), so disfluent/
+    // boilerplate-noise docs rank high with no libm anywhere. Shapes: one
+    // shifted-zip bigram explode carrying doc_id, two corpus-level hash
+    // aggs (bigram + prev-token counts), two equi-joins back onto the
+    // per-doc bigram stream, one per-doc agg. At larger corpora the
+    // surprise sum moves to a DECIMAL(38,0) accumulator; BIGINT holds to
+    // ~10⁹-bigram documents at this vocabulary.
+    Q("q_lm_surprise",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+         |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         |pc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+         |tot AS (SELECT a, sum(c_ab) AS c_a FROM pc GROUP BY 1),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |         (CAST(tot.c_a AS BIGINT) * 1000000) // pc.c_ab AS surprise
+         |  FROM bg JOIN pc USING (a, b) JOIN tot USING (a))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(surprise) // count(*) AS BIGINT) AS surprise_e6
+         |FROM scored
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val tk = toks(col("text"))
+      val n1 = greatest(size(tk) - 1, lit(0))
+      val bg = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val pc = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val tot = pc.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+      bg.join(pc, Seq("a", "b"))
+        .join(tot, Seq("a"))
+        .select(col("doc_id"),
+          expr("(CAST(c_a AS BIGINT) * 1000000) DIV c_ab").as("surprise"))
+        .groupBy("doc_id")
+        .agg(big(count(lit(1))).as("n_bigrams"),
+          expr("CAST(sum(surprise) DIV count(*) AS BIGINT)").as("surprise_e6"))
+        .orderBy("doc_id")
+    },
+
     // Collocation mining by PMI-style LIFT, float-free: adjacent bigrams
     // with c_ab >= 5 ranked by lift = P(ab)/(P(a)P(b)) = c_ab*N/(c_a*c_b),
     // materialized as the exact integer floor(c_ab*N*10^6/(c_a*c_b)) — the

@@ -147,6 +147,28 @@ object PipelineQueries {
       graft.ops.Pq.train(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
         subspaces = 8, k = 16))
 
+  /** The encoded corpus (vec_id, s, code) as a session artifact: a real
+    * pipeline encodes once at index-build time and every searcher scans the
+    * codes, never the floats — q_pq_encode emits this table, q_pq_adc and
+    * q_ivf_pq join against it. Materialized via [[graft.util.SessionCache]]
+    * (the encode expression is 128 inlined cell distances — worth compiling
+    * and running exactly once per session). */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"pq_codes:$dir") {
+      graft.ops.Pq.encode(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        pqCodebooks(spark, dir), subspaces = 8, subDim = 8)
+    }
+
+  /** IVF coarse centroids (k=16, quantized-exact), trained once per fixture
+    * dir and shared by q_ann_ivf / q_ivf_pq — the coarse quantizer is the
+    * same session artifact class as the PQ codebooks. */
+  private val ivfCells =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  private def ivfCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    ivfCells.computeIfAbsent(dir, _ =>
+      graft.ops.Ivf.train(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 16, exact = true))
+
   val all: Seq[Q] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -621,6 +643,73 @@ object PipelineQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Binary (1-bit) quantization + Hamming search: each 64-dim float
+    // vector compresses 256× into two 32-bit sign words (bit i = component
+    // i's quantized sign), and neighbor ranking is xor + popcount — the
+    // binary-rerank first stage every memory-bound vector store ships.
+    // The scan shape is q_cosine_topk's (broadcast 10 queries, corpus
+    // streams, no shuffle of the big side) but each candidate costs 2
+    // xors + 2 bit_counts instead of a 64-term dot — the reason this scan
+    // survives at 100 TB where the float scan saturates memory bandwidth.
+    // Packing by SUM of distinct powers (no carries ⟹ sum = bitwise or)
+    // keeps both words in non-negative BIGINT range, so signatures AND
+    // distances replay exactly; ranking ties break by neighbor id.
+    Q("q_binary_ann",
+      s"""WITH $quantElemsCte,
+        |sig AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN qx >= 0 AND d < 32
+        |                       THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER))
+        |                       ELSE 0 END) AS BIGINT) AS lo,
+        |         CAST(sum(CASE WHEN qx >= 0 AND d >= 32
+        |                       THEN (CAST(1 AS BIGINT) << CAST(d - 32 AS INTEGER))
+        |                       ELSE 0 END) AS BIGINT) AS hi
+        |  FROM qe GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(bit_count(xor(q.lo, c.lo))
+        |              + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+        |  FROM sig q JOIN sig c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY hamming, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
+      // sign word: zip 32 components with their power of two, keep the
+      // power where the quantized component is non-negative, sum — distinct
+      // powers never carry, so the sum stays < 2^32 and equals the or-fold
+      def sigWord(v: Column, off: Int): Column =
+        aggregate(
+          zip_with(slice(v, off + 1, 32),
+            typedLit((0 until 32).map(i => 1L << i)),
+            (x, p) => when(
+              floor(x.cast("double") * lit(graft.ops.expr.VecQuant.Scale)) >= 0,
+              p).otherwise(lit(0L))),
+          lit(0L), (acc, t) => acc + t)
+      val sigs = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          sigWord(col("embedding"), 0).as("lo"),
+          sigWord(col("embedding"), 32).as("hi"))
+      val queries = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("lo").as("qlo"), col("hi").as("qhi"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))
+      broadcast(queries)
+        .join(sigs.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi")),
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("hamming",
+          big(bit_count(col("qlo").bitwiseXOR(col("lo")))
+            + bit_count(col("qhi").bitwiseXOR(col("hi")))))
+        .withColumn("rn", big(row_number().over(w)))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rn")
+        .orderBy("query_id", "rn")
+    },
+
     // LSH-bucketed ANN — the scale path: probe buckets on the query side,
     // equi-join on bucket, rank only collision candidates. FNV-derived
     // integer planes + quantized projections make the multi-table BIGINT
@@ -753,8 +842,7 @@ object PipelineQueries {
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
       val n2 = quantN2(col("embedding"))
-      val centroids = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16,
-        exact = true)
+      val centroids = ivfCentroids(spark, dir)
       val indexed = graft.ops.Ivf.index(e, "vec_id", "embedding", centroids,
         exact = true)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
@@ -787,10 +875,7 @@ object PipelineQueries {
         |SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(c AS BIGINT) AS code
         |FROM code
         |ORDER BY vec_id, s""".stripMargin) { (spark, dir) =>
-      val e = tbl(spark, dir, "embeddings")
-      val cells = pqCodebooks(spark, dir)
-      graft.ops.Pq.encode(e, "vec_id", "embedding", cells,
-        subspaces = 8, subDim = 8)
+      pqCodes(spark, dir)
         .select(col("vec_id"), big(col("s")).as("s"), big(col("code")).as("code"))
         .orderBy("vec_id", "s")
     },
@@ -840,8 +925,7 @@ object PipelineQueries {
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
       val e = tbl(spark, dir, "embeddings")
       val cells = pqCodebooks(spark, dir)
-      val codes = graft.ops.Pq.encode(e, "vec_id", "embedding", cells,
-        subspaces = 8, subDim = 8)
+      val codes = pqCodes(spark, dir)
         .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
       val qd = graft.ops.Pq.adcTable(
         e.filter(col("vec_id") < 10)
@@ -860,6 +944,142 @@ object PipelineQueries {
       // rescore: the tiny (query_id, neighbor_id, query vector) shortlist
       // broadcasts; the corpus vector side STREAMS (never broadcast — it is
       // the 100TB column), and only shortlist members survive the join
+      val qside = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          quantN2(col("embedding")).as("qn2"))
+      val cside = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), quantN2(col("embedding")).as("cn2"))
+      val wL2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2_dist"), col("neighbor_id"))
+      broadcast(shortlist.join(broadcast(qside), Seq("query_id")))
+        .join(cside, Seq("neighbor_id"))
+        .withColumn("l2_dist",
+          big(col("qn2") + col("cn2")
+            - lit(2L) * graft.ops.expr.VecQuant.dotColumn(col("qv"), col("cv"))))
+        .withColumn("rn", big(row_number().over(wL2)))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "l2_dist", "rn")
+        .orderBy("query_id", "rn")
+    },
+
+    // IVF-PQ: the full billion-vector composite — the IVF coarse quantizer
+    // (q_ann_ivf's centroids, shared session artifact) prunes the SEARCH
+    // SPACE to the query's 4 nearest cells, and PQ codes (q_pq_encode's
+    // table, same artifact both searchers scan) prune the BYTES: the ADC
+    // join touches only code rows of vectors in probed cells, then the
+    // exact quantized-L2 rescore touches only the top-20 shortlist. This is
+    // the FAISS IVFx,PQy plan as three equi-joins: corpus (codes ⋈ cell
+    // assignment) streams past the broadcast probe set, the broadcast
+    // per-query ADC table scores survivors, and the broadcast shortlist
+    // picks up exact distances from the streamed float column — at 100 TB
+    // the floats are read once here, in the last (4%-selective) stage.
+    // Every stage is the already-oracled integer arithmetic of its parts,
+    // so the composite replays end-to-end: IVF CTEs get an iv_ prefix to
+    // coexist with the PQ training CTEs in one WITH.
+    Q("q_ivf_pq",
+      s"""WITH $quantElemsCte,
+        |$pqTrainCtes,
+        |iv_m0 AS (
+        |  SELECT s8.c, v.d, v.qx AS m FROM s8 JOIN qe v USING (vec_id)),
+        |iv_d0 AS (
+        |  SELECT v.vec_id, iv_m0.c,
+        |         CAST(sum((v.qx - iv_m0.m)*(v.qx - iv_m0.m)) AS BIGINT) AS d2
+        |  FROM qe v JOIN iv_m0 ON v.d = iv_m0.d
+        |  GROUP BY v.vec_id, iv_m0.c),
+        |iv_a0 AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |    FROM iv_d0) WHERE rn = 1),
+        |iv_upd AS (
+        |  SELECT iv_a0.c, v.d,
+        |         CAST(floor(CAST(sum(v.qx) AS DOUBLE)
+        |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        |  FROM iv_a0 JOIN qe v USING (vec_id) GROUP BY iv_a0.c, v.d),
+        |iv_m1 AS (
+        |  SELECT iv_m0.c, iv_m0.d, coalesce(iv_upd.m, iv_m0.m) AS m
+        |  FROM iv_m0 LEFT JOIN iv_upd
+        |    ON iv_m0.c = iv_upd.c AND iv_m0.d = iv_upd.d),
+        |iv_dall AS (
+        |  SELECT v.vec_id, iv_m1.c,
+        |         CAST(sum((v.qx - iv_m1.m)*(v.qx - iv_m1.m)) AS BIGINT) AS d2
+        |  FROM qe v JOIN iv_m1 ON v.d = iv_m1.d
+        |  GROUP BY v.vec_id, iv_m1.c),
+        |iv_idx AS (
+        |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |    FROM iv_dall) WHERE rn = 1),
+        |iv_qp AS (
+        |  SELECT vec_id AS query_id, c AS cluster FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |    FROM iv_dall WHERE vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT iv_qp.query_id, iv_idx.neighbor_id
+        |  FROM iv_qp JOIN iv_idx USING (cluster)
+        |  WHERE iv_idx.neighbor_id <> iv_qp.query_id),
+        |qd AS (
+        |  SELECT vec_id AS query_id, s, c AS code, d2
+        |  FROM dall WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+        |  FROM cand JOIN code ON code.vec_id = cand.neighbor_id
+        |            JOIN qd ON qd.query_id = cand.query_id
+        |                   AND qd.s = code.s AND qd.code = code.c
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY adc_dist, neighbor_id) AS rn
+        |    FROM adc) WHERE rn <= 20),
+        |$quantNorms,
+        |rescored AS (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |         CAST(a.n2 + b.n2
+        |              - 2 * CAST(list_sum(list_transform(range(1, len(a.q)+1),
+        |                    i -> a.q[i] * b.q[i])) AS BIGINT) AS BIGINT) AS l2_dist
+        |  FROM shortlist sl JOIN qn a ON sl.query_id = a.vec_id
+        |                    JOIN qn b ON sl.neighbor_id = b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, l2_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY l2_dist, neighbor_id) AS rn
+        |  FROM rescored)
+        |SELECT query_id, neighbor_id, l2_dist, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val centroids = ivfCentroids(spark, dir)
+      val cells = pqCodebooks(spark, dir)
+      // corpus side: code rows tagged with their IVF cell — 8 small ints +
+      // a cluster id per vector, the only thing the ADC stage ever reads
+      val corpus = pqCodes(spark, dir)
+        .join(graft.ops.Ivf.index(e, "vec_id", "embedding", centroids,
+            exact = true).select(col("vec_id"), col("cluster")),
+          Seq("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("cluster"),
+          col("s"), col("code"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val probes = graft.ops.Ivf.probes(queries, "query_id", "embedding",
+        centroids, nprobe = 4, exact = true)
+        .select("query_id", "cluster")
+      val qd = graft.ops.Pq.adcTable(queries, "query_id", "embedding",
+        cells, subDim = 8)
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      val shortlist = corpus
+        .join(broadcast(probes), Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(broadcast(qd), Seq("query_id", "s", "code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("d2")).as("adc_dist"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 20)
+        .select("query_id", "neighbor_id")
       val qside = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           quantN2(col("embedding")).as("qn2"))
@@ -1723,11 +1943,15 @@ object PipelineQueries {
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
+      // contributions divide by the SOURCE degree — a per-edge constant, so
+      // it rides on the edge list once instead of a third join per round
+      val edgesD = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+        .localCheckpoint(true)
       var r = deg.select(col("node"), lit(1000000000000L).as("r"))
       for (_ <- 1 to 3) {
-        val contrib = edges
+        val contrib = edgesD
           .join(r.select(col("node").as("src"), col("r")), "src")
-          .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
           .select(col("dst").as("node"), expr("r DIV sdeg").as("c"))
           .groupBy("node").agg(sum(col("c")).as("contrib"))
         r = deg.select(col("node"))
@@ -1740,6 +1964,75 @@ object PipelineQueries {
       r.join(deg, "node")
         .select(col("node").as("doc_id"), big(col("deg")).as("degree"),
           col("r").as("rank_e12"))
+        .orderBy("doc_id")
+    },
+
+    // Triangle counting + local clustering coefficient over the near-dup
+    // graph: distinguishes TEMPLATE CLIQUES (every pair similar — one
+    // canonical doc survives curation) from CHAIN-shaped drift (A~B~C but
+    // A≁C — each hop may deserve keeping). Edges are canonical (a<b), so
+    // each triangle x<y<z is enumerated exactly once by the wedge join
+    // e(x,y)⋈e(y,z) closed by a LEFT SEMI against e(x,z) — the standard
+    // distributed triangle plan: two equi-joins on node keys, no cross
+    // join, wedge volume bounded by Σdeg² (at web scale the same plan
+    // orients edges by DEGREE instead of id, bounding wedges by
+    // arboricity·|E|; id-orientation is the fixture-honest version since
+    // near-dup cliques make every orientation clique-bound anyway). The
+    // coefficient is float-free: lcc_e6 = ⌊2·tri·10⁶ / (deg·(deg−1))⌋.
+    Q("q_triangle_count",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |tri AS (
+        |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        |  FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
+        |       JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+        |tcnt AS (
+        |  SELECT doc_id, count(*) AS tri FROM (
+        |    SELECT x AS doc_id FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY doc_id),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT a_id AS doc_id FROM pairs
+        |    UNION ALL SELECT b_id FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT deg.doc_id, CAST(deg.degree AS BIGINT) AS degree,
+        |       CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS triangles,
+        |       CAST(CASE WHEN deg.degree > 1
+        |                 THEN (2 * coalesce(tcnt.tri, 0) * 1000000)
+        |                      // (deg.degree * (deg.degree - 1))
+        |                 ELSE 0 END AS BIGINT) AS lcc_e6
+        |FROM deg LEFT JOIN tcnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+      val tri = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+        .join(pairs.select(col("a_id").as("y"), col("b_id").as("z")), Seq("y"))
+        .join(pairs.select(col("a_id").as("x"), col("b_id").as("z")),
+          Seq("x", "z"), "left_semi")
+        .localCheckpoint(true)
+      val tcnt = tri.select(col("x").as("doc_id"))
+        .unionByName(tri.select(col("y").as("doc_id")))
+        .unionByName(tri.select(col("z").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("tri"))
+      val deg = pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      deg.join(tcnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), big(col("degree")).as("degree"),
+          big(coalesce(col("tri"), lit(0L))).as("triangles"),
+          big(when(col("degree") > 1,
+            expr("(2 * coalesce(tri, CAST(0 AS BIGINT)) * 1000000)" +
+              " DIV (degree * (degree - 1))")).otherwise(0L)).as("lcc_e6"))
         .orderBy("doc_id")
     },
 

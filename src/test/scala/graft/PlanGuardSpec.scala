@@ -19,7 +19,8 @@ class PlanGuardSpec extends SparkSpec {
     * same way. */
   private val nonEquiAllowed =
     Set("q_cosine_topk", "q_knn_vote", "q_bm25", "q_maxsim", "q_snapshot_at",
-      "q_merge_upsert", "q_idf_novelty", "q_collocations")
+      "q_merge_upsert", "q_idf_novelty", "q_collocations",
+      "q_binary_ann") // same 10-query broadcast scan shape as q_cosine_topk
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -48,7 +49,8 @@ class PlanGuardSpec extends SparkSpec {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
-      for (name <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q5")) {
+      for (name <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q5",
+        "q_tpch_q21")) {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.sparkPlan.toString
         assert(plan.contains("BroadcastHashJoin"),
@@ -58,6 +60,16 @@ class PlanGuardSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerate join")
       }
+      // Q4's EXISTS set is lineitem-sized distinct orderkeys — NOT
+      // broadcastable at scale, so its honest plan is a shuffled semi-join
+      // on the key both sides already hash by (and nothing degenerate)
+      val q4 = SparkEntry.queries("q_tpch_q4")(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(q4.contains("LeftSemi"), "q_tpch_q4 lost its semi-join")
+      assert(q4.contains("SortMergeJoin") || q4.contains("ShuffledHashJoin"),
+        "q_tpch_q4 semi-join is not a shuffle join")
+      assert(!q4.contains("CartesianProduct") &&
+        !q4.contains("BroadcastNestedLoopJoin"), "q_tpch_q4 degenerate join")
     } finally spark.conf.set(key, prev)
   }
 
