@@ -324,11 +324,14 @@ object GroupB {
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (spark, dir) =>
       val li = tbl(spark, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_returnflag")
+      // two plain hash aggs instead of a double countDistinct (which
+      // expands the stream 2×): first collapse to (order, supplier, late?),
+      // then count suppliers and late suppliers per order
       val orderStats = li
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__late"))
         .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("__nsupp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("__nlate"))
+        .agg(count(lit(1)).as("__nsupp"), sum(col("__late")).as("__nlate"))
         .filter(col("__nsupp") > 1 && col("__nlate") === 1)
         .select("l_orderkey")
       val ord = tbl(spark, dir, "orders")
@@ -345,6 +348,102 @@ object GroupB {
         .agg(big(count(lit(1))).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    },
+
+    // TPC-H Q6 shape (forecasting revenue change): the pure pushdown
+    // showcase — a single scan, zero joins, every predicate (date range,
+    // discount band, quantity cap) eligible for parquet row-group pruning,
+    // one map-side-combined DECIMAL aggregate producing ONE row. At 100 TB
+    // this query is bounded by scan bandwidth alone; PushdownSpec-style
+    // plans show the filters at the scan node.
+    Q("q_tpch_q6",
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24
+        |ORDER BY revenue""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          big(count(lit(1))).as("n_lines"))
+    },
+
+    // TPC-H Q14 shape (promotion effect): conditional aggregation over a
+    // fact⋈dimension join where the dimension (part) GROWS with scale —
+    // like customer in Q10 it is deliberately NOT broadcast; the join
+    // shuffles both sides on partkey, the date window prunes lineitem
+    // first. Both sums accumulate in exact DECIMAL; the promo ratio is the
+    // single final double division.
+    Q("q_tpch_q14",
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                 THEN CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(25,6))
+        |                 ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                            AS DECIMAL(25,6))) AS DOUBLE)
+        |         AS DOUBLE) AS promo_revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'
+        |ORDER BY promo_revenue""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(25, 6)
+      val li = tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      li.join(tbl(spark, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+              .otherwise(lit(0).cast(dec))).cast(DoubleType)
+            / dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("promo_revenue"),
+          big(count(lit(1))).as("n_lines"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs join — three brand/size/quantity bands that can only be
+    // evaluated with both sides present. The equi-key (partkey) still
+    // drives the join; the disjunction rides along as a post-join filter,
+    // so the plan stays a hash/sort-merge join, never a nested loop. The
+    // fixture part table has no p_container, so each band is
+    // brand × size-range × quantity-range (the shape, minus one conjunct).
+    Q("q_tpch_q19",
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size >= 1 AND p_size <= 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)
+        |ORDER BY revenue""".stripMargin) { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val part = tbl(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val band = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size") >= 1 && col("p_size") <= sizeHi &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      li.join(part, col("p_partkey") === col("l_partkey"))
+        .filter(band("Brand#1", 15, 1, 11) ||
+          band("Brand#2", 25, 10, 20) ||
+          band("Brand#3", 35, 20, 30))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          big(count(lit(1))).as("n_lines"))
     },
 
     // TPC-H Q1 shape: hash aggregate with map-side partial aggregation;

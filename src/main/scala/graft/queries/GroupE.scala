@@ -500,6 +500,83 @@ object GroupE {
         .orderBy("doc_id")
     },
 
+    // BPE merge mining — the first iteration of byte-pair-encoding
+    // tokenizer training as a corpus query: count adjacent SYMBOL pairs
+    // across the word-frequency table (each occurrence inside a word
+    // weighted by that word's corpus frequency) and rank merge candidates.
+    // The distributed shape is what makes real BPE training feasible on
+    // 100 TB: the pair counting runs over the DISTINCT-WORD table (a few
+    // million rows regardless of corpus size) carrying precomputed
+    // frequencies — never over the raw token stream — so each merge round
+    // is two hash aggs on a vocabulary-sized frame. One round here (the
+    // re-tokenization between rounds is driver logic over the same query,
+    // not a new operator); ties break lexicographically like the reference
+    // implementations.
+    Q("q_bpe_pairs",
+      s"""WITH words AS (
+         |  SELECT u AS w, count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS u FROM documents)
+         |  GROUP BY 1),
+         |chars AS (
+         |  SELECT w, freq,
+         |         list_filter(string_split(w, ''), c -> c <> '') AS cs
+         |  FROM words),
+         |prs AS (
+         |  SELECT cs[i] AS a, cs[i + 1] AS b, freq
+         |  FROM chars, UNNEST(range(1, len(cs))) AS u(i))
+         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM prs GROUP BY a, b
+         |ORDER BY cnt DESC, a, b LIMIT 10""".stripMargin) { (spark, dir) =>
+      val words = tbl(spark, dir, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val cs = filter(split(col("w"), ""), c => c =!= "")
+      val n1 = greatest(size(cs) - 1, lit(0))
+      words
+        .select(col("freq"),
+          explode(zip_with(slice(cs, lit(1), n1), slice(cs, lit(2), n1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(big(sum(col("freq"))).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(10)
+    },
+
+    // Budget-capped corpus selection — the final curation decision: given
+    // a per-language token budget, greedily admit documents (longest
+    // first; ties by doc_id) until the budget is exhausted — the packing
+    // pass that turns "scored corpus" into "training mix". One per-lang
+    // window computes the running total; a document is admitted iff its
+    // cumulative sum still fits. The window partitions by lang (never
+    // global) and everything is integer, so the admission boundary is
+    // engine-exact.
+    Q("q_token_budget",
+      s"""WITH sized AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang
+         |                             ORDER BY n_tokens DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM sized)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM ranked WHERE cum_tokens <= 20000
+         |ORDER BY lang, cum_tokens""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 20000)
+        .select(col("doc_id"), col("lang"), big(col("n_tokens")).as("n_tokens"),
+          big(col("cum_tokens")).as("cum_tokens"))
+        .orderBy("lang", "cum_tokens")
+    },
+
     // Collocation mining by PMI-style LIFT, float-free: adjacent bigrams
     // with c_ab >= 5 ranked by lift = P(ab)/(P(a)P(b)) = c_ab*N/(c_a*c_b),
     // materialized as the exact integer floor(c_ab*N*10^6/(c_a*c_b)) — the

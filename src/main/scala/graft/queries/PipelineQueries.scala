@@ -1937,9 +1937,11 @@ object PipelineQueries {
         |FROM r3 JOIN deg ON r3.node = deg.node
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+      // edges stay a lazy union over the session-cached pair artifact — no
+      // materialization of their own; the two frames pinned before the loop
+      // are deg and the degree-carrying edge list
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true)
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
