@@ -7,7 +7,7 @@ import graft.queries.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Training-data pipeline operators (builder prompt + SURVEY.md §2.3 Group
   * B tail): deduplication (exact, MinHash+LSH, SimHash, token-set Jaccard,
@@ -112,6 +112,49 @@ object PipelineQueries {
       |    SELECT vec_id, s, c,
       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
       |    FROM dall) WHERE rn = 1)""".stripMargin
+
+  /** IVF training replay (over `qe`), iv_-prefixed so it composes with
+    * [[pqTrainCtes]] in one WITH: full-dim seeds from the first 16 vectors,
+    * one Lloyd iteration with floor(Σqx/count) updates, final cell
+    * assignment. Exposes `iv_m1(c, d, m)` (trained centroids),
+    * `iv_dall(vec_id, c, d2)` (all vector↔centroid distances), `iv_idx
+    * (neighbor_id, cluster)` — the SQL twin of [[graft.ops.Ivf.train]]/
+    * [[graft.ops.Ivf.index]] at k=16, exact mode. */
+  private val ivfTrainCtes: String =
+    """iv_s AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |iv_m0 AS (
+      |  SELECT iv_s.c, v.d, v.qx AS m FROM iv_s JOIN qe v USING (vec_id)),
+      |iv_d0 AS (
+      |  SELECT v.vec_id, iv_m0.c,
+      |         CAST(sum((v.qx - iv_m0.m)*(v.qx - iv_m0.m)) AS BIGINT) AS d2
+      |  FROM qe v JOIN iv_m0 ON v.d = iv_m0.d
+      |  GROUP BY v.vec_id, iv_m0.c),
+      |iv_a0 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT vec_id, c,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      |    FROM iv_d0) WHERE rn = 1),
+      |iv_upd AS (
+      |  SELECT iv_a0.c, v.d,
+      |         CAST(floor(CAST(sum(v.qx) AS DOUBLE)
+      |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+      |  FROM iv_a0 JOIN qe v USING (vec_id) GROUP BY iv_a0.c, v.d),
+      |iv_m1 AS (
+      |  SELECT iv_m0.c, iv_m0.d, coalesce(iv_upd.m, iv_m0.m) AS m
+      |  FROM iv_m0 LEFT JOIN iv_upd
+      |    ON iv_m0.c = iv_upd.c AND iv_m0.d = iv_upd.d),
+      |iv_dall AS (
+      |  SELECT v.vec_id, iv_m1.c,
+      |         CAST(sum((v.qx - iv_m1.m)*(v.qx - iv_m1.m)) AS BIGINT) AS d2
+      |  FROM qe v JOIN iv_m1 ON v.d = iv_m1.d
+      |  GROUP BY v.vec_id, iv_m1.c),
+      |iv_idx AS (
+      |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
+      |    SELECT vec_id, c,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      |    FROM iv_dall) WHERE rn = 1)""".stripMargin
 
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
@@ -979,37 +1022,7 @@ object PipelineQueries {
     Q("q_ivf_pq",
       s"""WITH $quantElemsCte,
         |$pqTrainCtes,
-        |iv_m0 AS (
-        |  SELECT s8.c, v.d, v.qx AS m FROM s8 JOIN qe v USING (vec_id)),
-        |iv_d0 AS (
-        |  SELECT v.vec_id, iv_m0.c,
-        |         CAST(sum((v.qx - iv_m0.m)*(v.qx - iv_m0.m)) AS BIGINT) AS d2
-        |  FROM qe v JOIN iv_m0 ON v.d = iv_m0.d
-        |  GROUP BY v.vec_id, iv_m0.c),
-        |iv_a0 AS (
-        |  SELECT vec_id, c FROM (
-        |    SELECT vec_id, c,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-        |    FROM iv_d0) WHERE rn = 1),
-        |iv_upd AS (
-        |  SELECT iv_a0.c, v.d,
-        |         CAST(floor(CAST(sum(v.qx) AS DOUBLE)
-        |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
-        |  FROM iv_a0 JOIN qe v USING (vec_id) GROUP BY iv_a0.c, v.d),
-        |iv_m1 AS (
-        |  SELECT iv_m0.c, iv_m0.d, coalesce(iv_upd.m, iv_m0.m) AS m
-        |  FROM iv_m0 LEFT JOIN iv_upd
-        |    ON iv_m0.c = iv_upd.c AND iv_m0.d = iv_upd.d),
-        |iv_dall AS (
-        |  SELECT v.vec_id, iv_m1.c,
-        |         CAST(sum((v.qx - iv_m1.m)*(v.qx - iv_m1.m)) AS BIGINT) AS d2
-        |  FROM qe v JOIN iv_m1 ON v.d = iv_m1.d
-        |  GROUP BY v.vec_id, iv_m1.c),
-        |iv_idx AS (
-        |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
-        |    SELECT vec_id, c,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-        |    FROM iv_dall) WHERE rn = 1),
+        |$ivfTrainCtes,
         |iv_qp AS (
         |  SELECT vec_id AS query_id, c AS cluster FROM (
         |    SELECT vec_id, c,
@@ -1203,6 +1216,100 @@ object PipelineQueries {
         .agg(round(sum(col("x")).cast(DoubleType) /
           count(lit(1)).cast(DoubleType), 6).as("centroid"))
         .orderBy("label", "pos")
+    },
+
+    // Embedding drift matrix: pairwise cosine between per-label QUANTIZED
+    // centroids — the monitoring query a vector pipeline runs per batch to
+    // catch provider/model drift (a label pair whose centroid similarity
+    // moves is re-embedded or quarantined). Centroid components are
+    // floor(Σqx/count) integers (the IVF update step), so dots and norms
+    // are exact long sums and the k×k matrix replays bit-for-bit. The
+    // pairwise stage joins per-COMPONENT rows on d (an equi-join producing
+    // k²·dim rows, trivially bounded by label count) — never a vector
+    // cross join.
+    Q("q_embedding_drift",
+      s"""WITH $quantElemsCte,
+        |cent AS (
+        |  SELECT e.label, q.d,
+        |         CAST(floor(CAST(sum(q.qx) AS DOUBLE)
+        |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        |  FROM qe q JOIN embeddings e USING (vec_id)
+        |  GROUP BY e.label, q.d),
+        |n2 AS (SELECT label, CAST(sum(m*m) AS BIGINT) AS n2 FROM cent GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS la, b.label AS lb, CAST(sum(a.m*b.m) AS BIGINT) AS dp
+        |  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+        |       round(CAST(dp AS DOUBLE)
+        |             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+        |             6) AS sim
+        |FROM dots JOIN n2 na ON dots.la = na.label
+        |          JOIN n2 nb ON dots.lb = nb.label
+        |ORDER BY label_a, label_b""".stripMargin) { (spark, dir) =>
+      val qe = tbl(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("label"), col("d"),
+          floor(col("x").cast(DoubleType) * lit(graft.ops.expr.VecQuant.Scale))
+            .cast(LongType).as("qx"))
+      // k×dim rows; pinned so the three consumers below don't re-scan the
+      // embedding column
+      val cent = qe.groupBy("label", "d")
+        .agg(floor(sum(col("qx")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).cast(LongType).as("m"))
+        .localCheckpoint(true)
+      val n2 = cent.groupBy("label").agg(sum(col("m") * col("m")).as("n2"))
+      cent.select(col("label").as("la"), col("d"), col("m").as("ma"))
+        .join(cent.select(col("label").as("lb"), col("d"), col("m").as("mb")),
+          Seq("d"))
+        .filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum(col("ma") * col("mb")).as("dp"))
+        .join(n2.select(col("label").as("la"), col("n2").as("n2a")), "la")
+        .join(n2.select(col("label").as("lb"), col("n2").as("n2b")), "lb")
+        .select(big(col("la")).as("label_a"), big(col("lb")).as("label_b"),
+          round(col("dp").cast(DoubleType) /
+            (sqrt(col("n2a").cast(DoubleType)) * sqrt(col("n2b").cast(DoubleType))),
+            6).as("sim"))
+        .orderBy("label_a", "label_b")
+    },
+
+    // IVF index health: per-cell occupancy plus the FAISS imbalance factor
+    // k·Σc²/N² (=1 for perfectly balanced cells; grows as cells skew) —
+    // the stat that decides when to retrain the coarse quantizer or raise
+    // nprobe. Scaled-integer everywhere (share and imbalance ×10⁶, floor
+    // division), one bounded 1-row stats cross join (the q_bm25 scalar
+    // shape). k counts OBSERVED (non-empty) cells, matching the index
+    // table the searchers actually probe.
+    Q("q_ivf_stats",
+      s"""WITH $quantElemsCte,
+        |$ivfTrainCtes,
+        |cells AS (
+        |  SELECT cluster, count(*) AS n_vectors FROM iv_idx GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_vectors) AS n, sum(n_vectors*n_vectors) AS ss,
+        |         count(*) AS k
+        |  FROM cells)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |       CAST(n_vectors AS BIGINT) AS n_vectors,
+        |       CAST((n_vectors * 1000000) // n AS BIGINT) AS share_e6,
+        |       CAST((k * ss * 1000000) // (n * n) AS BIGINT) AS imbalance_e6
+        |FROM cells CROSS JOIN tot
+        |ORDER BY cluster""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val cells = graft.ops.Ivf.index(e, "vec_id", "embedding",
+        ivfCentroids(spark, dir), exact = true)
+        .groupBy("cluster").agg(count(lit(1)).as("n_vectors"))
+      val tot = cells.agg(sum(col("n_vectors")).as("n"),
+        sum(col("n_vectors") * col("n_vectors")).as("ss"),
+        count(lit(1)).as("k"))
+      cells.crossJoin(broadcast(tot))
+        .select(big(col("cluster")).as("cluster"),
+          big(col("n_vectors")).as("n_vectors"),
+          expr("CAST((n_vectors * 1000000) DIV n AS BIGINT)").as("share_e6"),
+          expr("CAST((k * ss * 1000000) DIV (n * n) AS BIGINT)")
+            .as("imbalance_e6"))
+        .orderBy("cluster")
     },
 
     // ---- text analysis ---------------------------------------------------

@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpec {
   private val nonEquiAllowed =
     Set("q_cosine_topk", "q_knn_vote", "q_bm25", "q_maxsim", "q_snapshot_at",
       "q_merge_upsert", "q_idf_novelty", "q_collocations",
-      "q_binary_ann") // same 10-query broadcast scan shape as q_cosine_topk
+      "q_binary_ann", // same 10-query broadcast scan shape as q_cosine_topk
+      "q_ivf_stats")  // ONE-ROW index-stats cross join, the q_bm25 shape
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
