@@ -90,6 +90,27 @@ class PushdownSpec extends SparkSpec {
       s"q_collocations must scan only text, got ${cs.map(_.requiredSchema.fieldNames.mkString(","))}")
   }
 
+  test("TPC-H round-5 shapes push predicates and prune the fact scan") {
+    // Q6 is the pushdown benchmark: date window + discount band + quantity
+    // cap all reach the scan; 4 of 11 lineitem columns read
+    val q6 = scans("q_tpch_q6")
+    assert(q6.nonEmpty)
+    assert(q6.head.dataFilters.size >= 3,
+      s"q_tpch_q6 filters lost from the scan: ${q6.head.dataFilters}")
+    assert(q6.head.requiredSchema.size <= 4,
+      s"q_tpch_q6 scans ${q6.head.requiredSchema.size} columns")
+    // the join shapes: no lineitem scan reads more than the columns its
+    // query projects plus filters (Q14: 3+shipdate, Q19: 4, Q4: 2, Q21: 3)
+    for ((name, cap) <- Seq("q_tpch_q14" -> 4, "q_tpch_q19" -> 4,
+      "q_tpch_q4" -> 2, "q_tpch_q21" -> 3)) {
+      val li = scans(name).filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+      assert(li.nonEmpty, s"$name: no lineitem scan found")
+      val wide = li.filter(_.requiredSchema.size > cap)
+      assert(wide.isEmpty,
+        s"$name lineitem scan reads ${wide.map(_.requiredSchema.size)} columns (cap $cap)")
+    }
+  }
+
   test("documents-table operators never read text when they only need ids") {
     // q_sample_stratified uses doc_id + lang only; dragging the text
     // column through the sample window would dominate its scan cost
