@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, TextAnalysis, TextOps}
 import graft.queries.Q._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -420,6 +420,121 @@ object QualityQueries {
         .select(tstr(col("w.start")).as("window_start"), col("n"),
           col("n_users"), col("total_value"))
         .orderBy("window_start")
+    },
+
+    // The END-TO-END curation pipeline as ONE plan — the integration query
+    // that proves the individually-oracled stages compose: quality rules
+    // (q_quality_funnel's) → exact dedup keeper (q_dedup_exact's norm
+    // rule) → near-dup keep decision (drop the larger id of any verified
+    // ≥0.95 pair whose smaller side survived exact dedup — the one-pass
+    // canonical-min rule; consumes the SAME session-cached pair artifact
+    // as every other pair query) → per-language token budget
+    // (q_token_budget's longest-first admission). Output is the
+    // per-language funnel a curation run reports: doc counts surviving
+    // each stage and the finally-selected token mass. Every stage is a
+    // window or equi-join on keys already proven engine-exact, so the
+    // whole pipeline hash-matches.
+    Q("q_curation_pipeline",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+        |    len(list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                  x -> x <> ''))) AS n_dis,
+        |    length(text) AS n_char,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, lang, n_tok, norm,
+        |         (n_tok BETWEEN 10 AND 1000) AND (punct * 10 < n_char)
+        |         AND ((n_tok - n_dis) * 10 <= n_tok * 8) AS pass_q
+        |  FROM scored),
+        |e2 AS (
+        |  SELECT doc_id, lang, n_tok FROM (
+        |    SELECT doc_id, lang, n_tok,
+        |           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |    FROM flags WHERE pass_q) WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |drop3 AS (
+        |  SELECT DISTINCT p.b_id AS doc_id
+        |  FROM pairs p JOIN e2 ON p.a_id = e2.doc_id),
+        |s3 AS (
+        |  SELECT * FROM e2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+        |sel AS (
+        |  SELECT lang, doc_id, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang
+        |                          ORDER BY n_tok DESC, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s3),
+        |base AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS n_quality
+        |  FROM flags GROUP BY lang)
+        |SELECT base.lang,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_quality AS BIGINT) AS n_quality,
+        |       CAST(coalesce(e.c, 0) AS BIGINT) AS n_exact,
+        |       CAST(coalesce(s.c, 0) AS BIGINT) AS n_near,
+        |       CAST(coalesce(z.c, 0) AS BIGINT) AS n_selected,
+        |       CAST(coalesce(z.tk, 0) AS BIGINT) AS sel_tokens
+        |FROM base
+        |LEFT JOIN (SELECT lang, count(*) AS c FROM e2 GROUP BY 1) e USING (lang)
+        |LEFT JOIN (SELECT lang, count(*) AS c FROM s3 GROUP BY 1) s USING (lang)
+        |LEFT JOIN (SELECT lang, count(*) AS c, sum(n_tok) AS tk
+        |           FROM sel WHERE cum <= 20000 GROUP BY 1) z USING (lang)
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val toksC = DedupOps.tokens(col("text"))
+      val nTok = size(toksC)
+      // one scan computes every per-doc signal; pinned because the funnel
+      // aggregation and the dedup window both consume it
+      val flags = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), big(nTok).as("n_tok"),
+          (nTok >= 10 && nTok <= 1000 &&
+            TextAnalysis.punctCount(col("text")) * 10 < length(col("text")) &&
+            (nTok - size(array_distinct(toksC))) * 10 <= nTok * 8).as("pass_q"),
+          TextOps.normalizeText(col("text")).as("norm"))
+        .localCheckpoint(true)
+      val e2 = flags.filter(col("pass_q"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "n_tok")
+        .localCheckpoint(true)
+      val dropped = PipelineQueries.jaccardPairs(spark, dir)
+        .select("a_id", "b_id")
+        .join(e2.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .select(col("b_id").as("doc_id")).distinct()
+      val s3 = e2.join(dropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val wBudget = Window.partitionBy("lang")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sel = s3.withColumn("cum", sum(col("n_tok")).over(wBudget))
+        .filter(col("cum") <= 20000)
+      flags.groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(sum(when(col("pass_q"), 1).otherwise(0))).as("n_quality"))
+        .join(e2.groupBy("lang").agg(count(lit(1)).as("ec")), Seq("lang"), "left")
+        .join(s3.groupBy("lang").agg(count(lit(1)).as("sc")), Seq("lang"), "left")
+        .join(sel.groupBy("lang").agg(count(lit(1)).as("zc"),
+          sum(col("n_tok")).as("ztk")), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_quality"),
+          big(coalesce(col("ec"), lit(0L))).as("n_exact"),
+          big(coalesce(col("sc"), lit(0L))).as("n_near"),
+          big(coalesce(col("zc"), lit(0L))).as("n_selected"),
+          big(coalesce(col("ztk"), lit(0L))).as("sel_tokens"))
+        .orderBy("lang")
     }
   )
 }
