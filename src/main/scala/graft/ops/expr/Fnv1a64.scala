@@ -104,4 +104,35 @@ object Fnv1a64 {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(Fnv1a64(GraftBridge.expression(c)))
   }
+
+  /** Codepoint-fold variant as a Column — for oracle-checked TEXT hashing
+    * (an external engine replays `ascii(c)` per character). */
+  def columnCodePoints(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(Fnv1a64CodePoints(GraftBridge.expression(c)))
+  }
+}
+
+/** FNV-1a 64-bit over Unicode CODEPOINTS (see [[Fnv1a64.foldCodePoints]]) —
+  * the cross-engine text-hashing contract, as a codegen'd expression. */
+case class Fnv1a64CodePoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64_cp requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1a64.hashCodePoints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.Fnv1a64.hashCodePoints($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64CodePoints =
+    copy(child = newChild)
+
+  override def prettyName: String = "fnv1a64_cp"
 }

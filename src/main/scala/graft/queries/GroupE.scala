@@ -577,6 +577,70 @@ object GroupE {
         .orderBy("lang", "cum_tokens")
     },
 
+    // KMV (k-minimum-values) distinct-count sketch — the approximate
+    // distinct an oracle CAN check, complementing the rows-only HLL
+    // (q_agg_approx_distinct): hash every (lang, token) with the
+    // codepoint-fold FNV, keep each language's k=16 smallest UNSIGNED hash
+    // values, estimate |vocab| = ⌊(k−1)·2⁶⁴ / h_k⌋. The sketch is a pure
+    // deterministic function of the data — no engine-private registers —
+    // so estimate AND error replay exactly (hashes ride as unsigned
+    // DECIMAL(38,0); DuckDB keeps the pre-wrap HUGEINT fold). The scale
+    // shape is the point: per-group top-k of a hash stream (one window
+    // over the DISTINCT-hash frame) replaces a countDistinct shuffle of
+    // the full token stream — mergeable across partitions like any KMV.
+    Q("q_kmv_distinct",
+      s"""WITH t AS (
+         |  SELECT DISTINCT lang, u AS tok
+         |  FROM (SELECT lang, unnest($toksSql) AS u FROM documents)),
+         |h AS (
+         |  SELECT DISTINCT lang,
+         |    CAST(list_reduce(
+         |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |        list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+         |          c -> CAST(ascii(c) AS HUGEINT))),
+         |      (acc, x) -> (xor(acc, x) * 1099511628211)
+         |                  % CAST(18446744073709551616 AS HUGEINT))
+         |      AS HUGEINT) AS u
+         |  FROM t),
+         |r AS (
+         |  SELECT lang, u,
+         |         row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+         |  FROM h),
+         |tc AS (SELECT lang, count(*) AS n_true FROM t GROUP BY 1),
+         |est AS (
+         |  SELECT lang,
+         |         CAST((15 * CAST(18446744073709551616 AS HUGEINT)) // u
+         |              AS BIGINT) AS est_distinct
+         |  FROM r WHERE rn = 16)
+         |SELECT est.lang, CAST(tc.n_true AS BIGINT) AS n_true, est.est_distinct,
+         |       CAST(abs(est.est_distinct - tc.n_true) * 100 // tc.n_true
+         |            AS BIGINT) AS err_pct
+         |FROM est JOIN tc USING (lang)
+         |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+      val t = tbl(spark, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .distinct()
+      val h = t.select(col("lang"),
+          graft.ops.expr.Fnv1a64.columnCodePoints(col("tok")).as("hs"))
+        .select(col("lang"),
+          expr(s"CASE WHEN hs >= 0 THEN CAST(hs AS DECIMAL(38,0)) " +
+            s"ELSE CAST(hs AS DECIMAL(38,0)) + $two64 END").as("u"))
+        .distinct()
+      val w = Window.partitionBy("lang").orderBy("u")
+      val est = h.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 16)
+        .select(col("lang"),
+          expr(s"CAST((CAST(15 AS DECIMAL(38,0)) * $two64) DIV u AS BIGINT)")
+            .as("est_distinct"))
+      val tc = t.groupBy("lang").agg(big(count(lit(1))).as("n_true"))
+      est.join(tc, Seq("lang"))
+        .select(col("lang"), col("n_true"), col("est_distinct"),
+          expr("CAST(abs(est_distinct - n_true) * 100 DIV n_true AS BIGINT)")
+            .as("err_pct"))
+        .orderBy("lang")
+    },
+
     // Collocation mining by PMI-style LIFT, float-free: adjacent bigrams
     // with c_ab >= 5 ranked by lift = P(ab)/(P(a)P(b)) = c_ab*N/(c_a*c_b),
     // materialized as the exact integer floor(c_ab*N*10^6/(c_a*c_b)) — the
