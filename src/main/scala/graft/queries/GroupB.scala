@@ -350,6 +350,128 @@ object GroupB {
         .limit(100)
     },
 
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // cross-nation disjunction — (supp=A ∧ cust=B) ∨ (supp=B ∧ cust=A) —
+    // couples the two dimension legs, so it can only resolve after both
+    // nation names are attached; the plan prunes EACH leg to the 2-nation
+    // subset first (supplier broadcasts, the pruned customer still
+    // shuffles — it is 8% of a growing dimension, not a dim table), then
+    // applies the pair filter post-join. Group keys include the shipdate
+    // year; revenue sums in exact DECIMAL.
+    Q("q_tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |                JOIN orders ON o_orderkey = l_orderkey
+        |                JOIN customer ON c_custkey = o_custkey
+        |                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (spark, dir) =>
+      val nations = Seq("NATION_1", "NATION_2")
+      val n = tbl(spark, dir, "nation").filter(col("n_name").isin(nations: _*))
+      val supp = tbl(spark, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = tbl(spark, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+      li.join(tbl(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === nations(0) && col("cust_nation") === nations(1)) ||
+          (col("supp_nation") === nations(1) && col("cust_nation") === nations(0)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          big(year(col("l_shipdate"))).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 shape (national market share): the widest join tree in the
+    // suite — 8 tables, two independent nation legs (supplier's nation
+    // names the share subject, customer's nation⋈region prunes the
+    // market), conditional share ratio per order year. Plan discipline:
+    // region⋈nation collapse into the customer leg's broadcast, supplier⋈
+    // nation broadcast as one dim stack, PROMO-filtered part joins on
+    // partkey as a SHUFFLE (1/6 of a growing dimension — not broadcastable
+    // at 100 TB, same call as Q14), and the two fact shuffles ride the
+    // keys the joins need anyway. Both share sums accumulate in exact
+    // DECIMAL; the ratio is one final double division.
+    Q("q_tpch_q8",
+      """SELECT o_year,
+        |       CAST(CAST(sum(CASE WHEN nation = 'NATION_9'
+        |                          THEN CAST(volume AS DECIMAL(25,6))
+        |                          ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |            / CAST(sum(CAST(volume AS DECIMAL(25,6))) AS DOUBLE)
+        |         AS DOUBLE) AS mkt_share,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |            JOIN supplier ON s_suppkey = l_suppkey
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |            JOIN region ON n1.n_regionkey = r_regionkey
+        |            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(25, 6)
+      val part = tbl(spark, dir, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val supp = tbl(spark, dir, "supplier")
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custAsia = tbl(spark, dir, "customer")
+        .join(broadcast(tbl(spark, dir, "nation")
+          .join(broadcast(tbl(spark, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+          "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .groupBy(big(year(col("o_orderdate"))).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_9", vol.cast(dec))
+            .otherwise(lit(0).cast(dec))).cast(DoubleType)
+            / dsum(vol)).as("mkt_share"),
+          big(count(lit(1))).as("n_lines"))
+        .orderBy("o_year")
+    },
+
     // TPC-H Q6 shape (forecasting revenue change): the pure pushdown
     // showcase — a single scan, zero joins, every predicate (date range,
     // discount band, quantity cap) eligible for parquet row-group pruning,

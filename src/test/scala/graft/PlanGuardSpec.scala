@@ -51,7 +51,7 @@ class PlanGuardSpec extends SparkSpec {
     try {
       spark.conf.set(key, "-1")
       for (name <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q5",
-        "q_tpch_q21")) {
+        "q_tpch_q21", "q_tpch_q7", "q_tpch_q8")) {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.sparkPlan.toString
         assert(plan.contains("BroadcastHashJoin"),
@@ -61,16 +61,21 @@ class PlanGuardSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerate join")
       }
-      // Q4's EXISTS set is lineitem-sized distinct orderkeys — NOT
-      // broadcastable at scale, so its honest plan is a shuffled semi-join
-      // on the key both sides already hash by (and nothing degenerate)
-      val q4 = SparkEntry.queries("q_tpch_q4")(spark, sfDir)
-        .queryExecution.sparkPlan.toString
-      assert(q4.contains("LeftSemi"), "q_tpch_q4 lost its semi-join")
-      assert(q4.contains("SortMergeJoin") || q4.contains("ShuffledHashJoin"),
-        "q_tpch_q4 semi-join is not a shuffle join")
-      assert(!q4.contains("CartesianProduct") &&
-        !q4.contains("BroadcastNestedLoopJoin"), "q_tpch_q4 degenerate join")
+      // Q4's EXISTS set is lineitem-sized distinct orderkeys, and Q14/Q19
+      // join a type-filtered slice of part (1/6 of a growing dimension) —
+      // none broadcastable at scale, so their honest plans are pure
+      // shuffle joins on the keys both sides already hash by
+      for (name <- Seq("q_tpch_q4", "q_tpch_q14", "q_tpch_q19")) {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.sparkPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name join is not a shuffle join")
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"), s"$name degenerate join")
+      }
+      assert(SparkEntry.queries("q_tpch_q4")(spark, sfDir)
+        .queryExecution.sparkPlan.toString.contains("LeftSemi"),
+        "q_tpch_q4 lost its semi-join")
     } finally spark.conf.set(key, prev)
   }
 
