@@ -2044,23 +2044,21 @@ object PipelineQueries {
         |FROM r3 JOIN deg ON r3.node = deg.node
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
-      // edges stay a lazy union over the session-cached pair artifact — no
-      // materialization of their own; the two frames pinned before the loop
-      // are deg and the degree-carrying edge list
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
-      // contributions divide by the SOURCE degree — a per-edge constant, so
-      // it rides on the edge list once instead of a third join per round
-      val edgesD = edges
-        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
-        .localCheckpoint(true)
+      // the per-round degree join stays IN the loop: deg is node-sized (a
+      // broadcast join), while pre-joining it onto the edge list would
+      // materialize a second edges-sized frame — measurably slower here
+      // and no cheaper at scale
       var r = deg.select(col("node"), lit(1000000000000L).as("r"))
       for (_ <- 1 to 3) {
-        val contrib = edgesD
+        val contrib = edges
           .join(r.select(col("node").as("src"), col("r")), "src")
+          .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
           .select(col("dst").as("node"), expr("r DIV sdeg").as("c"))
           .groupBy("node").agg(sum(col("c")).as("contrib"))
         r = deg.select(col("node"))
