@@ -646,6 +646,130 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication as cluster-then-prune — assign every embedding to its
+    // nearest IVF coarse centroid, compare pairs only WITHIN a cluster,
+    // and of each ≥0.35-cosine pair drop the member closer to the centroid
+    // (keeping the outlier preserves diversity, the paper's keep-low-
+    // centroid-similarity rule; "closer" is the exact quantized L2 d², so
+    // the decision is pure long arithmetic). The cluster partition is what
+    // makes semantic dedup feasible at corpus scale: the quadratic is
+    // bounded per cell (k grows with the corpus to cap cell sizes), and
+    // the join is an equi-join on cluster id — never all-pairs. Training
+    // and assignment reuse the session IVF centroids (deterministic seeds,
+    // one exact Lloyd step), so DuckDB replays membership, d², every
+    // within-cluster cosine, and each drop decision bit-for-bit.
+    Q("q_semdedup",
+      s"""WITH $quantElemsCte,
+        |$ivfTrainCtes,
+        |$quantNorms,
+        |mem AS (
+        |  SELECT i.neighbor_id AS vec_id, i.cluster, d.d2
+        |  FROM iv_idx i JOIN iv_dall d
+        |    ON i.neighbor_id = d.vec_id AND i.cluster = d.c),
+        |pairs AS (
+        |  SELECT x.cluster, x.vec_id, x.d2 AS xd2, y.vec_id AS y_id,
+        |         y.d2 AS yd2, ${quantCosSql("a", "b")} AS sim
+        |  FROM mem x JOIN mem y
+        |    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+        |  JOIN qn a ON x.vec_id = a.vec_id
+        |  JOIN qn b ON y.vec_id = b.vec_id)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, vec_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups,
+        |       CAST(max(CASE WHEN yd2 > xd2 OR (yd2 = xd2 AND y_id < vec_id)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |FROM pairs WHERE sim >= 0.35
+        |GROUP BY cluster, vec_id
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val centroids = ivfCentroids(spark, dir)
+      val e = tbl(spark, dir, "embeddings")
+      // one argmin yields cluster AND its exact d² (array_min over
+      // (d2, cid) structs — ties resolve to the lower cid, as iv_idx)
+      val nearest = array_min(array(centroids.map { case (cid, c) =>
+        struct(graft.ops.expr.VecQuant
+          .dist2Column(col("embedding"), typedLit(c.map(_.toLong))).as("d2"),
+          lit(cid).as("cluster"))
+      }: _*))
+      val mem = e.select(col("vec_id"), col("embedding"),
+        quantN2(col("embedding")).as("n2"),
+        nearest.getField("cluster").as("cluster"),
+        nearest.getField("d2").as("d2"))
+      val x = mem.select(col("cluster"), col("vec_id"), col("d2"),
+        col("embedding").as("xv"), col("n2").as("xn2"))
+      val y = mem.select(col("cluster"), col("vec_id").as("y_id"),
+        col("d2").as("yd2"), col("embedding").as("yv"), col("n2").as("yn2"))
+      x.join(y, Seq("cluster"))
+        .filter(col("vec_id") =!= col("y_id"))
+        .withColumn("sim", quantCos(col("xv"), col("yv"), col("xn2"), col("yn2")))
+        .filter(col("sim") >= 0.35)
+        .groupBy(col("cluster"), col("vec_id"))
+        .agg(big(count(lit(1))).as("n_dups"),
+          big(max(when(col("yd2") > col("d2") ||
+            (col("yd2") === col("d2") && col("y_id") < col("vec_id")), 1)
+            .otherwise(0))).as("dropped"))
+        .select(big(col("cluster")).as("cluster"), col("vec_id"),
+          col("n_dups"), col("dropped"))
+        .orderBy("vec_id")
+    },
+
+    // Top principal direction of the embedding cloud — one matrix-free
+    // power-iteration step: w = Σᵢ (xᵢ−μ)·((xᵢ−μ)·v₀) computes C·v₀
+    // without ever materializing the d×d covariance (the only shape that
+    // survives d in the thousands). μ is the integer floor-mean of
+    // quantized components; v₀ is the FNV-derived integer seed direction
+    // (the hyperplane-LSH trick), so the per-vector projection s = (x−μ)·v₀
+    // and the component accumulations are exact integers end to end —
+    // accumulated in DECIMAL(38,0) (s reaches ~2³³ and component sums
+    // ~2⁶⁶, past BIGINT at scale) and reported as floor(w/2²⁴), whose
+    // double conversion is exactly-rounded and engine-identical. Two
+    // bounded shuffles: the d-row μ aggregate and the d-row w aggregate.
+    Q("q_pca_power",
+      s"""WITH $quantElemsCte,
+        |${planesCte("pca", 1)},
+        |mu AS (
+        |  SELECT d, CAST(floor(CAST(sum(qx) AS DOUBLE)
+        |                       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        |  FROM qe GROUP BY d),
+        |sc AS (
+        |  SELECT q.vec_id, CAST(sum((q.qx - mu.m) * p.comp) AS BIGINT) AS s
+        |  FROM qe q JOIN mu USING (d) JOIN planes p ON q.d = p.d
+        |  GROUP BY q.vec_id),
+        |w AS (
+        |  SELECT q.d, sum(CAST(q.qx - mu.m AS HUGEINT) * sc.s) AS w
+        |  FROM qe q JOIN mu USING (d) JOIN sc USING (vec_id)
+        |  GROUP BY q.d)
+        |SELECT CAST(w.d AS BIGINT) AS d, mu.m AS mu,
+        |       CAST(floor(CAST(w.w AS DOUBLE) / 16777216.0) AS BIGINT)
+        |         AS w_scaled
+        |FROM w JOIN mu USING (d)
+        |ORDER BY d""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val qv = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(graft.ops.expr.VecQuant.Scale))
+          .cast(LongType))
+      // the d-row mean is a bounded driver artifact (the Ivf.train
+      // precedent): collect 64 longs, re-enter the plan as literals so the
+      // projection and the outer product stay in-row expressions
+      val mu: Seq[Long] = e
+        .select(posexplode(qv).as(Seq("d", "qx")))
+        .groupBy("d")
+        .agg(floor(sum(col("qx")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).cast(LongType).as("m"))
+        .orderBy("d").collect().map(_.getLong(1)).toSeq
+      val v0: Seq[Long] = graft.ops.Lsh.fnvPlanesL(1, mu.size, "pca").head
+      val centered = zip_with(qv, typedLit(mu), (a, b) => a - b)
+      val s = aggregate(zip_with(centered, typedLit(v0), (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t)
+      e.select(s.as("s"), posexplode(centered).as(Seq("d", "cx")))
+        .groupBy("d")
+        .agg(sum((col("cx") * col("s")).cast(DecimalType(38, 0))).as("w"))
+        .select(big(col("d")).as("d"),
+          element_at(typedLit(mu), col("d").cast("int") + 1).as("mu"),
+          floor(col("w").cast(DoubleType) / lit(16777216.0)).cast(LongType)
+            .as("w_scaled"))
+        .orderBy("d")
+    },
+
     // ---- similarity search ----------------------------------------------
 
     // Brute-force cosine top-k: oracle baseline. The 10-query side is

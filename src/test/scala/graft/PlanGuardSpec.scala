@@ -21,7 +21,10 @@ class PlanGuardSpec extends SparkSpec {
     Set("q_cosine_topk", "q_knn_vote", "q_bm25", "q_maxsim", "q_snapshot_at",
       "q_merge_upsert", "q_idf_novelty", "q_collocations",
       "q_binary_ann", // same 10-query broadcast scan shape as q_cosine_topk
-      "q_ivf_stats")  // ONE-ROW index-stats cross join, the q_bm25 shape
+      "q_ivf_stats",  // ONE-ROW index-stats cross join, the q_bm25 shape
+      "q_tpch_q22",   // ONE-ROW global-average cross join (scalar subquery)
+      "q_dsir",       // ONE-ROW feature-total cross join (scalar subquery)
+      "q_bpe_apply")  // ONE-ROW top-merge-pair cross join (scalar subquery)
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -51,7 +54,7 @@ class PlanGuardSpec extends SparkSpec {
     try {
       spark.conf.set(key, "-1")
       for (name <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q5",
-        "q_tpch_q21", "q_tpch_q7", "q_tpch_q8")) {
+        "q_tpch_q21", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q17")) {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.sparkPlan.toString
         assert(plan.contains("BroadcastHashJoin"),
