@@ -280,6 +280,179 @@ object GroupF {
         .orderBy("nation", "o_year")
     },
 
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-min join-back.
+    // The fixtures carry no partsupp, so the part–supplier cost relation is
+    // derived as the minimum witnessed line revenue in integer cents per
+    // (partkey, suppkey) — one hash agg over the fact. The Europe supplier
+    // slice (supplier⋈nation⋈region, region-filtered) collapses to one
+    // broadcast; the per-part minimum re-aggregates the derived relation
+    // and joins back on (partkey, exact integer cost equality), so
+    // min-cost ties surface exactly as Q2 requires, engine-independently.
+    Q("q_tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT ps.l_partkey, ps.l_suppkey, ps.cost_c
+        |  FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+        |mn AS (SELECT l_partkey, min(cost_c) AS min_c
+        |       FROM cand GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |       cand.cost_c AS cost_c, eu.s_suppkey AS s_suppkey
+        |FROM cand JOIN mn ON cand.l_partkey = mn.l_partkey
+        |                 AND cand.cost_c = mn.min_c
+        |          JOIN part ON p_partkey = cand.l_partkey
+        |          JOIN eu ON cand.l_suppkey = eu.s_suppkey
+        |WHERE p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin) { (spark, dir) =>
+      val ps = tbl(spark, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(round(col("l_extendedprice") * 100).cast(LongType)).as("cost_c"))
+      val eu = tbl(spark, dir, "supplier")
+        .join(broadcast(tbl(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(spark, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val cand = ps.join(broadcast(eu.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "cost_c")
+      val mn = cand.groupBy("l_partkey").agg(min(col("cost_c")).as("min_c"))
+      cand
+        .join(mn.withColumnRenamed("l_partkey", "mk"),
+          col("l_partkey") === col("mk") && col("cost_c") === col("min_c"))
+        .join(broadcast(tbl(spark, dir, "part")
+          .filter(col("p_type") === "LARGE")
+          .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("cost_c"), col("s_suppkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q11 shape (important stock): group value vs a fraction of the
+    // global total. Inventory value per part is the witnessed line revenue
+    // (integer cents) of one nation's suppliers — the nation slice
+    // broadcasts into the fact scan, one hash agg per part, and the global
+    // total re-aggregates that output (never a second fact pass). The
+    // "more than 0.15% of total" HAVING is the cross-multiplied integer
+    // compare value·10000 > total·15 — no division, exact boundary.
+    Q("q_tpch_q11",
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT sum(value_c) AS total_c FROM pv)
+        |SELECT l_partkey AS p_partkey, CAST(value_c AS BIGINT) AS value_c
+        |FROM pv, tot
+        |WHERE value_c * 10000 > total_c * 15
+        |ORDER BY value_c DESC, p_partkey""".stripMargin) { (spark, dir) =>
+      val natSupp = tbl(spark, dir, "supplier")
+        .join(broadcast(tbl(spark, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val pv = tbl(spark, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("value_c"))
+      pv.crossJoin(broadcast(pv.agg(sum(col("value_c")).as("total_c"))))
+        .filter(col("value_c") * 10000 > col("total_c") * 15)
+        .select(col("l_partkey").as("p_partkey"), big(col("value_c")).as("value_c"))
+        .orderBy(col("value_c").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q12 shape (shipping-priority matrix): the two-way conditional
+    // aggregate over the orders⋈lineitem join (the fixtures carry no
+    // l_shipmode, so l_linestatus plays the mode dimension — same
+    // CASE-sum skeleton). The date filter pushes into the lineitem scan;
+    // the one shuffle is the fact-fact orderkey join, and priority
+    // classification is integer CASE arithmetic on both engines.
+    Q("q_tpch_q12",
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(tbl(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(big(sum(when(hi, 1).otherwise(0))).as("high_line_count"),
+          big(sum(when(hi, 0).otherwise(1))).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q20 shape (part promotion): the nested semi-join chain —
+    // suppliers qualify through an aggregate predicate on their own
+    // shipment history. Per (supplier, red part): does the 1997 quantity
+    // exceed half the all-time quantity (2·q97 > qtot, integral — Q20's
+    // availqty > ½·shipped with derived inventory)? The red-part slice
+    // broadcast-semi-reduces the fact before its only agg; qualifying
+    // suppliers collapse to a distinct key set that semi-joins the
+    // nation-filtered supplier dimension.
+    Q("q_tpch_q20",
+      """WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+        |sp AS (
+        |  SELECT l_suppkey,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |                   AND l_shipdate < TIMESTAMP '1998-01-01'
+        |                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q97,
+        |         sum(CAST(l_quantity AS BIGINT)) AS qtot
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM rp)
+        |  GROUP BY l_suppkey, l_partkey),
+        |qual AS (SELECT DISTINCT l_suppkey FROM sp WHERE 2 * q97 > qtot)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17')
+        |  AND s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+      val rp = tbl(spark, dir, "part")
+        .filter(col("p_name").like("%red%")).select("p_partkey")
+      val in97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+      val qual = tbl(spark, dir, "lineitem")
+        .join(broadcast(rp), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(when(in97, col("l_quantity").cast(LongType)).otherwise(0L))
+          .as("q97"),
+          sum(col("l_quantity").cast(LongType)).as("qtot"))
+        .filter(lit(2) * col("q97") > col("qtot"))
+        .select("l_suppkey").distinct()
+      tbl(spark, dir, "supplier")
+        .join(broadcast(tbl(spark, dir, "nation")
+          .filter(col("n_name").isin("NATION_7", "NATION_12", "NATION_17"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
     // DSIR-style data selection (Xie et al. 2023): importance weight of
     // every document under a hashed-bigram feature model, target domain =
     // the English slice. Bigram features hash into 64 buckets with the
@@ -398,6 +571,86 @@ object GroupF {
       pairCounts(merged, col("cs"))
         .select(col("a"), col("b"), big(col("cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(10)
+    },
+
+    // Sequence packing — the last step before a pretraining run: documents
+    // pack into fixed 2048-token training sequences (docs straddle
+    // boundaries; causal masking handles the seams). Deterministic packing
+    // order (length DESC, id) + a per-language cumulative-sum window makes
+    // bin assignment a pure integer function of the data: bin = ⌊(cum−1)
+    // /2048⌋. The window partitions by language (never global) — at corpus
+    // scale each language packs independently, which is also what a
+    // multilingual batch mixer wants. Output: per-bin doc/token counts,
+    // i.e. the packing-efficiency report.
+    Q("q_seq_packing",
+      s"""WITH sized AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang
+         |                             ORDER BY n_tokens DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sized WHERE n_tokens > 0)
+         |SELECT lang, CAST((cum - 1) // 2048 AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM packed
+         |GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast(LongType).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("lang"), expr("(cum - 1) div 2048").as("bin"),
+          col("n_tokens"))
+        .groupBy("lang", "bin")
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(sum(col("n_tokens"))).as("n_tokens"))
+        .select(col("lang"), big(col("bin")).as("bin"), col("n_docs"),
+          col("n_tokens"))
+        .orderBy("lang", "bin")
+    },
+
+    // Deterministic masking schedule — MLM/denoising example prep: token i
+    // of document d is masked iff fnv1a64(d‖':'‖i) mod 100 < 15, a pure
+    // function of (doc, position) — the property that makes masked-example
+    // generation reproducible across re-runs, engines, and epochs (salt
+    // the position string per epoch for fresh masks). One map-side explode
+    // + hash agg; the oracle refolds every position hash in HUGEINT and
+    // agrees on each mask decision, so n_masked hash-matches exactly.
+    // (The fold must wrap to SIGNED before the mod: 100 does not divide
+    // 2⁶⁴, so unsigned-mod and pmod-of-signed disagree above 2⁶³.)
+    Q("q_span_mask",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i,
+         |         ((CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+         |                     THEN h - CAST(18446744073709551616 AS HUGEINT)
+         |                     ELSE h END AS BIGINT) % 100) + 100) % 100 AS r
+         |  FROM (
+         |    SELECT doc_id, i,
+         |           ${fnvSql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
+         |    FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN r < 15 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_masked
+         |FROM tok GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val tk = toks(col("text"))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(tk).as(Seq("p", "tok")))
+        .select(col("doc_id"),
+          pmod(fnv(concat(col("doc_id").cast("string"), lit(":"),
+            (col("p") + 1).cast("string"))), lit(100L)).as("r"))
+        .groupBy("doc_id")
+        .agg(big(count(lit(1))).as("n_tokens"),
+          big(sum(when(col("r") < 15, 1).otherwise(0))).as("n_masked"))
+        .orderBy("doc_id")
     },
 
     // Per-language Zipf profile: rank×frequency products for each

@@ -23,6 +23,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_binary_ann", // same 10-query broadcast scan shape as q_cosine_topk
       "q_ivf_stats",  // ONE-ROW index-stats cross join, the q_bm25 shape
       "q_tpch_q22",   // ONE-ROW global-average cross join (scalar subquery)
+      "q_tpch_q11",   // ONE-ROW global-total cross join (scalar subquery)
       "q_dsir",       // ONE-ROW feature-total cross join (scalar subquery)
       "q_bpe_apply")  // ONE-ROW top-merge-pair cross join (scalar subquery)
 
