@@ -298,14 +298,16 @@ object GroupB {
     // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
     // TPC-H join topology — EXISTS (another supplier touched the order)
     // plus NOT EXISTS (another supplier was ALSO late). The Spark-first
-    // plan replaces both correlated self-scans with ONE hash agg over
-    // lineitem: per order, count distinct suppliers and distinct LATE
-    // suppliers — `nsupp > 1` is the EXISTS, `nlate = 1` is the NOT
-    // EXISTS (the probe row's supplier is itself late, so a singleton
-    // late-set can only be them). Two scans of the fact become one agg +
-    // one co-keyed orderkey join; supplier broadcasts at the end. The
-    // fixture lacks commit/receipt dates, so l_returnflag = 'R' models
-    // "late" (same adaptation as q_tpch_q4).
+    // plan replaces both correlated self-scans AND the probe scan with ONE
+    // pass over lineitem: collapse to (order, supplier, lateRows), then a
+    // window over the order key yields per-pair `nsupp` (the EXISTS is
+    // nsupp > 1) and `nlate` (the NOT EXISTS is nlate = 1 — the probe
+    // pair is itself late, so a singleton late-set can only be them).
+    // The probe rows are per-LINEITEM-ROW in Q21, so the surviving pairs
+    // carry their late-row multiplicity into the final count. One fact
+    // scan, one agg shuffle + one window shuffle, no self-join; supplier
+    // broadcasts at the end. The fixture lacks commit/receipt dates, so
+    // l_returnflag = 'R' models "late" (same adaptation as q_tpch_q4).
     Q("q_tpch_q21",
       """WITH l1 AS (
         |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
@@ -322,30 +324,27 @@ object GroupB {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (spark, dir) =>
-      val li = tbl(spark, dir, "lineitem")
+      val pairs = tbl(spark, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_returnflag")
-      // two plain hash aggs instead of a double countDistinct (which
-      // expands the stream 2×): first collapse to (order, supplier, late?),
-      // then count suppliers and late suppliers per order
-      val orderStats = li
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__late"))
-        .groupBy("l_orderkey")
-        .agg(count(lit(1)).as("__nsupp"), sum(col("__late")).as("__nlate"))
-        .filter(col("__nsupp") > 1 && col("__nlate") === 1)
-        .select("l_orderkey")
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("__lateRows"))
+      val w = Window.partitionBy("l_orderkey")
       val ord = tbl(spark, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey")
-      li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(orderStats, Seq("l_orderkey"))
+      pairs
+        .withColumn("__nsupp", count(lit(1)).over(w))
+        .withColumn("__nlate",
+          sum(when(col("__lateRows") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("__lateRows") > 0 &&
+          col("__nsupp") > 1 && col("__nlate") === 1)
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(tbl(spark, dir, "supplier")
           .select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(big(count(lit(1))).as("numwait"))
+        .agg(big(sum(col("__lateRows"))).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },

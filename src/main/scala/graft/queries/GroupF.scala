@@ -285,9 +285,12 @@ object GroupF {
     // derived as the minimum witnessed line revenue in integer cents per
     // (partkey, suppkey) — one hash agg over the fact. The Europe supplier
     // slice (supplier⋈nation⋈region, region-filtered) collapses to one
-    // broadcast; the per-part minimum re-aggregates the derived relation
-    // and joins back on (partkey, exact integer cost equality), so
-    // min-cost ties surface exactly as Q2 requires, engine-independently.
+    // broadcast. The classic min-per-part-then-join-back shape would scan
+    // and aggregate the fact TWICE (Spark does not reuse the exchange
+    // across the self-join); instead the per-part minimum is a window over
+    // the already-aggregated candidate relation — one fact scan, one extra
+    // shuffle on l_partkey, and min-cost ties surface exactly as Q2
+    // requires (rows equal to their partition min), engine-independently.
     Q("q_tpch_q2",
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -325,10 +328,10 @@ object GroupF {
       val cand = ps.join(broadcast(eu.select("s_suppkey")),
         col("l_suppkey") === col("s_suppkey"))
         .select("l_partkey", "l_suppkey", "cost_c")
-      val mn = cand.groupBy("l_partkey").agg(min(col("cost_c")).as("min_c"))
       cand
-        .join(mn.withColumnRenamed("l_partkey", "mk"),
-          col("l_partkey") === col("mk") && col("cost_c") === col("min_c"))
+        .withColumn("min_c",
+          min(col("cost_c")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("cost_c") === col("min_c"))
         .join(broadcast(tbl(spark, dir, "part")
           .filter(col("p_type") === "LARGE")
           .select("p_partkey", "p_brand")),
