@@ -20,16 +20,29 @@ object Q {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a long (spark.sql.legacy.parquet.nanosAsLong=true, set by
-    * Verify/Bench). Convert to a microsecond timestamp with exact integral
-    * division (a double divide would lose sub-µs precision at 2^60 nanos). */
+  /** The events table's `ts` physical type has varied across fixture
+    * generations — parquet TIMESTAMP(NANOS) (which Spark only reads as a
+    * long under spark.sql.legacy.parquet.nanosAsLong=true, set by
+    * Verify/Bench) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+    * Spark 4 reads as TIMESTAMP_NTZ). Normalize every variant to a plain
+    * instant TIMESTAMP whose microseconds equal the file's wall-clock
+    * read as UTC — exactly how the DuckDB oracle's `epoch_us(ts)` treats
+    * the same parquet — so downstream `unix_micros`/window/date logic is
+    * uniform and session-timezone-independent (the NTZ branch diffs
+    * against an NTZ epoch literal rather than casting, so a non-UTC
+    * session timezone cannot shift the instant). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = tbl(spark, dir, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case LongType =>
+        // nanos-as-long: exact integral division (a double divide would
+        // lose sub-µs precision at 2^60 nanos)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case _ => df
     }
   }

@@ -12,9 +12,9 @@ class IntervalJoinSpec extends SparkSpec {
   import spark.implicits._
 
   private def fixtures: (Seq[ViewEvt], Seq[ClickEvt]) = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    // Q.events normalizes whichever physical ts type this fixture
+    // generation carries (nanos-as-long or µs NTZ) to an instant timestamp
+    val ev = graft.queries.Q.events(spark, sfDir)
     val views = ev.filter($"event_type" === "view")
       .select($"user_id".as("v_user"), $"event_id".as("view_id"),
         $"ts".as("v_ts")).as[ViewEvt].collect().toSeq
