@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.ops.DedupOps
+import graft.queries.Q._
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Group G — round-5 third wave: sparse retrieval over an inverted index
+  * (the term-partitioned "search engine" join shape, distinct from the
+  * dense-vector ANN family) and exact-rank winsorization (robust clipping,
+  * the complement of `q_outlier_mad`'s detection).
+  *
+  * Determinism contract as everywhere: integer idf weights (floor
+  * division), DECIMAL accumulators for double sums, trailing ORDER BY with
+  * unique tiebreaks.
+  */
+object GroupG {
+
+  val all: Seq[Q] = Seq(
+
+    // Sparse top-k retrieval via an inverted index: a batch of query
+    // documents scored against the corpus on shared rare terms. Terms are
+    // word BIGRAMS — the fixture's unigram vocabulary is a closed ~31-word
+    // set where every word is a stop word, while its ~900 bigrams have the
+    // df spread a real corpus' unigrams would. The scale shape is the
+    // point: the corpus-side term index (term → postings) is NEVER
+    // shuffled — the query side (a handful of docs × their rare terms)
+    // broadcasts into the postings join — and stop-terms (df > N/10) are
+    // pruned BEFORE the join, which bounds postings-list length the way
+    // impact-ordered indexes do. Integer idf weights (10⁹ div df) keep the
+    // ranking exact on both engines; per-term contributions are
+    // ≤ 100·100·10⁹ ≈ 10¹³, so a BIGINT score cannot overflow at any
+    // realistic vocabulary overlap.
+    Q("q_inverted_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                                       i -> ts[i] || ' ' || ts[i+1]))
+        |           AS term
+        |  FROM tok),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT term, CAST(1000000000 AS BIGINT) // df AS w
+        |      FROM df CROSS JOIN n WHERE df * 10 <= n),
+        |q AS (SELECT doc_id AS q_id, term, tf AS qtf FROM tf WHERE doc_id < 10),
+        |s AS (SELECT q.q_id, tf.doc_id, sum(q.qtf * tf.tf * w.w) AS score
+        |      FROM q JOIN w USING (term) JOIN tf USING (term)
+        |      WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, score,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY score DESC, doc_id) AS rnk
+        |      FROM s)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rnk,
+        |       doc_id, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val tk = DedupOps.tokens(col("text"))
+      val n1 = greatest(size(tk) - 1, lit(0))
+      val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      val tf = docs
+        .select(col("doc_id"), explode(bigrams).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      // stop-term pruning + integer idf weight; df re-aggregates tf rows,
+      // not a second count-distinct pass over the token stream
+      val w = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDf))
+        .filter(col("df") * 10 <= col("n"))
+        .select(col("term"), expr("CAST(1000000000 AS BIGINT) div df").as("w"))
+      val qtf = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("term"), col("tf").as("qtf"))
+      // broadcast the (small) weighted query postings; the corpus index
+      // side streams through the join unshuffled
+      val scored = tf
+        .join(broadcast(qtf.join(w, "term")), "term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("qtf") * col("tf") * col("w")).as("score"))
+      val byQ = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(byQ))
+        .filter(col("rnk") <= 5)
+        .select(big(col("q_id")).as("q_id"), big(col("rnk")).as("rnk"),
+          col("doc_id"), big(col("score")).as("score"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // Exact-rank winsorization: per-segment p10/p90 by nearest-rank over
+    // the (value, key) sort, then clip and re-aggregate. One per-group
+    // sort (the irreducible cost of EXACT percentiles — the approximate
+    // path is q_percentiles), one bounded broadcast of the per-segment
+    // cut points back onto the rows. The cut values are doubles PICKED
+    // from the data (no interpolation), so both engines agree bit-for-bit,
+    // and the clipped sum runs through the DECIMAL accumulator.
+    Q("q_winsorize",
+      """WITH r AS (
+        |  SELECT c_mktsegment AS seg, c_acctbal AS bal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |b AS (SELECT seg, n,
+        |             min(CASE WHEN rn = (n - 1) // 10 + 1 THEN bal END) AS lo,
+        |             min(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN bal END) AS hi
+        |      FROM r GROUP BY seg, n)
+        |SELECT b.seg AS c_mktsegment, CAST(b.n AS BIGINT) AS n_rows,
+        |       b.lo AS p10, b.hi AS p90,
+        |       CAST(sum(CASE WHEN r.bal < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clip_lo,
+        |       CAST(sum(CASE WHEN r.bal > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clip_hi,
+        |       CAST(sum(CAST(CASE WHEN r.bal < b.lo THEN b.lo
+        |                          WHEN r.bal > b.hi THEN b.hi
+        |                          ELSE r.bal END AS DECIMAL(25,6))) AS DOUBLE)
+        |         AS wsum
+        |FROM r JOIN b USING (seg)
+        |GROUP BY b.seg, b.n, b.lo, b.hi
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val byBal = Window.partitionBy("seg").orderBy(col("bal"), col("c_custkey"))
+      val bySeg = Window.partitionBy("seg")
+      val r = tbl(spark, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"),
+          col("c_custkey"))
+        .withColumn("rn", row_number().over(byBal))
+        .withColumn("n", count(lit(1)).over(bySeg))
+      val b = r.groupBy("seg", "n").agg(
+          min(when(col("rn") === expr("(n - 1) div 10 + 1"), col("bal")))
+            .as("lo"),
+          min(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"), col("bal")))
+            .as("hi"))
+      val clipped = when(col("bal") < col("lo"), col("lo"))
+        .when(col("bal") > col("hi"), col("hi"))
+        .otherwise(col("bal"))
+      r.drop("n")
+        .join(broadcast(b), "seg")
+        .groupBy("seg", "n", "lo", "hi")
+        .agg(
+          big(sum(when(col("bal") < col("lo"), 1).otherwise(0)))
+            .as("n_clip_lo"),
+          big(sum(when(col("bal") > col("hi"), 1).otherwise(0)))
+            .as("n_clip_hi"),
+          sum(clipped.cast(DecimalType(25, 6))).cast(DoubleType).as("wsum"))
+        .select(col("seg").as("c_mktsegment"), big(col("n")).as("n_rows"),
+          col("lo").as("p10"), col("hi").as("p90"),
+          col("n_clip_lo"), col("n_clip_hi"), col("wsum"))
+        .orderBy("c_mktsegment")
+    }
+  )
+}

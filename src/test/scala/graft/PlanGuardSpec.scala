@@ -25,7 +25,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_tpch_q22",   // ONE-ROW global-average cross join (scalar subquery)
       "q_tpch_q11",   // ONE-ROW global-total cross join (scalar subquery)
       "q_dsir",       // ONE-ROW feature-total cross join (scalar subquery)
-      "q_bpe_apply")  // ONE-ROW top-merge-pair cross join (scalar subquery)
+      "q_bpe_apply",  // ONE-ROW top-merge-pair cross join (scalar subquery)
+      "q_inverted_topk") // ONE-ROW corpus-count cross join (the q_bm25 shape)
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
