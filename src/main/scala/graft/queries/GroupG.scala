@@ -99,6 +99,126 @@ object GroupG {
         .orderBy("q_id", "rnk")
     },
 
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    // of the dense ranking (exact quantized cosine — q_cosine_topk's
+    // contract) and the sparse ranking (bigram idf — q_inverted_topk's
+    // contract) for the same 10 query ids. RRF needs only RANKS, so the
+    // fusion layer is rank-arithmetic over two top-10 lists per query —
+    // a few hundred rows regardless of corpus size; all the scale weight
+    // stays in the two underlying retrievals (broadcast query scan;
+    // cached inverted index). Weights 10⁹ div (60 + rank) keep the fused
+    // score integer-exact on both engines.
+    Q("q_rank_fusion",
+      s"""WITH ${Q.quantNormsCte()},
+        |d_pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+        |         ${Q.quantCosSql("q", "c")} AS sim
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |d_rank AS (
+        |  SELECT q_id, id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, id) AS rn
+        |  FROM d_pairs),
+        |iv_tok AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |iv_bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                                       i -> ts[i] || ' ' || ts[i+1]))
+        |           AS term
+        |  FROM iv_tok),
+        |iv_tf AS (SELECT doc_id, term, count(*) AS tf FROM iv_bg
+        |          GROUP BY 1, 2),
+        |iv_df AS (SELECT term, count(*) AS df FROM iv_tf GROUP BY 1),
+        |iv_n AS (SELECT count(*) AS n FROM documents),
+        |iv_w AS (SELECT term, CAST(1000000000 AS BIGINT) // df AS w
+        |         FROM iv_df CROSS JOIN iv_n WHERE df * 10 <= n),
+        |iv_q AS (SELECT doc_id AS q_id, term, tf AS qtf FROM iv_tf
+        |         WHERE doc_id < 10),
+        |iv_s AS (SELECT iv_q.q_id, iv_tf.doc_id AS id,
+        |                sum(iv_q.qtf * iv_tf.tf * iv_w.w) AS score
+        |         FROM iv_q JOIN iv_w USING (term) JOIN iv_tf USING (term)
+        |         WHERE iv_tf.doc_id <> iv_q.q_id GROUP BY 1, 2),
+        |s_rank AS (
+        |  SELECT q_id, id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, id) AS rn
+        |  FROM iv_s),
+        |fused AS (
+        |  SELECT coalesce(d.q_id, s.q_id) AS q_id, coalesce(d.id, s.id) AS id,
+        |         coalesce(CAST(1000000000 AS BIGINT) // (60 + d.rn), 0)
+        |           + coalesce(CAST(1000000000 AS BIGINT) // (60 + s.rn), 0)
+        |           AS rrf
+        |  FROM (SELECT * FROM d_rank WHERE rn <= 10) d
+        |  FULL OUTER JOIN (SELECT * FROM s_rank WHERE rn <= 10) s
+        |    ON d.q_id = s.q_id AND d.id = s.id),
+        |out_rank AS (
+        |  SELECT q_id, id, rrf,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY rrf DESC, id) AS rnk
+        |  FROM fused)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rnk,
+        |       CAST(id AS BIGINT) AS id, CAST(rrf AS BIGINT) AS rrf
+        |FROM out_rank WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) {
+      (spark, dir) =>
+      // dense leg — q_cosine_topk's broadcast query scan, kept to top-10
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Q.quantN2(col("embedding")).as("n2"))
+      val dQ = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("n2").as("qn2"))
+      val dW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+      val dRank = broadcast(dQ)
+        .join(e.select(col("vec_id").as("id"), col("embedding").as("cv"),
+          col("n2").as("cn2")), col("id") =!= col("q_id"))
+        .withColumn("sim", Q.quantCos(col("qv"), col("cv"), col("qn2"),
+          col("cn2")))
+        .withColumn("rn", row_number().over(dW))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("id"), col("rn").as("rn_d"))
+      // sparse leg — q_inverted_topk's cached postings index
+      val docs = tbl(spark, dir, "documents")
+      val tf = graft.util.SessionCache
+        .getOrMaterialize(spark, s"inverted_index:$dir") {
+          val tk = DedupOps.tokens(col("text"))
+          val n1 = greatest(size(tk) - 1, lit(0))
+          val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+            (a, b) => concat(a, lit(" "), b))
+          docs.select(col("doc_id"), explode(bigrams).as("term"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        }
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val w = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDf))
+        .filter(col("df") * 10 <= col("n"))
+        .select(col("term"), expr("CAST(1000000000 AS BIGINT) div df").as("w"))
+      val qtf = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("term"), col("tf").as("qtf"))
+      val sW = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+      val sRank = tf
+        .join(broadcast(qtf.join(w, "term")), "term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id").as("id"))
+        .agg(sum(col("qtf") * col("tf") * col("w")).as("score"))
+        .withColumn("rn", row_number().over(sW))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("id"), col("rn").as("rn_s"))
+      // fusion — pure rank arithmetic over two bounded lists
+      val fW = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("id"))
+      dRank.join(sRank, Seq("q_id", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rn_d)"), lit(0L))
+            + coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rn_s)"),
+              lit(0L)))
+        .withColumn("rnk", row_number().over(fW))
+        .filter(col("rnk") <= 5)
+        .select(big(col("q_id")).as("q_id"), big(col("rnk")).as("rnk"),
+          big(col("id")).as("id"), big(col("rrf")).as("rrf"))
+        .orderBy("q_id", "rnk")
+    },
+
     // Exact-rank winsorization: per-segment p10/p90 by nearest-rank over
     // the (value, key) sort, then clip and re-aggregate. One per-group
     // sort (the irreducible cost of EXACT percentiles — the approximate

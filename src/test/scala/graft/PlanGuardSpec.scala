@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_tpch_q11",   // ONE-ROW global-total cross join (scalar subquery)
       "q_dsir",       // ONE-ROW feature-total cross join (scalar subquery)
       "q_bpe_apply",  // ONE-ROW top-merge-pair cross join (scalar subquery)
-      "q_inverted_topk") // ONE-ROW corpus-count cross join (the q_bm25 shape)
+      "q_inverted_topk", // ONE-ROW corpus-count cross join (the q_bm25 shape)
+      "q_rank_fusion")   // dense leg = q_cosine_topk's 10-query broadcast scan
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
