@@ -219,6 +219,106 @@ object GroupG {
         .orderBy("q_id", "rnk")
     },
 
+    // Hard-negative mining (contrastive-training staple): for each query
+    // vector, the top-5 most-similar candidates with a DIFFERENT class
+    // label — the negatives that actually move a contrastive loss. Same
+    // exact-quantized-cosine contract and broadcast-query scan shape as
+    // q_cosine_topk (the ANN-bucketed variants are the scale path); the
+    // label-mismatch predicate just rides along in the join condition.
+    Q("q_hard_negatives",
+      s"""WITH ${Q.quantNormsCte("label")},
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS id, c.label AS neg_label,
+        |         ${Q.quantCosSql("q", "c")} AS sim
+        |  FROM qn q JOIN qn c
+        |    ON q.vec_id < 10 AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT q_id, q_label, id, neg_label, sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, id) AS rnk
+        |  FROM pairs)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rnk,
+        |       CAST(id AS BIGINT) AS id, CAST(q_label AS BIGINT) AS q_label,
+        |       CAST(neg_label AS BIGINT) AS neg_label, sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) {
+      (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Q.quantN2(col("embedding")).as("n2"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("qv"), col("n2").as("qn2"))
+      val cands = e.select(col("vec_id").as("id"), col("label").as("neg_label"),
+        col("embedding").as("cv"), col("n2").as("cn2"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+      broadcast(queries)
+        .join(cands, col("neg_label") =!= col("q_label"))
+        .withColumn("sim",
+          Q.quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(big(col("q_id")).as("q_id"), big(col("rnk")).as("rnk"),
+          big(col("id")).as("id"), big(col("q_label")).as("q_label"),
+          big(col("neg_label")).as("neg_label"), col("sim"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // Class-balanced downsampling plan: per-label keep rates that level
+    // every class to the minority class, realized as DETERMINISTIC
+    // hash-gate sampling (pmod(fnv1a64('cb:' || id), 10⁶) < keep_ppm) so
+    // any executor — or a later incremental run — selects the same rows
+    // with no coordination. Two bounded aggs + a label-keyed broadcast
+    // back onto the rows; the 1-row minimum joins in as a scalar.
+    Q("q_class_balance",
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings
+        |           GROUP BY label),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |p AS (SELECT label, n, 1000000 * mn // n AS keep_ppm
+        |      FROM c CROSS JOIN m),
+        |h AS (
+        |  SELECT vec_id, label,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |             list_transform(
+        |               list_filter(string_split('cb:' || CAST(vec_id AS VARCHAR),
+        |                                        ''), ch -> ch <> ''),
+        |               ch -> CAST(ascii(ch) AS HUGEINT))),
+        |           (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                       % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label,
+        |         ((CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                     THEN hu - CAST(18446744073709551616 AS HUGEINT)
+        |                     ELSE hu END AS BIGINT) % 1000000) + 1000000)
+        |           % 1000000 AS hm
+        |  FROM h)
+        |SELECT CAST(p.label AS BIGINT) AS label, CAST(p.n AS BIGINT) AS n,
+        |       CAST(p.keep_ppm AS BIGINT) AS keep_ppm,
+        |       CAST(sum(CASE WHEN s.hm < p.keep_ppm THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_sampled
+        |FROM s JOIN p USING (label)
+        |GROUP BY p.label, p.n, p.keep_ppm
+        |ORDER BY label""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+      val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      val mn = counts.agg(min(col("n")).as("mn"))
+      val ppm = counts.crossJoin(broadcast(mn))
+        .select(col("label"), col("n"),
+          expr("1000000 * mn div n").as("keep_ppm"))
+      val hm = pmod(graft.ops.VectorOps.fnv1a64(
+        concat(lit("cb:"), col("vec_id").cast("string"))), lit(1000000L))
+      e.withColumn("hm", hm)
+        .join(broadcast(ppm), "label")
+        .groupBy("label", "n", "keep_ppm")
+        .agg(big(sum(when(col("hm") < col("keep_ppm"), 1).otherwise(0)))
+          .as("n_sampled"))
+        .select(big(col("label")).as("label"), big(col("n")).as("n"),
+          big(col("keep_ppm")).as("keep_ppm"), col("n_sampled"))
+        .orderBy("label")
+    },
+
     // Exact-rank winsorization: per-segment p10/p90 by nearest-rank over
     // the (value, key) sort, then clip and re-aggregate. One per-group
     // sort (the irreducible cost of EXACT percentiles — the approximate

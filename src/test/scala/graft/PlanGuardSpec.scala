@@ -27,7 +27,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_dsir",       // ONE-ROW feature-total cross join (scalar subquery)
       "q_bpe_apply",  // ONE-ROW top-merge-pair cross join (scalar subquery)
       "q_inverted_topk", // ONE-ROW corpus-count cross join (the q_bm25 shape)
-      "q_rank_fusion")   // dense leg = q_cosine_topk's 10-query broadcast scan
+      "q_rank_fusion",   // dense leg = q_cosine_topk's 10-query broadcast scan
+      "q_hard_negatives", // same 10-query broadcast scan, label-mismatch pred
+      "q_class_balance")  // ONE-ROW minority-count cross join (scalar shape)
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
