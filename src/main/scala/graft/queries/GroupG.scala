@@ -319,6 +319,50 @@ object GroupG {
         .orderBy("label")
     },
 
+    // k-anonymity with a generalization ladder (k = 5) over the
+    // (lang, source) quasi-identifier: equivalence classes below k
+    // generalize source → '*', still-small classes generalize to
+    // ('*','*') — the Mondrian-style step a pipeline runs before
+    // releasing per-slice corpus metadata. Pure integer arithmetic over
+    // class-count tables that are tiny at ANY corpus size (the only
+    // full-data touch is the first groupBy, one map-side-combining agg).
+    Q("q_k_anonymity",
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+        |           GROUP BY 1, 2),
+        |k0 AS (SELECT lang, source, n, 0 AS level FROM c WHERE n >= 5),
+        |r0 AS (SELECT lang, n FROM c WHERE n < 5),
+        |l1 AS (SELECT lang, sum(n) AS n FROM r0 GROUP BY 1),
+        |k1 AS (SELECT lang, '*' AS source, n, 1 AS level FROM l1
+        |       WHERE n >= 5),
+        |r1 AS (SELECT n FROM l1 WHERE n < 5),
+        |k2 AS (SELECT '*' AS lang, '*' AS source, sum(n) AS n, 2 AS level
+        |       FROM r1 HAVING sum(n) > 0)
+        |SELECT lang, source, CAST(n AS BIGINT) AS n,
+        |       CAST(level AS BIGINT) AS level
+        |FROM (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |      UNION ALL SELECT * FROM k2)
+        |ORDER BY level, lang, source""".stripMargin) { (spark, dir) =>
+      val k = 5
+      val c = tbl(spark, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val keep0 = c.filter(col("n") >= k)
+        .select(col("lang"), col("source"), col("n"), lit(0L).as("level"))
+      val l1 = c.filter(col("n") < k)
+        .groupBy("lang").agg(sum(col("n")).as("n"))
+      val keep1 = l1.filter(col("n") >= k)
+        .select(col("lang"), lit("*").as("source"), col("n"),
+          lit(1L).as("level"))
+      val keep2 = l1.filter(col("n") < k)
+        .agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .select(lit("*").as("lang"), lit("*").as("source"), col("n"),
+          lit(2L).as("level"))
+      keep0.unionAll(keep1).unionAll(keep2)
+        .select(col("lang"), col("source"), big(col("n")).as("n"),
+          col("level"))
+        .orderBy("level", "lang", "source")
+    },
+
     // Exact-rank winsorization: per-segment p10/p90 by nearest-rank over
     // the (value, key) sort, then clip and re-aggregate. One per-group
     // sort (the irreducible cost of EXACT percentiles — the approximate
