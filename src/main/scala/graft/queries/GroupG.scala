@@ -343,8 +343,12 @@ object GroupG {
         |      UNION ALL SELECT * FROM k2)
         |ORDER BY level, lang, source""".stripMargin) { (spark, dir) =>
       val k = 5
+      // the class-count table is consumed by all three ladder branches;
+      // eagerly materializing it (bounded at langs × sources rows) keeps
+      // the full documents scan to ONE pass instead of one per branch
       val c = tbl(spark, dir, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val keep0 = c.filter(col("n") >= k)
         .select(col("lang"), col("source"), col("n"), lit(0L).as("level"))
       val l1 = c.filter(col("n") < k)
@@ -396,22 +400,24 @@ object GroupG {
         |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
       val byBal = Window.partitionBy("seg").orderBy(col("bal"), col("c_custkey"))
       val bySeg = Window.partitionBy("seg")
+      // cut points as whole-partition window aggregates over the SAME
+      // partitioning as the rank — one shuffle, one sort, one scan; the
+      // agg+join-back formulation costs a second full sort of the table
       val r = tbl(spark, dir, "customer")
         .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"),
           col("c_custkey"))
         .withColumn("rn", row_number().over(byBal))
         .withColumn("n", count(lit(1)).over(bySeg))
-      val b = r.groupBy("seg", "n").agg(
+        .withColumn("lo",
           min(when(col("rn") === expr("(n - 1) div 10 + 1"), col("bal")))
-            .as("lo"),
+            .over(bySeg))
+        .withColumn("hi",
           min(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"), col("bal")))
-            .as("hi"))
+            .over(bySeg))
       val clipped = when(col("bal") < col("lo"), col("lo"))
         .when(col("bal") > col("hi"), col("hi"))
         .otherwise(col("bal"))
-      r.drop("n")
-        .join(broadcast(b), "seg")
-        .groupBy("seg", "n", "lo", "hi")
+      r.groupBy("seg", "n", "lo", "hi")
         .agg(
           big(sum(when(col("bal") < col("lo"), 1).otherwise(0)))
             .as("n_clip_lo"),
