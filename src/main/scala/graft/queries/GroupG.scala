@@ -319,6 +319,78 @@ object GroupG {
         .orderBy("label")
     },
 
+    // Nearest-direction as-of join (merge_asof direction='nearest'): each
+    // purchase attributes to its temporally CLOSEST click — backward or
+    // forward — per user, ties to the backward side. Same single-pass
+    // union-stream window trick as q_asof_join (no self-join, no range
+    // explosion): one partitioned sort yields both the last-preceding and
+    // first-following click, and the pick is integer µs arithmetic.
+    Q("q_asof_nearest",
+      """SELECT event_id, user_id, near_click, CAST(dt_us AS BIGINT) AS dt_us
+        |FROM (
+        |  SELECT event_id, user_id, is_src,
+        |         CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+        |              WHEN f_id IS NULL THEN b_id
+        |              WHEN b_id IS NULL THEN f_id
+        |              WHEN us - b_us <= f_us - us THEN b_id
+        |              ELSE f_id END AS near_click,
+        |         CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+        |              WHEN f_id IS NULL THEN us - b_us
+        |              WHEN b_id IS NULL THEN f_us - us
+        |              WHEN us - b_us <= f_us - us THEN us - b_us
+        |              ELSE f_us - us END AS dt_us
+        |  FROM (
+        |    SELECT user_id, event_id, is_src, us,
+        |           last_value(click_id IGNORE NULLS) OVER wb AS b_id,
+        |           last_value(click_us IGNORE NULLS) OVER wb AS b_us,
+        |           first_value(click_id IGNORE NULLS) OVER wf AS f_id,
+        |           first_value(click_us IGNORE NULLS) OVER wf AS f_us
+        |    FROM (
+        |      SELECT user_id, event_id, epoch_us(ts) AS us,
+        |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_src,
+        |             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        |      FROM events WHERE event_type IN ('click', 'purchase'))
+        |    WINDOW
+        |      wb AS (PARTITION BY user_id ORDER BY us, is_src DESC, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      wf AS (PARTITION BY user_id ORDER BY us, is_src DESC, event_id
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |WHERE is_src = 0
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      val tagged = events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "click", 1).otherwise(0).as("is_src"),
+          when(col("event_type") === "click", col("event_id")).as("click_id"),
+          when(col("event_type") === "click", unix_micros(col("ts")))
+            .as("click_us"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("is_src").desc, col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val backCloser = col("us") - col("b_us") <= col("f_us") - col("us")
+      tagged
+        .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wb))
+        .withColumn("b_us", last(col("click_us"), ignoreNulls = true).over(wb))
+        .withColumn("f_id", first(col("click_id"), ignoreNulls = true).over(wf))
+        .withColumn("f_us", first(col("click_us"), ignoreNulls = true).over(wf))
+        .filter(col("is_src") === 0)
+        .select(col("event_id"), col("user_id"),
+          when(col("b_id").isNull && col("f_id").isNull, lit(null))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(col("b_id").isNull, col("f_id"))
+            .when(backCloser, col("b_id")).otherwise(col("f_id"))
+            .as("near_click"),
+          big(when(col("b_id").isNull && col("f_id").isNull, lit(null))
+            .when(col("f_id").isNull, col("us") - col("b_us"))
+            .when(col("b_id").isNull, col("f_us") - col("us"))
+            .when(backCloser, col("us") - col("b_us"))
+            .otherwise(col("f_us") - col("us"))).as("dt_us"))
+        .orderBy("event_id")
+    },
+
     // k-anonymity with a generalization ladder (k = 5) over the
     // (lang, source) quasi-identifier: equivalence classes below k
     // generalize source → '*', still-small classes generalize to
