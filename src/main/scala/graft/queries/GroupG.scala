@@ -18,6 +18,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object GroupG {
 
+  /** The bigram postings table (doc_id, term, tf) — the inverted INDEX a
+    * search system precomputes once. Materialized per session under ONE
+    * key; every consumer (q_inverted_topk, q_rank_fusion's sparse leg)
+    * MUST build it through this helper so the cached artifact and its key
+    * can never disagree. */
+  private def invertedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"inverted_index:$dir") {
+      val tk = DedupOps.tokens(col("text"))
+      val n1 = greatest(size(tk) - 1, lit(0))
+      val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), explode(bigrams).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    }
+
   val all: Seq[Q] = Seq(
 
     // Sparse top-k retrieval via an inverted index: a batch of query
@@ -59,22 +76,11 @@ object GroupG {
         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rnk,
         |       doc_id, CAST(score AS BIGINT) AS score
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
-      val docs = tbl(spark, dir, "documents")
-      // The postings table (doc, term, tf) is the inverted INDEX — a real
-      // search system precomputes it once and serves every query batch
-      // from it. Three consumers read it below (df/weights, the query
-      // side, the postings join); without materialization Spark would
-      // re-run the explode + agg per consumer.
-      val tf = graft.util.SessionCache
-        .getOrMaterialize(spark, s"inverted_index:$dir") {
-          val tk = DedupOps.tokens(col("text"))
-          val n1 = greatest(size(tk) - 1, lit(0))
-          val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-            (a, b) => concat(a, lit(" "), b))
-          docs.select(col("doc_id"), explode(bigrams).as("term"))
-            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        }
-      val nDf = docs.agg(count(lit(1)).as("n"))
+      // three consumers read the index below (df/weights, the query side,
+      // the postings join); the session materialization means they share
+      // one explode + agg instead of re-running it each
+      val tf = invertedIndex(spark, dir)
+      val nDf = tbl(spark, dir, "documents").agg(count(lit(1)).as("n"))
       // stop-term pruning + integer idf weight; df re-aggregates tf rows,
       // not a second count-distinct pass over the token stream
       val w = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -179,17 +185,8 @@ object GroupG {
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("id"), col("rn").as("rn_d"))
       // sparse leg — q_inverted_topk's cached postings index
-      val docs = tbl(spark, dir, "documents")
-      val tf = graft.util.SessionCache
-        .getOrMaterialize(spark, s"inverted_index:$dir") {
-          val tk = DedupOps.tokens(col("text"))
-          val n1 = greatest(size(tk) - 1, lit(0))
-          val bigrams = zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-            (a, b) => concat(a, lit(" "), b))
-          docs.select(col("doc_id"), explode(bigrams).as("term"))
-            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        }
-      val nDf = docs.agg(count(lit(1)).as("n"))
+      val tf = invertedIndex(spark, dir)
+      val nDf = tbl(spark, dir, "documents").agg(count(lit(1)).as("n"))
       val w = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDf))
         .filter(col("df") * 10 <= col("n"))
