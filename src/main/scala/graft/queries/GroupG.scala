@@ -5,7 +5,7 @@ import graft.queries.Q._
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Group G — round-5 third wave: sparse retrieval over an inverted index
   * (the term-partitioned "search engine" join shape, distinct from the
@@ -316,6 +316,42 @@ object GroupG {
         .orderBy("label")
     },
 
+    // Temperature-scaled source mixing (the multilingual-pretraining
+    // sampling scheme, α = 0.5: weight ∝ n_tokens^α): per-source token
+    // masses, α=0.5 realized EXACTLY as floor(sqrt(n)) — IEEE sqrt is
+    // correctly rounded and n_tok ≪ 2⁵², so both engines floor the same
+    // double — then integer ppm shares of the weight total. Two
+    // map-side-combining aggs; the 1-row weight total joins in as a
+    // scalar.
+    Q("q_mix_temperature",
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> ''))) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tok,
+        |             CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS w
+        |      FROM t),
+        |s AS (SELECT sum(w) AS wsum FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tok AS BIGINT) AS n_tok, w,
+        |       CAST(1000000 * w // wsum AS BIGINT) AS ppm
+        |FROM w CROSS JOIN s ORDER BY source""".stripMargin) { (spark, dir) =>
+      val t = tbl(spark, dir, "documents")
+        .select(col("source"),
+          size(DedupOps.tokens(col("text"))).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tok"))
+      val w = t.withColumn("w",
+        floor(sqrt(col("n_tok").cast(DoubleType))).cast(LongType))
+      val tot = w.agg(sum(col("w")).as("wsum"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), big(col("n_docs")).as("n_docs"),
+          big(col("n_tok")).as("n_tok"), col("w"),
+          expr("CAST(1000000 * w div wsum AS BIGINT)").as("ppm"))
+        .orderBy("source")
+    },
+
     // Nearest-direction as-of join (merge_asof direction='nearest'): each
     // purchase attributes to its temporally CLOSEST click — backward or
     // forward — per user, ties to the backward side. Same single-pass
@@ -386,6 +422,36 @@ object GroupG {
             .when(backCloser, col("us") - col("b_us"))
             .otherwise(col("f_us") - col("us"))).as("dt_us"))
         .orderBy("event_id")
+    },
+
+    // Correlated LATERAL subquery through the SQL surface: each customer's
+    // two most recent qualifying orders — the "top-N per entity" idiom a
+    // SQL user writes with LATERAL. Catalyst decorrelates it into the
+    // window plan a DataFrame user would have written (no per-row
+    // re-execution, no nested loop); the oracle runs the same shape in
+    // DuckDB's native LATERAL.
+    Q("q_lateral_topk",
+      """SELECT c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS odate
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_orderdate FROM orders
+        |           WHERE o_custkey = c.c_custkey
+        |             AND o_orderpriority = '1-URGENT'
+        |           ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "customer").createOrReplaceTempView("g_customer")
+      tbl(spark, dir, "orders").createOrReplaceTempView("g_orders")
+      spark.sql(
+        """SELECT c.c_custkey, o.o_orderkey,
+          |       date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate
+          |FROM g_customer c,
+          |  LATERAL (SELECT o_orderkey, o_orderdate FROM g_orders
+          |           WHERE o_custkey = c.c_custkey
+          |             AND o_orderpriority = '1-URGENT'
+          |           ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
     },
 
     // k-anonymity with a generalization ladder (k = 5) over the
