@@ -502,6 +502,80 @@ object GroupG {
         .orderBy("level", "lang", "source")
     },
 
+    // Contingency-table lift (lang × source): observed cell counts against
+    // the independence expectation, as exact integer ppm
+    // (10⁶·obs·total div (row_total·col_total)) — the drift diagnostic
+    // that flags a source suddenly over-representing a language. Three
+    // map-side-combining aggs; margins broadcast back onto the bounded
+    // cell table. Contract bound: the 10⁶·obs·total product stays in
+    // BIGINT while obs·total < 9.2·10¹² (≈ 3M docs when one cell
+    // dominates); past that, run the same formula over DECIMAL(38,0)
+    // accumulators — the plan shape is unchanged.
+    Q("q_crosstab",
+      """WITH cell AS (SELECT lang, source, count(*) AS obs FROM documents
+        |              GROUP BY 1, 2),
+        |rowt AS (SELECT lang, sum(obs) AS rt FROM cell GROUP BY 1),
+        |colt AS (SELECT source, sum(obs) AS ct FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(obs) AS t FROM cell)
+        |SELECT cell.lang, cell.source, CAST(obs AS BIGINT) AS obs,
+        |       CAST(1000000 * obs * t // (rt * ct) AS BIGINT) AS lift_ppm
+        |FROM cell JOIN rowt USING (lang) JOIN colt USING (source)
+        |CROSS JOIN tot
+        |ORDER BY lang, source""".stripMargin) { (spark, dir) =>
+      val cell = tbl(spark, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+        .localCheckpoint(true) // margins + cells share one documents scan
+      val rowT = cell.groupBy("lang").agg(sum(col("obs")).as("rt"))
+      val colT = cell.groupBy("source").agg(sum(col("obs")).as("ct"))
+      val tot = cell.agg(sum(col("obs")).as("t"))
+      cell.join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), big(col("obs")).as("obs"),
+          expr("CAST(1000000 * obs * t div (rt * ct) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy("lang", "source")
+    },
+
+    // Equi-depth quantile binning per embedding dimension (the feature
+    // discretization step gradient-boosted trees and quantized indexes
+    // run): every dimension's values split into 4 equal-count bins by
+    // exact rank, reporting per-bin counts and value ranges. One
+    // dimension-partitioned sort is the entire cost — the exact-quantile
+    // irreducible — and the output is bounded at dims × bins rows. Floats
+    // sort identically in both engines; ranks, not arithmetic, define the
+    // bins, so the oracle replays bit-for-bit.
+    Q("q_quantile_bin",
+      """WITH ex AS (
+        |  SELECT vec_id, u.d AS d, u.x AS x
+        |  FROM (SELECT vec_id,
+        |          unnest(list_transform(range(0, len(embedding)),
+        |            i -> struct_pack(d := i, x := embedding[i+1]))) AS u
+        |        FROM embeddings)),
+        |r AS (
+        |  SELECT d, x,
+        |         row_number() OVER (PARTITION BY d ORDER BY x, vec_id) AS rn,
+        |         count(*) OVER (PARTITION BY d) AS n
+        |  FROM ex)
+        |SELECT CAST(d AS BIGINT) AS d,
+        |       CAST(least(3, (rn - 1) * 4 // n) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+        |FROM r GROUP BY 1, 2 ORDER BY d, bin""".stripMargin) { (spark, dir) =>
+      val ex = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      val byD = Window.partitionBy("d").orderBy(col("x"), col("vec_id"))
+      val nD = Window.partitionBy("d")
+      ex.withColumn("rn", row_number().over(byD))
+        .withColumn("n", count(lit(1)).over(nD))
+        .groupBy(big(col("d")).as("d"),
+          big(least(lit(3), expr("(rn - 1) * 4 div n"))).as("bin"))
+        .agg(big(count(lit(1))).as("cnt"),
+          min(col("x")).cast(DoubleType).as("lo"),
+          max(col("x")).cast(DoubleType).as("hi"))
+        .orderBy("d", "bin")
+    },
+
     // Exact-rank winsorization: per-segment p10/p90 by nearest-rank over
     // the (value, key) sort, then clip and re-aggregate. One per-group
     // sort (the irreducible cost of EXACT percentiles — the approximate
