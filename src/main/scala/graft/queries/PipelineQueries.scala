@@ -942,6 +942,72 @@ object PipelineQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Index-quality report: recall@5 of the LSH ANN path against the exact
+    // brute-force ranking, per query, as integer ppm — the number an ops
+    // dashboard watches to decide when the index needs more tables or a
+    // retrain (q_ivf_stats is the IVF-side counterpart). Both rankings are
+    // already fully oracle-replayable, so their intersection is too; the
+    // Spark side composes the two REGISTERED queries rather than
+    // re-deriving either plan.
+    Q("q_recall_at_k",
+      s"""WITH ${planesCte("ann", 32)},
+        |$quantElemsCte,
+        |$quantDotsCte,
+        |tk AS (SELECT vec_id, p // 4 AS t, p % 4 AS i, dp FROM dots),
+        |keys AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dp >= 0
+        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |              + (t << 4) AS BIGINT) AS bucket
+        |  FROM tk GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM keys q JOIN keys c ON q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |$quantNorms,
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
+        |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
+        |            JOIN qn c ON cand.neighbor_id = c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored),
+        |ex_pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ${quantCosSql("q", "c")} AS sim
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ex_rank AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM ex_pairs),
+        |hits AS (
+        |  SELECT query_id, count(*) AS n_hits
+        |  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5) a
+        |  JOIN (SELECT query_id, neighbor_id FROM ex_rank WHERE rn <= 5) x
+        |    USING (query_id, neighbor_id)
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT vec_id AS query_id FROM qn WHERE vec_id < 10)
+        |SELECT query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(n_hits, 0) * 200000 AS BIGINT) AS recall_ppm
+        |FROM qs LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin) { (spark, dir) =>
+      val ann = graft.SparkEntry.queries("q_ann_lsh")(spark, dir)
+        .select("query_id", "neighbor_id")
+      val exact = graft.SparkEntry.queries("q_cosine_topk")(spark, dir)
+        .select("query_id", "neighbor_id")
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          big(coalesce(col("n_hits"), lit(0L))).as("n_hits"),
+          big(coalesce(col("n_hits"), lit(0L)) * 200000).as("recall_ppm"))
+        .orderBy("query_id")
+    },
+
     // IVF-style ANN: coarse centroids from one distributed Lloyd iteration,
     // cluster-assignment index, queries probe their 4 nearest cells only —
     // the data-adaptive counterpart to the hyperplane-LSH path. Seeds are

@@ -31,7 +31,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_hard_negatives", // same 10-query broadcast scan, label-mismatch pred
       "q_class_balance",  // ONE-ROW minority-count cross join (scalar shape)
       "q_mix_temperature", // ONE-ROW weight-total cross join (scalar shape)
-      "q_crosstab")        // ONE-ROW grand-total cross join (scalar shape)
+      "q_crosstab",        // ONE-ROW grand-total cross join (scalar shape)
+      "q_recall_at_k")     // composes q_cosine_topk's broadcast scan leg
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
