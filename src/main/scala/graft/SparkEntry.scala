@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared queries (SURVEY.md §2.3). */
   def registry: Seq[Q] =
     GroupA.all ++ GroupB.all ++ GroupC.all ++ PipelineQueries.all ++
-      QualityQueries.all ++ GroupE.all ++ GroupF.all ++ GroupG.all
+      QualityQueries.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
+      GroupH.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.queries.Q._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Group H — round-5 fourth wave: distribution-shift diagnostics and
+  * storage-layout planning.
+  *
+  * `q_ks_drift` is the exact two-sample Kolmogorov–Smirnov statistic of
+  * each event type's value distribution against the rest of the stream —
+  * the classic "did this slice drift?" monitor, kept hash-exact by
+  * working in cross-multiplied integer counts until one final divide.
+  *
+  * `q_zorder_layout` is the data-layout planner's core computation:
+  * interleave the bits of two filter dimensions into a Z-value, assign
+  * rows to fixed Z-range buckets (how Delta/Iceberg-style OPTIMIZE ZORDER
+  * assigns files), and report each bucket's per-dimension min/max — the
+  * exact metadata a scan would prune on. Pure map + one hash aggregation:
+  * no sort, no shuffle beyond the final bounded agg.
+  */
+object GroupH {
+
+  /** Interleave the low 16 bits of `c` to even bit positions (the
+    * standard mask-and-shift spread; all values < 2³², so ANSI-safe). */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Exact two-sample Kolmogorov–Smirnov drift: for every event type t,
+    // D = max over the pooled value axis of |F_t(v) − F_rest(v)|. The
+    // supremum only moves at sample points, so evaluating every pooled
+    // distinct value is exact. Shape: per-(type,value) counts, a distinct
+    // value axis crossed with the BOUNDED type set (grid is O(distinct
+    // values × types), i.e. O(n) for a bounded group vocabulary), one
+    // ranged window per type for the type CDF, and a tiny per-value
+    // window (≤ |types| rows) that derives the pooled CDF as Σ_t cum_t —
+    // avoiding the single-partition global window a pooled cumsum would
+    // need. Determinism: D is carried as the integer cross-product
+    // |cum_t·n_rest − cum_rest·n_t| (no double CDFs), and the KS value is
+    // ONE exactly-rounded divide of that integer. At corpus scale the
+    // per-type window is the long pole — there you'd pre-bin values
+    // (compose q_quantile_bin) and pay a bounded exactness loss; the
+    // exact form here is the oracle contract.
+    Q("q_ks_drift",
+      """WITH ev AS (SELECT event_type AS t, value AS v FROM events),
+        |cnt AS (SELECT t, v, count(*) AS c FROM ev GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM ev),
+        |types AS (SELECT t, count(*) AS n_t FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT ty.t, va.v, coalesce(c.c, 0) AS c
+        |  FROM vals va CROSS JOIN types ty
+        |  LEFT JOIN cnt c ON c.t = ty.t AND c.v = va.v),
+        |cum AS (
+        |  SELECT t, v, sum(c) OVER (PARTITION BY t ORDER BY v) AS cum_t
+        |  FROM grid),
+        |cum2 AS (
+        |  SELECT t, v, cum_t,
+        |         sum(cum_t) OVER (PARTITION BY v) AS cum_all
+        |  FROM cum),
+        |tot AS (SELECT t, n_t, sum(n_t) OVER () AS n FROM types),
+        |d AS (
+        |  SELECT c2.t, tt.n_t, tt.n,
+        |         max(abs(c2.cum_t * (tt.n - tt.n_t)
+        |                 - (c2.cum_all - c2.cum_t) * tt.n_t)) AS dmax
+        |  FROM cum2 c2 JOIN tot tt USING (t)
+        |  GROUP BY c2.t, tt.n_t, tt.n)
+        |SELECT t AS event_type,
+        |       CAST(n_t AS BIGINT) AS n_t,
+        |       CAST(n - n_t AS BIGINT) AS n_rest,
+        |       CAST(dmax AS BIGINT) AS d_num,
+        |       CAST(dmax AS DOUBLE) / CAST(n_t * (n - n_t) AS DOUBLE) AS ks
+        |FROM d
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+        .select(col("event_type").as("t"), col("value").as("v"))
+      val cnt = ev.groupBy("t", "v").agg(count(lit(1)).as("c"))
+      val vals = ev.select("v").distinct()
+      val types = ev.groupBy("t").agg(count(lit(1)).as("n_t"))
+      // type set is bounded: broadcast both the grid cross and the totals
+      val grid = vals.crossJoin(broadcast(types.select("t")))
+        .join(broadcast(cnt), Seq("t", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val byT = Window.partitionBy("t").orderBy("v")
+      val byV = Window.partitionBy("v")
+      // N as the ONE-ROW scalar cross join (the q_bm25 shape) — not a
+      // partition-less window, which the plan guard rightly rejects
+      val tot = types.crossJoin(broadcast(types.agg(sum("n_t").as("n"))))
+      val dTerm = abs(col("cum_t") * (col("n") - col("n_t"))
+        - (col("cum_all") - col("cum_t")) * col("n_t"))
+      grid
+        .withColumn("cum_t", sum("c").over(byT))
+        .withColumn("cum_all", sum("cum_t").over(byV))
+        .join(broadcast(tot), Seq("t"))
+        .groupBy("t", "n_t", "n")
+        .agg(max(dTerm).as("dmax"))
+        .select(col("t").as("event_type"), big(col("n_t")).as("n_t"),
+          big(col("n") - col("n_t")).as("n_rest"),
+          big(col("dmax")).as("d_num"),
+          (col("dmax").cast(DoubleType)
+            / (col("n_t") * (col("n") - col("n_t"))).cast(DoubleType))
+            .as("ks"))
+        .orderBy("event_type")
+    },
+
+    // Z-order layout assignment: spread the bits of two filter dimensions
+    // (user and day — the fixture's two realistic predicate columns) and
+    // interleave them into a Z-value, then assign rows to fixed Z-range
+    // buckets (z >> 10: 64 buckets over the 16-bit Z space) and emit the
+    // per-bucket min/max of BOTH dimensions plus cardinalities — exactly
+    // the file-level metadata a Z-ordered table's scan pruning consults.
+    // The point of the shape: bucket assignment is a pure per-row map
+    // (no global sort — fixed Z ranges, not ntile), so at 100 TB it's a
+    // single pass ending in a bounded (≤ 64-row) aggregate, and the
+    // output demonstrates the layout property itself: every bucket spans
+    // a narrow rectangle in (user, day) space, so a predicate on EITHER
+    // dimension prunes most buckets. Fixture dims are small enough to use
+    // directly (user_id < 256, day cycles a 32-day window); a production
+    // layout would first quantize each dimension to equi-depth ranks
+    // (compose q_quantile_bin) — the interleave is unchanged.
+    Q("q_zorder_layout",
+      """WITH e AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         user_id % 256 AS a0,
+        |         (epoch_us(ts) // 86400000000) % 32 AS b0
+        |  FROM events),
+        |sa AS (
+        |  SELECT user_id, day, b0,
+        |         (a0 | (a0 << 8)) & 16711935 AS a1 FROM e),
+        |sb AS (
+        |  SELECT user_id, day, a1,
+        |         (b0 | (b0 << 8)) & 16711935 AS b1 FROM sa),
+        |s2 AS (
+        |  SELECT user_id, day,
+        |         ((a1 | (a1 << 4)) & 252645135) AS a2,
+        |         ((b1 | (b1 << 4)) & 252645135) AS b2 FROM sb),
+        |s3 AS (
+        |  SELECT user_id, day,
+        |         ((a2 | (a2 << 2)) & 858993459) AS a3,
+        |         ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+        |s4 AS (
+        |  SELECT user_id, day,
+        |         ((a3 | (a3 << 1)) & 1431655765) AS a4,
+        |         ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+        |z AS (SELECT user_id, day, (a4 | (b4 << 1)) >> 10 AS bucket FROM s4)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(user_id) AS BIGINT) AS min_user,
+        |       CAST(max(user_id) AS BIGINT) AS max_user,
+        |       CAST(min(day) AS BIGINT) AS min_day,
+        |       CAST(max(day) AS BIGINT) AS max_day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      val day = expr("unix_micros(ts) div 86400000000")
+      val z = spread16(col("user_id") % 256)
+        .bitwiseOR(shiftleft(spread16(day % 32), 1))
+      events(spark, dir)
+        .select(col("user_id"), day.as("day"),
+          shiftright(z, 10).as("bucket"))
+        .groupBy(big(col("bucket")).as("bucket"))
+        .agg(big(count(lit(1))).as("n"),
+          big(min("user_id")).as("min_user"),
+          big(max("user_id")).as("max_user"),
+          big(min("day")).as("min_day"),
+          big(max("day")).as("max_day"),
+          big(countDistinct("user_id")).as("n_users"))
+        .orderBy("bucket")
+    }
+  )
+}

@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_class_balance",  // ONE-ROW minority-count cross join (scalar shape)
       "q_mix_temperature", // ONE-ROW weight-total cross join (scalar shape)
       "q_crosstab",        // ONE-ROW grand-total cross join (scalar shape)
-      "q_recall_at_k")     // composes q_cosine_topk's broadcast scan leg
+      "q_recall_at_k",     // composes q_cosine_topk's broadcast scan leg
+      "q_ks_drift")        // bounded-type-set grid cross + ONE-ROW total
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
