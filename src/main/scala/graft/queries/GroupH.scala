@@ -174,6 +174,92 @@ object GroupH {
           big(max("day")).as("max_day"),
           big(countDistinct("user_id")).as("n_users"))
         .orderBy("bucket")
+    },
+
+    // 2-D Pareto skyline (maximize price, maximize recency): the orders
+    // no other order beats on both axes — the classic multi-criteria
+    // "best offers" operator. Shape: dominance collapses onto the
+    // BOUNDED per-date maximum table (an order is on the skyline iff it
+    // carries its date's max price AND that max strictly exceeds every
+    // later date's max), so the fact table is touched by exactly one
+    // map-side-combining agg and one broadcast semi-join back — the
+    // strictly-later comparison runs date-max × date-max (calendar² at
+    // any data scale), never row × row. Duplicate (date, price) maxima
+    // are mutually non-dominating and all kept.
+    Q("q_skyline",
+      """WITH pd AS (
+        |  SELECT o_orderdate AS d, max(o_totalprice) AS pmax
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT a.d, a.pmax, max(b.pmax) AS later_max
+        |  FROM pd a LEFT JOIN pd b ON b.d > a.d
+        |  GROUP BY a.d, a.pmax),
+        |sky AS (
+        |  SELECT d, pmax FROM m
+        |  WHERE later_max IS NULL OR pmax > later_max)
+        |SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.o_totalprice AS o_totalprice
+        |FROM orders o
+        |JOIN sky s ON o.o_orderdate = s.d AND o.o_totalprice = s.pmax
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val pd = o.groupBy(col("o_orderdate").as("d"))
+        .agg(max("o_totalprice").as("pmax"))
+      val m = pd.as("a")
+        .join(broadcast(pd.select(col("d").as("d2"), col("pmax").as("p2"))),
+          col("d2") > col("d"), "left")
+        .groupBy("d", "pmax")
+        .agg(max("p2").as("later_max"))
+      val sky = m.filter(col("later_max").isNull
+        || col("pmax") > col("later_max"))
+      o.join(broadcast(sky),
+          o("o_orderdate") === sky("d") && o("o_totalprice") === sky("pmax"))
+        .select(big(col("o_orderkey")).as("o_orderkey"),
+          dstr(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // Systematic PPS (probability-proportional-to-size) sampling: draw a
+    // ~32-doc sample per language where selection probability is
+    // proportional to document length — the corpus-downsampling step
+    // that preserves token mass where uniform row sampling skews toward
+    // short docs. Deterministic systematic rule: walk the per-language
+    // cumulative n_chars axis in doc_id order and take every doc whose
+    // weight interval (cum−w, cum] contains a multiple of
+    // step = ⌈total/32⌉ — integer-exact, coordination-free (any engine
+    // replays the same picks), and one partitioned window + a bounded
+    // per-language totals broadcast is the whole plan. Docs longer than
+    // the step are picked with certainty (possibly covering several
+    // strides), exactly the PPS contract.
+    Q("q_sample_pps",
+      """WITH w AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM documents),
+        |t AS (SELECT lang, (sum(n_chars) + 31) // 32 AS step
+        |      FROM documents GROUP BY lang)
+        |SELECT w.lang AS lang, CAST(w.doc_id AS BIGINT) AS doc_id,
+        |       CAST(w.n_chars AS BIGINT) AS n_chars,
+        |       CAST(w.cum // t.step - (w.cum - w.n_chars) // t.step
+        |            AS BIGINT) AS n_strides
+        |FROM w JOIN t USING (lang)
+        |WHERE w.cum // t.step > (w.cum - w.n_chars) // t.step
+        |ORDER BY lang, doc_id""".stripMargin) { (spark, dir) =>
+      val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      val t = tbl(spark, dir, "documents").groupBy("lang")
+        .agg(expr("(sum(n_chars) + 31) div 32").as("step"))
+      tbl(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(byLang))
+        .join(broadcast(t), Seq("lang"))
+        .filter(expr("cum div step > (cum - n_chars) div step"))
+        .select(col("lang"), big(col("doc_id")).as("doc_id"),
+          big(col("n_chars")).as("n_chars"),
+          big(expr("cum div step - (cum - n_chars) div step"))
+            .as("n_strides"))
+        .orderBy("lang", "doc_id")
     }
   )
 }

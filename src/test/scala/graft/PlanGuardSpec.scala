@@ -33,7 +33,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_mix_temperature", // ONE-ROW weight-total cross join (scalar shape)
       "q_crosstab",        // ONE-ROW grand-total cross join (scalar shape)
       "q_recall_at_k",     // composes q_cosine_topk's broadcast scan leg
-      "q_ks_drift")        // bounded-type-set grid cross + ONE-ROW total
+      "q_ks_drift",        // bounded-type-set grid cross + ONE-ROW total
+      "q_skyline")         // calendar-bounded date-max × date-max dominance
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
