@@ -260,6 +260,45 @@ object GroupH {
           big(expr("cum div step - (cum - n_chars) div step"))
             .as("n_strides"))
         .orderBy("lang", "doc_id")
+    },
+
+    // Per-language Gini coefficient of document token mass — the
+    // "is this slice dominated by a few huge documents?" concentration
+    // diagnostic a dataset card reports next to its Zipf profile. Exact
+    // rank formulation G = (2·Σᵢ i·wᵢ − (n+1)·Σw) / (n·Σw) over the
+    // ascending-weight sort: every term is an exact BIGINT sum (tie
+    // order cannot change Σ i·wᵢ — tied weights contribute identically
+    // under any permutation), with ONE final divide in double. Shape:
+    // one lang-partitioned sort + one map-side-combining agg; output is
+    // bounded by the language set. BIGINT bound: Σ i·wᵢ < 2⁶³ holds to
+    // ~10⁸ docs × 10⁵ chars per language; past that, swap the
+    // accumulators to DECIMAL(38,0) (the q_crosstab escape) — the
+    // contract is unchanged.
+    Q("q_gini_mass",
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS mass,
+        |       CAST(2 * sum(rn * n_chars) - (count(*) + 1) * sum(n_chars)
+        |            AS DOUBLE)
+        |         / CAST(count(*) * sum(n_chars) AS DOUBLE) AS gini
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val byLang = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      tbl(spark, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(byLang))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(sum("n_chars")).as("mass"),
+          ((lit(2) * sum(col("rn") * col("n_chars"))
+            - (count(lit(1)) + lit(1)) * sum("n_chars")).cast(DoubleType)
+            / (count(lit(1)) * sum("n_chars")).cast(DoubleType)).as("gini"))
+        .orderBy("lang")
     }
   )
 }
