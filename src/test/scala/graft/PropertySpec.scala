@@ -95,4 +95,30 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(m1(i) - m8(i)) < 1e-4)
     }
   }
+
+  test("IVM invariant: delta-maintained view equals recompute from latest state") {
+    // the contract q_ivm_delta rests on — aggregating change-log deltas
+    // converges to the same per-author (count, chars) as recomputing from
+    // the replayed latest state
+    def q(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+    val delta = q("q_ivm_delta")
+      .select($"author", $"n_docs", $"n_chars")
+      .as[(String, Long, Long)].collect()
+      .map { case (a, n, c) => a -> (n, c) }.toMap
+    val recompute = q("q_latest_by_pk")
+      .select($"pk", coalesce($"content", lit("")).as("content"))
+      .join(graft.cdc.Changelog.flat(spark, sfDir)
+        .filter($"op" === "c" && $"table_name" === "documents")
+        .select($"pk", $"author"), Seq("pk"))
+      .groupBy($"author")
+      .agg(count(lit(1)).as("n"), sum(length($"content")).as("chars"))
+      .as[(String, Long, Long)].collect()
+      .map { case (a, n, c) => a -> (n, c) }.toMap
+    assert(recompute.nonEmpty)
+    // every author surviving in the latest state matches the delta view
+    // (authors whose docs ALL deleted may sit at zero in the delta view)
+    recompute.foreach { case (a, (n, c)) =>
+      assert(delta.get(a).contains((n, c)), s"author $a: delta=${delta.get(a)} recompute=${(n, c)}")
+    }
+  }
 }
