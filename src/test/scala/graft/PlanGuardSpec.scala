@@ -34,7 +34,18 @@ class PlanGuardSpec extends SparkSpec {
       "q_crosstab",        // ONE-ROW grand-total cross join (scalar shape)
       "q_recall_at_k",     // composes q_cosine_topk's broadcast scan leg
       "q_ks_drift",        // bounded-type-set grid cross + ONE-ROW total
-      "q_skyline")         // calendar-bounded date-max × date-max dominance
+      "q_skyline",         // calendar-bounded date-max × date-max dominance
+      "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
+      "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
+      "q_basket_pairs",    // ONE-ROW order-count cross join (scalar shape)
+      "q_skew_advisor")    // ONE-ROW Σc² cross join (scalar shape)
+
+  /** Queries deliberately running a partition-less window over a BOUNDED
+    * axis (the frame is dimension-sized by construction, never data-sized):
+    * q_revenue_growth lags over the ≤decades-row year axis, q_wilson_rank
+    * ranks the 20-row source dimension. */
+  private val globalWindowAllowed =
+    Set("q_revenue_growth", "q_wilson_rank")
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -45,7 +56,8 @@ class PlanGuardSpec extends SparkSpec {
         }
         val physical = qe.sparkPlan.toString
         val problems =
-          (if (globalWindows.nonEmpty) Seq("partition-less window") else Nil) ++
+          (if (globalWindows.nonEmpty && !globalWindowAllowed(name))
+            Seq("partition-less window") else Nil) ++
           (if (physical.contains("CartesianProduct")) Seq("cartesian product") else Nil) ++
           (if (physical.contains("BroadcastNestedLoopJoin") &&
             !nonEquiAllowed(name)) Seq("nested-loop join") else Nil)
