@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     GroupA.all ++ GroupB.all ++ GroupC.all ++ PipelineQueries.all ++
       QualityQueries.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
-      GroupH.all ++ GroupI.all ++ GroupJ.all ++ GroupK.all ++ GroupL.all
+      GroupH.all ++ GroupI.all ++ GroupJ.all ++ GroupK.all ++ GroupL.all ++
+      GroupM.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

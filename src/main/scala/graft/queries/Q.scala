@@ -31,18 +31,29 @@ object Q {
     * uniform and session-timezone-independent (the NTZ branch diffs
     * against an NTZ epoch literal rather than casting, so a non-UTC
     * session timezone cannot shift the instant). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    instantTs(tbl(spark, dir, "events"), "ts")
+
+  /** Normalize one fixture timestamp column (any physical encoding the
+    * driver has generated: TIMESTAMP(NANOS) read as long under
+    * nanosAsLong, TIMESTAMP_NTZ, or a plain instant) to an instant
+    * TIMESTAMP whose microseconds equal the file's wall clock read as UTC
+    * — the [[events]] contract, applicable to any table (`unix_micros`
+    * rejects NTZ outright, so every µs-arithmetic query funnels its
+    * timestamps through here). */
+  def instantTs(df: DataFrame, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val df = tbl(spark, dir, "events")
-    df.schema("ts").dataType match {
+    df.schema(name).dataType match {
       case LongType =>
         // nanos-as-long: exact integral division (a double divide would
         // lose sub-µs precision at 2^60 nanos)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn(name, timestamp_micros(expr(s"$name div 1000")))
       case TimestampNTZType =>
-        df.withColumn("ts", timestamp_micros(expr(
-          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+        // diff against an NTZ epoch literal, NOT a cast: a non-UTC session
+        // timezone cannot shift the instant
+        df.withColumn(name, timestamp_micros(expr(
+          s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $name)")))
       case _ => df
     }
   }

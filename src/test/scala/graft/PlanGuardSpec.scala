@@ -38,7 +38,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
       "q_basket_pairs",    // ONE-ROW order-count cross join (scalar shape)
-      "q_skew_advisor")    // ONE-ROW Σc² cross join (scalar shape)
+      "q_skew_advisor",    // ONE-ROW Σc² cross join (scalar shape)
+      "q_mmr_diversify")   // shortlist from the 10-query broadcast scan
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
