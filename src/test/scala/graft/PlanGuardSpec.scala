@@ -39,7 +39,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
       "q_basket_pairs",    // ONE-ROW order-count cross join (scalar shape)
       "q_skew_advisor",    // ONE-ROW Σc² cross join (scalar shape)
-      "q_mmr_diversify")   // shortlist from the 10-query broadcast scan
+      "q_mmr_diversify",   // shortlist from the 10-query broadcast scan
+      "q_rfm_segments",    // ONE-ROW max-date + ONE-ROW median cross joins
+      "q_rollup_share")    // ONE-ROW grand-total cross join (scalar shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
