@@ -15,7 +15,7 @@ object SparkEntry {
     GroupA.all ++ GroupB.all ++ GroupC.all ++ PipelineQueries.all ++
       QualityQueries.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
       GroupH.all ++ GroupI.all ++ GroupJ.all ++ GroupK.all ++ GroupL.all ++
-      GroupM.all ++ GroupN.all ++ GroupO.all
+      GroupM.all ++ GroupN.all ++ GroupO.all ++ GroupP.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

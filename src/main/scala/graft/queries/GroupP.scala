@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Group P — round-5 eighth wave: label-noise detection, cohort LTV
+  * curves, k-hop graph reach, and weekday seasonality.
+  */
+object GroupP {
+
+  val all: Seq[Q] = Seq(
+
+    // Label-noise detection (the confident-learning first pass): audit a
+    // deterministic 10% sample — vectors whose 5 nearest neighbors
+    // (exact quantized cosine, the q_knn_vote contract) vote a DIFFERENT
+    // label than their own; ship the disagreements with both labels and
+    // the vote count. Shape: the sampled audit side broadcasts against
+    // the corpus stream (50 queries here — the full-corpus sweep buckets
+    // through q_ann_lsh instead of widening this broadcast); the vote is
+    // a 5-row-per-query agg + argmax window.
+    Q("q_label_noise",
+      s"""WITH ${Q.quantNormsCte("label")},
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, q.label AS own_label,
+         |         c.vec_id AS neighbor_id, c.label,
+         |         ${Q.quantCosSql("q", "c")} AS sim
+         |  FROM qn q JOIN qn c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT query_id, own_label, label FROM (
+         |    SELECT query_id, own_label, label,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM pairs) WHERE rn <= 5),
+         |votes AS (
+         |  SELECT query_id, own_label, label, count(*) AS v
+         |  FROM topk GROUP BY 1, 2, 3),
+         |win AS (
+         |  SELECT query_id, own_label, label AS pred_label, v,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY v DESC, label) AS vr
+         |  FROM votes)
+         |SELECT CAST(query_id AS BIGINT) AS vec_id,
+         |       CAST(own_label AS BIGINT) AS own_label,
+         |       CAST(pred_label AS BIGINT) AS pred_label,
+         |       CAST(v AS BIGINT) AS votes
+         |FROM win WHERE vr = 1 AND pred_label <> own_label
+         |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          Q.quantN2(col("embedding")).as("n2"))
+      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("own_label"),
+          col("embedding").as("qv"), col("n2").as("qn2"))
+      val cands = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("n2").as("cn2"), col("label"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val wVote = Window.partitionBy("query_id")
+        .orderBy(col("v").desc, col("label"))
+      broadcast(queries)
+        .join(cands, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          Q.quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .groupBy("query_id", "own_label", "label")
+        .agg(count(lit(1)).as("v"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1 && col("label") =!= col("own_label"))
+        .select(big(col("query_id")).as("vec_id"),
+          big(col("own_label")).as("own_label"),
+          big(col("label")).as("pred_label"), big(col("v")).as("votes"))
+        .orderBy("vec_id")
+    },
+
+    // Cohort LTV curve: customers cohorted by first-order month, revenue
+    // accumulated per (cohort, month offset) — the "how much is a
+    // January-2024 customer worth by month 6?" curve every subscription /
+    // commerce warehouse draws. Exact-DECIMAL revenue; the cumulative
+    // window runs per cohort over the BOUNDED month-offset axis. Shapes:
+    // one per-customer min agg, a custkey broadcast-back join, one
+    // (cohort, offset) agg, one bounded window.
+    Q("q_cohort_ltv",
+      """WITH fo AS (
+        |  SELECT o_custkey AS custkey,
+        |         min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS cohort_m
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT f.cohort_m,
+        |         year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+        |           - f.cohort_m AS offset_m,
+        |         CAST(o.o_totalprice AS DECIMAL(25,6)) AS rev
+        |  FROM orders o JOIN fo f ON f.custkey = o.o_custkey),
+        |m AS (
+        |  SELECT cohort_m, offset_m, sum(rev) AS rev,
+        |         count(*) AS n_orders
+        |  FROM r GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_m, offset_m, n_orders,
+        |         CAST(rev AS DOUBLE) AS rev,
+        |         CAST(sum(rev) OVER (PARTITION BY cohort_m ORDER BY offset_m
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW) AS DOUBLE) AS cum_rev
+        |  FROM m)
+        |SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+        |       CAST(offset_m AS BIGINT) AS offset_m,
+        |       CAST(n_orders AS BIGINT) AS n_orders, rev, cum_rev
+        |FROM c ORDER BY cohort_m, offset_m""".stripMargin) { (spark, dir) =>
+      val mIdx = (c: Column) => year(c) * 12 + month(c) - 1
+      val orders = tbl(spark, dir, "orders")
+      val fo = orders.groupBy(col("o_custkey").as("custkey"))
+        .agg(min(mIdx(col("o_orderdate"))).as("cohort_m"))
+      val m = orders
+        .join(fo, col("custkey") === col("o_custkey"))
+        .groupBy(col("cohort_m"),
+          (mIdx(col("o_orderdate")) - col("cohort_m")).as("offset_m"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(25, 6))).as("rev"),
+          count(lit(1)).as("n_orders"))
+      // bounded axis: per-cohort offsets span the fixture's ~7 years
+      val cum = Window.partitionBy("cohort_m").orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.select(big(col("cohort_m")).as("cohort_m"),
+          big(col("offset_m")).as("offset_m"),
+          big(col("n_orders")).as("n_orders"),
+          col("rev").cast(DoubleType).as("rev"),
+          sum(col("rev")).over(cum).cast(DoubleType).as("cum_rev"))
+        .orderBy("cohort_m", "offset_m")
+    },
+
+    // k-hop reach over the verified near-dup graph: per document, the
+    // count of distinct documents within 1 and within ≤2 hops — the
+    // neighborhood-size profile that separates pairwise duplicates
+    // (reach2 = 1) from template blobs (reach2 ≫ reach1) more finely
+    // than degree alone (q_degree_dist) and cheaper than full components
+    // (q_dup_components). Shapes: the session pair artifact both ways,
+    // ONE mid-keyed self-join for hop 2 with per-node DISTINCT collapse —
+    // at web scale the same plan runs frontier-at-a-time with hub caps.
+    Q("q_graph_khop",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |e AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |h1 AS (SELECT DISTINCT src, dst FROM e),
+        |h2 AS (
+        |  SELECT DISTINCT a.src, b.dst
+        |  FROM h1 a JOIN h1 b ON a.dst = b.src
+        |  WHERE b.dst <> a.src
+        |  UNION SELECT src, dst FROM h1),
+        |r1 AS (SELECT src, count(DISTINCT dst) AS reach1 FROM h1 GROUP BY 1),
+        |r2 AS (SELECT src, count(*) AS reach2 FROM h2 GROUP BY 1)
+        |SELECT CAST(r1.src AS BIGINT) AS doc_id,
+        |       CAST(r1.reach1 AS BIGINT) AS reach1,
+        |       CAST(r2.reach2 AS BIGINT) AS reach2
+        |FROM r1 JOIN r2 USING (src)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val pairs = PipelineQueries.jaccardPairs(spark, dir)
+      val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct()
+        .localCheckpoint(true) // hop-1 counts + both sides of the hop-2 join
+      val h2 = e.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("dst") =!= col("src"))
+        .select("src", "dst")
+        .unionByName(e.select("src", "dst"))
+        .distinct()
+      val r1 = e.groupBy("src").agg(countDistinct("dst").as("reach1"))
+      val r2 = h2.groupBy("src").agg(count(lit(1)).as("reach2"))
+      r1.join(r2, Seq("src"))
+        .select(big(col("src")).as("doc_id"), big(col("reach1")).as("reach1"),
+          big(col("reach2")).as("reach2"))
+        .orderBy("doc_id")
+    },
+
+    // Weekday seasonality: per (event type, day-of-week), observed count
+    // vs the independence expectation from the margins, as integer lift
+    // ppm (10⁶·n·T/(rowT·colT) — the q_crosstab statistic on the time
+    // axis) — "are errors a Monday thing?". ONE fact scan; margins and
+    // cells are bounded (types × 7), everything after runs on them.
+    // dow is days-since-epoch mod 7 (1970-01-01 = Thursday → 0), a pure
+    // integer both engines derive identically from the µs value.
+    Q("q_dow_profile",
+      """WITH c AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(n) AS rowt FROM c GROUP BY 1),
+        |ct AS (SELECT dow, sum(n) AS colt FROM c GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT c.event_type AS event_type, CAST(c.dow AS BIGINT) AS dow,
+        |       CAST(c.n AS BIGINT) AS n,
+        |       CAST(1000000 * c.n * t.total // (rt.rowt * ct.colt) AS BIGINT)
+        |         AS lift_ppm
+        |FROM c JOIN rt USING (event_type) JOIN ct USING (dow), t
+        |ORDER BY event_type, dow""".stripMargin) { (spark, dir) =>
+      val c = events(spark, dir)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // margins + cells all read the bounded table
+      val rt = c.groupBy("event_type").agg(sum("n").as("rowt"))
+      val ct = c.groupBy("dow").agg(sum("n").as("colt"))
+      val t = c.agg(sum("n").as("total"))
+      c.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("dow"))
+        .crossJoin(broadcast(t))
+        .select(col("event_type"), big(col("dow")).as("dow"),
+          big(col("n")).as("n"),
+          big(expr("1000000 * n * total div (rowt * colt)")).as("lift_ppm"))
+        .orderBy("event_type", "dow")
+    }
+  )
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    Q.tbl(spark, dir, name)
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Q.events(spark, dir)
+  private def big(c: Column): Column = Q.big(c)
+}
