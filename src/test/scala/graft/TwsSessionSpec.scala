@@ -1,0 +1,97 @@
+package graft
+
+import graft.stream.{ClosedSession, SessionEvent, SessionMaterializer}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** transformWithState session materialization: timer-driven closes against
+  * hand-built timelines, and closed-session equality with the batch
+  * q_sessionize rule on fixture events. */
+class TwsSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val GapUs = SessionMaterializer.DefaultGapUs // 30 min
+  private val Rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run a list of micro-batches of (user, event-second) through the
+    * materializer with a zero-delay watermark; returns closed sessions. */
+  private def run(name: String, batches: Seq[Seq[(Long, Long)]]): Seq[ClosedSession] = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
+      val mem = MemoryStream[(Long, Long)](spark)
+      val events = mem.toDF().toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[SessionEvent]
+      val q = SessionMaterializer.sessions(events)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val out = spark.table(name).as[ClosedSession].collect().toSeq
+      q.stop()
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("gaps close sessions in-batch; watermark timers close them across batches") {
+    val closed = run("tws_basic", Seq(
+      Seq((1L, 1000L), (1L, 1010L), (2L, 1005L)),     // two open sessions
+      Seq((1L, 5000L)),  // u1: 3990s gap closes [1000,1010] in-batch;
+                         // watermark 5000s fires u2's 2805s timer
+      Seq((1L, 9000L)),  // u1: gap closes [5000,5000]
+      Seq((3L, 1000000L)) // sentinel pushes the watermark: u1 [9000] closes
+    ))
+    val got = closed.map(c =>
+      (c.user_id, c.start_us / 1000000, c.end_us / 1000000, c.n_events)).toSet
+    val want = Set(
+      (1L, 1000L, 1010L, 2L),
+      (2L, 1005L, 1005L, 1L),
+      (1L, 5000L, 5000L, 1L),
+      (1L, 9000L, 9000L, 1L))
+    assert(got == want, s"closed sessions diverged: $got")
+  }
+
+  test("closed-session stream equals the batch q_sessionize rule on fixture events") {
+    val ev = graft.queries.Q.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[SessionEvent].collect().toSeq.sortBy(e => (e.us, e.user_id))
+    val maxUs = ev.map(_.us).max
+    val (a, b) = ev.splitAt(ev.size / 2)
+    val sentinel = SessionEvent(-1L, maxUs + 10 * GapUs)
+    val closed = run("tws_fixture", Seq(
+      a.map(e => (e.user_id, e.us / 1000000)),
+      b.map(e => (e.user_id, e.us / 1000000)),
+      Seq((sentinel.user_id, sentinel.us / 1000000))))
+      .filter(_.user_id >= 0)
+    // batch twin: the q_sessionize lag + cumulative-sum rule, but on
+    // second-truncated times (the stream run feeds whole seconds)
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("us")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.queries.Q.events(spark, sfDir)
+        .select(col("user_id"),
+          (expr("unix_micros(ts) div 1000000") * 1000000L).as("us"))
+        .withColumn("prev", lag("us", 1).over(byUser))
+        .withColumn("new", when(col("prev").isNull ||
+          col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum("new").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("start_us"), max("us").as("end_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val got = closed.map(c => (c.user_id, c.start_us, c.end_us, c.n_events)).toSet
+    assert(got == batch,
+      s"stream ${got.size} sessions vs batch ${batch.size}; " +
+        s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+}
