@@ -15,7 +15,8 @@ object SparkEntry {
     GroupA.all ++ GroupB.all ++ GroupC.all ++ PipelineQueries.all ++
       QualityQueries.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
       GroupH.all ++ GroupI.all ++ GroupJ.all ++ GroupK.all ++ GroupL.all ++
-      GroupM.all ++ GroupN.all ++ GroupO.all ++ GroupP.all
+      GroupM.all ++ GroupN.all ++ GroupO.all ++ GroupP.all ++ GroupQ.all ++
+      GroupR.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

@@ -2385,6 +2385,99 @@ object PipelineQueries {
           round(count(col("is_dup")).cast(DoubleType) /
             count(lit(1)).cast(DoubleType), 9).as("dup_frac"))
         .orderBy("source")
+    },
+
+    // NN-descent kNN-graph construction (one refinement round): seed a
+    // per-doc top-3 neighbor graph from LSH buckets (8 tables × 6 planes —
+    // wider buckets than q_ann_lsh's 4 because EVERY doc queries here, and
+    // bucket width is the knob that keeps the self-join sub-quadratic as n
+    // grows), then apply the NN-descent step: a neighbor of my neighbor is
+    // my candidate — rescore seed ∪ neighbor-of-neighbor exactly and keep
+    // the new top-3. This is how graph ANN indexes (HNSW/NSG base layers)
+    // are built distributed: each round is two equi-joins and a ranked agg,
+    // candidates stay O(n·k²), and recall climbs monotonically. Output is
+    // the refined graph for the audit sample (vec_id % 10 = 0).
+    Q("q_nn_descent",
+      s"""WITH ${planesCte("nnd", 48)},
+        |$quantElemsCte,
+        |$quantDotsCte,
+        |tk AS (SELECT vec_id, p // 6 AS t, p % 6 AS i, dp FROM dots),
+        |keys AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dp >= 0
+        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |              + (t << 6) AS BIGINT) AS bucket
+        |  FROM tk GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id, c.vec_id AS nb
+        |  FROM keys q JOIN keys c ON q.bucket = c.bucket
+        |  WHERE c.vec_id <> q.vec_id),
+        |$quantNorms,
+        |s0 AS (
+        |  SELECT cand.vec_id, cand.nb, ${quantCosSql("q", "c")} AS sim
+        |  FROM cand JOIN qn q ON cand.vec_id = q.vec_id
+        |            JOIN qn c ON cand.nb = c.vec_id),
+        |g0 AS (
+        |  SELECT vec_id, nb FROM (
+        |    SELECT vec_id, nb,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY sim DESC, nb) AS rn
+        |    FROM s0) WHERE rn <= 3),
+        |nonc AS (
+        |  SELECT DISTINCT a.vec_id, b.nb
+        |  FROM g0 a JOIN g0 b ON a.nb = b.vec_id
+        |  WHERE b.nb <> a.vec_id),
+        |c1 AS (SELECT vec_id, nb FROM g0 UNION SELECT vec_id, nb FROM nonc),
+        |s1 AS (
+        |  SELECT c1.vec_id, c1.nb, ${quantCosSql("q", "c")} AS sim
+        |  FROM c1 JOIN qn q ON c1.vec_id = q.vec_id
+        |          JOIN qn c ON c1.nb = c.vec_id),
+        |r1 AS (
+        |  SELECT vec_id, nb, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, nb) AS rn
+        |  FROM s1)
+        |SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(nb AS BIGINT) AS neighbor_id,
+        |       sim, CAST(rn AS BIGINT) AS rn
+        |FROM r1 WHERE rn <= 3 AND vec_id % 10 = 0
+        |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
+      val (tables, ppt) = (8, 6)
+      val planes = Lsh.fnvPlanesL(tables * ppt, dim = 64, salt = "nnd")
+      val base = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          quantN2(col("embedding")).as("n2"))
+        .localCheckpoint(true) // bucket keys + both rescoring passes read it
+      val keys = base.select(col("vec_id"),
+        explode(Lsh.tableKeysQ(col("embedding"), planes, tables, ppt))
+          .as("bucket"))
+      def rescore(cand: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("nb"))
+        cand
+          .join(base.select(col("vec_id"), col("embedding").as("qv"),
+            col("n2").as("qn2")), Seq("vec_id"))
+          .join(base.select(col("vec_id").as("nb"), col("embedding").as("cv"),
+            col("n2").as("cn2")), Seq("nb"))
+          .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
+          .withColumn("rn", big(row_number().over(w)))
+          .filter(col("rn") <= 3)
+          .select("vec_id", "nb", "sim", "rn")
+      }
+      val g0 = rescore(
+        keys.join(keys.select(col("vec_id").as("nb"), col("bucket")), Seq("bucket"))
+          .filter(col("nb") =!= col("vec_id"))
+          .select("vec_id", "nb").distinct())
+        .select("vec_id", "nb")
+        .localCheckpoint(true) // both sides of the neighbor-of-neighbor join
+      val nonc = g0.select(col("vec_id"), col("nb").as("mid"))
+        .join(g0.select(col("vec_id").as("mid"), col("nb")), Seq("mid"))
+        .filter(col("nb") =!= col("vec_id"))
+        .select("vec_id", "nb")
+      rescore(g0.unionByName(nonc).distinct())
+        .filter(col("vec_id") % 10 === 0)
+        .select(big(col("vec_id")).as("query_id"),
+          big(col("nb")).as("neighbor_id"), col("sim"), col("rn"))
+        .orderBy("query_id", "rn")
     }
   )
 }
