@@ -2478,6 +2478,51 @@ object PipelineQueries {
         .select(big(col("vec_id")).as("query_id"),
           big(col("nb")).as("neighbor_id"), col("sim"), col("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    // LSH index-health report: per hash table of the q_ann_lsh index —
+    // occupied buckets, largest bucket, its ppm share of the table's
+    // rows, and the candidate-pair volume Σ c·(c−1)/2 the bucket sizes
+    // imply. This is the dashboard row that says "table 3's buckets
+    // collapsed — add planes or re-salt" (q_ivf_stats is the IVF-side
+    // counterpart, q_recall_at_k the quality side; this is the COST
+    // side). ONE key materialization → (bucket) count agg → 8-row
+    // per-table rollup; everything after the first agg is bucket-sized.
+    Q("q_lsh_stats",
+      s"""WITH ${planesCte("ann", 32)},
+        |$quantElemsCte,
+        |$quantDotsCte,
+        |tk AS (SELECT vec_id, p // 4 AS t, p % 4 AS i, dp FROM dots),
+        |keys AS (
+        |  SELECT vec_id, t,
+        |         CAST(sum(CASE WHEN dp >= 0
+        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |              + (t << 4) AS BIGINT) AS bucket
+        |  FROM tk GROUP BY vec_id, t),
+        |bc AS (SELECT t, bucket, count(*) AS c FROM keys GROUP BY 1, 2)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(max(c) AS BIGINT) AS max_bucket,
+        |       CAST(1000000 * max(c) // sum(c) AS BIGINT) AS max_share_ppm,
+        |       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM bc GROUP BY 1
+        |ORDER BY t""".stripMargin) { (spark, dir) =>
+      val (tables, ppt) = (8, 4)
+      val planes = Lsh.fnvPlanesL(tables * ppt, dim = 64, salt = "ann")
+      tbl(spark, dir, "embeddings")
+        .select(posexplode(Lsh.tableKeysQ(col("embedding"), planes, tables, ppt))
+          .as(Seq("t", "bucket")))
+        .groupBy("t", "bucket").agg(count(lit(1)).as("c"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_rows"),
+          max("c").as("max_bucket"),
+          expr("1000000 * max(c) div sum(c)").as("max_share_ppm"),
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+        .select(big(col("t")).as("t"), big(col("n_buckets")).as("n_buckets"),
+          big(col("n_rows")).as("n_rows"), big(col("max_bucket")).as("max_bucket"),
+          big(col("max_share_ppm")).as("max_share_ppm"),
+          big(col("cand_pairs")).as("cand_pairs"))
+        .orderBy("t")
     }
   )
 }
