@@ -110,6 +110,106 @@ object GroupS {
           big(floor(lit(1000000.0) * sum(col("rev")).cast(DoubleType) /
             max(col("segrev")).cast(DoubleType))).as("share_ppm"))
         .orderBy("seg", "decile")
+    },
+
+    // Hapax-legomena audit: per document, its distinct-token count, how
+    // many of those tokens occur in NO other document (corpus df = 1),
+    // and the hapax share in ppm — the out-of-vocabulary risk signal: a
+    // doc made of corpus-unique tokens is either precious long-tail
+    // knowledge or garbage (OCR noise, base64 blobs), and either way it
+    // inflates the tokenizer's vocabulary pressure. Shapes: one distinct
+    // (doc, token) explode, a df agg on TOKENS (vocabulary-sized), a
+    // semi-ish join back of df=1 terms, a left join to keep zero-hapax
+    // docs.
+    Q("q_hapax_docs",
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                          x -> x <> ''))) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        |hx AS (
+        |  SELECT dt.doc_id, count(*) AS n_hapax
+        |  FROM dt JOIN df USING (tok) WHERE df.df = 1 GROUP BY 1),
+        |dn AS (SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY 1)
+        |SELECT CAST(dn.doc_id AS BIGINT) AS doc_id,
+        |       CAST(dn.n_distinct AS BIGINT) AS n_distinct,
+        |       CAST(coalesce(hx.n_hapax, 0) AS BIGINT) AS n_hapax,
+        |       CAST(1000000 * coalesce(hx.n_hapax, 0) // dn.n_distinct AS BIGINT)
+        |         AS hapax_ppm
+        |FROM dn LEFT JOIN hx USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val dt = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.ops.DedupOps.tokens(lower(col("text"))))).as("tok"))
+        .localCheckpoint(true) // df agg, hapax join-back, per-doc counts
+      val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      val hx = dt.join(df.filter(col("df") === 1).select("tok"), Seq("tok"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hapax"))
+      dt.groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+        .join(hx, Seq("doc_id"), "left")
+        .select(big(col("doc_id")).as("doc_id"),
+          big(col("n_distinct")).as("n_distinct"),
+          big(coalesce(col("n_hapax"), lit(0L))).as("n_hapax"),
+          big(expr("1000000 * coalesce(n_hapax, 0L) div n_distinct"))
+            .as("hapax_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // Duplication-vs-quality calibration curve: near-dup incidence per
+    // stopword-ratio decile — is the dedup queue eating the low-quality
+    // tail (good: dedup and quality filters agree) or concentrated in
+    // high-quality docs (bad: templates of valuable text, review the
+    // threshold)? Integer decile = 10·stop // n_tok capped at 9; dup
+    // membership is a left join against the SESSION-SHARED verified pair
+    // artifact; output bounded at 10 rows.
+    Q("q_dup_calibration",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+        |      AS stop
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS st
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.st, b.st))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |dup AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT a_id AS doc_id FROM pairs
+        |    UNION ALL SELECT b_id FROM pairs))
+        |SELECT CAST(least(9, 10 * s.stop // s.n_tok) AS BIGINT) AS stop_decile,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(d.doc_id) AS BIGINT) AS dup_docs,
+        |       CAST(1000000 * count(d.doc_id) // count(*) AS BIGINT) AS dup_ppm
+        |FROM s LEFT JOIN dup d USING (doc_id)
+        |WHERE s.n_tok > 0
+        |GROUP BY 1
+        |ORDER BY stop_decile""".stripMargin) { (spark, dir) =>
+      val toks = graft.ops.DedupOps.tokens(lower(col("text")))
+      val s = tbl(spark, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tok"),
+          graft.ops.TextAnalysis.stopwordCount(toks).as("stop"))
+        .filter(col("n_tok") > 0)
+      val p = PipelineQueries.jaccardPairs(spark, dir)
+      val dup = p.select(col("a_id").as("doc_id"))
+        .unionByName(p.select(col("b_id").as("doc_id")))
+        .distinct().withColumn("is_dup", lit(1L))
+      s.join(dup, Seq("doc_id"), "left")
+        .groupBy(big(least(lit(9), expr("10 * stop div n_tok"))).as("stop_decile"))
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(count(col("is_dup"))).as("dup_docs"),
+          big(expr("1000000 * count(is_dup) div count(1)")).as("dup_ppm"))
+        .orderBy("stop_decile")
     }
   )
 

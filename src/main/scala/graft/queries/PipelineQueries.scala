@@ -156,6 +156,93 @@ object PipelineQueries {
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
       |    FROM iv_dall) WHERE rn = 1)""".stripMargin
 
+  /** NN-descent replay chain shared by q_nn_descent / q_hubness: LSH seed
+    * graph (8 tables × 6 planes, salt "nnd") → top-3 per node (`g0`) →
+    * neighbor-of-neighbor candidates → exact rescoring ranked in
+    * `r1(vec_id, nb, sim, rn)`. */
+  private lazy val nnDescentCtes: String =
+    s"""${planesCte("nnd", 48)},
+      |$quantElemsCte,
+      |$quantDotsCte,
+      |tk AS (SELECT vec_id, p // 6 AS t, p % 6 AS i, dp FROM dots),
+      |keys AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN dp >= 0
+      |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+      |              + (t << 6) AS BIGINT) AS bucket
+      |  FROM tk GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id, c.vec_id AS nb
+      |  FROM keys q JOIN keys c ON q.bucket = c.bucket
+      |  WHERE c.vec_id <> q.vec_id),
+      |$quantNorms,
+      |s0 AS (
+      |  SELECT cand.vec_id, cand.nb, ${quantCosSql("q", "c")} AS sim
+      |  FROM cand JOIN qn q ON cand.vec_id = q.vec_id
+      |            JOIN qn c ON cand.nb = c.vec_id),
+      |g0 AS (
+      |  SELECT vec_id, nb FROM (
+      |    SELECT vec_id, nb,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY sim DESC, nb) AS rn
+      |    FROM s0) WHERE rn <= 3),
+      |nonc AS (
+      |  SELECT DISTINCT a.vec_id, b.nb
+      |  FROM g0 a JOIN g0 b ON a.nb = b.vec_id
+      |  WHERE b.nb <> a.vec_id),
+      |c1 AS (SELECT vec_id, nb FROM g0 UNION SELECT vec_id, nb FROM nonc),
+      |s1 AS (
+      |  SELECT c1.vec_id, c1.nb, ${quantCosSql("q", "c")} AS sim
+      |  FROM c1 JOIN qn q ON c1.vec_id = q.vec_id
+      |          JOIN qn c ON c1.nb = c.vec_id),
+      |r1 AS (
+      |  SELECT vec_id, nb, sim,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY sim DESC, nb) AS rn
+      |  FROM s1)""".stripMargin
+
+  /** The refined per-doc top-3 kNN graph (vec_id, nb, sim, rn) after one
+    * NN-descent round — the Spark twin of [[nnDescentCtes]], materialized
+    * once per session ([[graft.util.SessionCache]]) because the index
+    * build is the shared artifact q_nn_descent (the graph itself) and
+    * q_hubness (its in-degree health) both report on. */
+  private[queries] def nnDescentGraph(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"nn_descent:$dir") {
+      val (tables, ppt) = (8, 6)
+      val planes = Lsh.fnvPlanesL(tables * ppt, dim = 64, salt = "nnd")
+      val base = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          quantN2(col("embedding")).as("n2"))
+        .localCheckpoint(true) // bucket keys + both rescoring passes read it
+      val keys = base.select(col("vec_id"),
+        explode(Lsh.tableKeysQ(col("embedding"), planes, tables, ppt))
+          .as("bucket"))
+      def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("nb"))
+        cand
+          .join(base.select(col("vec_id"), col("embedding").as("qv"),
+            col("n2").as("qn2")), Seq("vec_id"))
+          .join(base.select(col("vec_id").as("nb"), col("embedding").as("cv"),
+            col("n2").as("cn2")), Seq("nb"))
+          .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
+          .withColumn("rn", big(row_number().over(w)))
+          .filter(col("rn") <= 3)
+          .select("vec_id", "nb", "sim", "rn")
+      }
+      val g0 = rescore(
+        keys.join(keys.select(col("vec_id").as("nb"), col("bucket")), Seq("bucket"))
+          .filter(col("nb") =!= col("vec_id"))
+          .select("vec_id", "nb").distinct())
+        .select("vec_id", "nb")
+        .localCheckpoint(true) // both sides of the neighbor-of-neighbor join
+      val nonc = g0.select(col("vec_id"), col("nb").as("mid"))
+        .join(g0.select(col("vec_id").as("mid"), col("nb")), Seq("mid"))
+        .filter(col("nb") =!= col("vec_id"))
+        .select("vec_id", "nb")
+      rescore(g0.unionByName(nonc).distinct())
+    }
+
   /** Verified ≥0.95 token-set Jaccard near-dup pairs (a_id, b_id, jac),
     * materialized once per session ([[graft.util.SessionCache]]): the dedup
     * pair table is a pipeline artifact both q_ngram_jaccard and
@@ -2398,82 +2485,12 @@ object PipelineQueries {
     // candidates stay O(n·k²), and recall climbs monotonically. Output is
     // the refined graph for the audit sample (vec_id % 10 = 0).
     Q("q_nn_descent",
-      s"""WITH ${planesCte("nnd", 48)},
-        |$quantElemsCte,
-        |$quantDotsCte,
-        |tk AS (SELECT vec_id, p // 6 AS t, p % 6 AS i, dp FROM dots),
-        |keys AS (
-        |  SELECT vec_id,
-        |         CAST(sum(CASE WHEN dp >= 0
-        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
-        |              + (t << 6) AS BIGINT) AS bucket
-        |  FROM tk GROUP BY vec_id, t),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id, c.vec_id AS nb
-        |  FROM keys q JOIN keys c ON q.bucket = c.bucket
-        |  WHERE c.vec_id <> q.vec_id),
-        |$quantNorms,
-        |s0 AS (
-        |  SELECT cand.vec_id, cand.nb, ${quantCosSql("q", "c")} AS sim
-        |  FROM cand JOIN qn q ON cand.vec_id = q.vec_id
-        |            JOIN qn c ON cand.nb = c.vec_id),
-        |g0 AS (
-        |  SELECT vec_id, nb FROM (
-        |    SELECT vec_id, nb,
-        |           row_number() OVER (PARTITION BY vec_id
-        |                              ORDER BY sim DESC, nb) AS rn
-        |    FROM s0) WHERE rn <= 3),
-        |nonc AS (
-        |  SELECT DISTINCT a.vec_id, b.nb
-        |  FROM g0 a JOIN g0 b ON a.nb = b.vec_id
-        |  WHERE b.nb <> a.vec_id),
-        |c1 AS (SELECT vec_id, nb FROM g0 UNION SELECT vec_id, nb FROM nonc),
-        |s1 AS (
-        |  SELECT c1.vec_id, c1.nb, ${quantCosSql("q", "c")} AS sim
-        |  FROM c1 JOIN qn q ON c1.vec_id = q.vec_id
-        |          JOIN qn c ON c1.nb = c.vec_id),
-        |r1 AS (
-        |  SELECT vec_id, nb, sim,
-        |         row_number() OVER (PARTITION BY vec_id
-        |                            ORDER BY sim DESC, nb) AS rn
-        |  FROM s1)
+      s"""WITH $nnDescentCtes
         |SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(nb AS BIGINT) AS neighbor_id,
         |       sim, CAST(rn AS BIGINT) AS rn
         |FROM r1 WHERE rn <= 3 AND vec_id % 10 = 0
         |ORDER BY query_id, rn""".stripMargin) { (spark, dir) =>
-      val (tables, ppt) = (8, 6)
-      val planes = Lsh.fnvPlanesL(tables * ppt, dim = 64, salt = "nnd")
-      val base = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          quantN2(col("embedding")).as("n2"))
-        .localCheckpoint(true) // bucket keys + both rescoring passes read it
-      val keys = base.select(col("vec_id"),
-        explode(Lsh.tableKeysQ(col("embedding"), planes, tables, ppt))
-          .as("bucket"))
-      def rescore(cand: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("nb"))
-        cand
-          .join(base.select(col("vec_id"), col("embedding").as("qv"),
-            col("n2").as("qn2")), Seq("vec_id"))
-          .join(base.select(col("vec_id").as("nb"), col("embedding").as("cv"),
-            col("n2").as("cn2")), Seq("nb"))
-          .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
-          .withColumn("rn", big(row_number().over(w)))
-          .filter(col("rn") <= 3)
-          .select("vec_id", "nb", "sim", "rn")
-      }
-      val g0 = rescore(
-        keys.join(keys.select(col("vec_id").as("nb"), col("bucket")), Seq("bucket"))
-          .filter(col("nb") =!= col("vec_id"))
-          .select("vec_id", "nb").distinct())
-        .select("vec_id", "nb")
-        .localCheckpoint(true) // both sides of the neighbor-of-neighbor join
-      val nonc = g0.select(col("vec_id"), col("nb").as("mid"))
-        .join(g0.select(col("vec_id").as("mid"), col("nb")), Seq("mid"))
-        .filter(col("nb") =!= col("vec_id"))
-        .select("vec_id", "nb")
-      rescore(g0.unionByName(nonc).distinct())
+      nnDescentGraph(spark, dir)
         .filter(col("vec_id") % 10 === 0)
         .select(big(col("vec_id")).as("query_id"),
           big(col("nb")).as("neighbor_id"), col("sim"), col("rn"))
@@ -2523,6 +2540,35 @@ object PipelineQueries {
           big(col("max_share_ppm")).as("max_share_ppm"),
           big(col("cand_pairs")).as("cand_pairs"))
         .orderBy("t")
+    },
+
+    // Hubness profile of the NN-descent graph: the in-degree histogram of
+    // the refined top-3 kNN graph — high-dimensional ANN's classic
+    // pathology is a few "hub" vectors appearing in everyone's neighbor
+    // list (they poison downstream kNN classification and dedup), while a
+    // long zero-in-degree tail means those vectors are UNREACHABLE as
+    // neighbors. One count agg over the SESSION-SHARED graph artifact
+    // (built once, reported on by q_nn_descent and here) + a left join
+    // from the id spine to keep the zero bucket honest.
+    Q("q_hubness",
+      s"""WITH $nnDescentCtes,
+        |g1 AS (SELECT vec_id, nb FROM r1 WHERE rn <= 3),
+        |ind AS (SELECT nb AS vec_id, count(*) AS in_deg FROM g1 GROUP BY 1),
+        |nd AS (
+        |  SELECT e.vec_id, coalesce(i.in_deg, 0) AS in_deg
+        |  FROM embeddings e LEFT JOIN ind i ON e.vec_id = i.vec_id)
+        |SELECT CAST(in_deg AS BIGINT) AS in_deg,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM nd GROUP BY 1
+        |ORDER BY in_deg""".stripMargin) { (spark, dir) =>
+      val ind = nnDescentGraph(spark, dir)
+        .groupBy(col("nb").as("vec_id")).agg(count(lit(1)).as("in_deg"))
+      tbl(spark, dir, "embeddings").select(col("vec_id"))
+        .join(ind, Seq("vec_id"), "left")
+        .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+        .select(big(col("in_deg")).as("in_deg"), big(col("n_nodes")).as("n_nodes"))
+        .orderBy("in_deg")
     }
   )
 }
