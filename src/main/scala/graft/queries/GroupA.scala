@@ -314,6 +314,62 @@ object GroupA {
             array_join(transform(col("buckets"), _.cast("string")), ","))
             .as("embed_digest"))
         .orderBy("lsn")
+    },
+
+    // Index staleness audit: the vector index was built from the initial
+    // snapshot load (the branch-1 inserts); the WAL has moved on. Per
+    // status — fresh (index row at the pk's latest EFFECTIVE lsn), stale
+    // (a later upsert the index hasn't applied), ghost (deleted upstream,
+    // still indexed), missing / gone — how far has the index drifted?
+    // This is the freshness SLO a cdc2vec operator alarms on, computed
+    // from the changelog alone. Effective changes only (deletes or
+    // non-null After): a skipped null-After update must NOT count as
+    // staleness debt the index can never repay. Shapes: per-pk latest via
+    // the standard pk-compaction window, ONE left join of two pk-keyed
+    // sides, bounded status rollup.
+    Q("q_index_staleness",
+      s"""${Changelog.cte},
+         |ch AS (
+         |  SELECT pk, lsn, op FROM changes
+         |  WHERE schema_name = 'public' AND table_name = 'documents'
+         |    AND pk <> '' AND (op = 'd' OR has_after)),
+         |cur AS (
+         |  SELECT pk, lsn, op FROM (
+         |    SELECT pk, lsn, op,
+         |           row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+         |    FROM ch) WHERE rn = 1),
+         |idx AS (SELECT pk, lsn FROM ch WHERE lsn % 10 = 1)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE
+         |           WHEN cur.op <> 'd' AND idx.lsn IS NOT NULL
+         |                AND cur.lsn = idx.lsn THEN 'fresh'
+         |           WHEN cur.op <> 'd' AND idx.lsn IS NOT NULL THEN 'stale'
+         |           WHEN cur.op <> 'd' THEN 'missing'
+         |           WHEN idx.lsn IS NOT NULL THEN 'ghost'
+         |           ELSE 'gone' END AS status
+         |  FROM cur LEFT JOIN idx ON cur.pk = idx.pk)
+         |GROUP BY status
+         |ORDER BY status""".stripMargin) { (spark, dir) =>
+      val ch = mapped(Changelog.changes(spark, dir))
+        .filter(col("primary_key") =!= "" &&
+          (col("op") === "d" || col("after").isNotNull))
+        .select(col("primary_key").as("pk"), col("lsn").cast("long").as("lsn"),
+          col("op"))
+        .localCheckpoint(true) // latest-state and index-snapshot legs share it
+      val byPk = Window.partitionBy("pk").orderBy(col("lsn").desc)
+      val cur = ch.withColumn("rn", row_number().over(byPk))
+        .filter(col("rn") === 1).select("pk", "lsn", "op")
+      val idx = ch.filter(col("lsn") % 10 === 1)
+        .select(col("pk"), col("lsn").as("idx_lsn"))
+      cur.join(idx, Seq("pk"), "left")
+        .select(when(col("op") =!= "d" && col("idx_lsn").isNotNull &&
+            col("lsn") === col("idx_lsn"), "fresh")
+          .when(col("op") =!= "d" && col("idx_lsn").isNotNull, "stale")
+          .when(col("op") =!= "d", "missing")
+          .when(col("idx_lsn").isNotNull, "ghost")
+          .otherwise("gone").as("status"))
+        .groupBy("status").agg(big(count(lit(1))).as("n"))
+        .orderBy("status")
     }
   )
 }

@@ -210,6 +210,60 @@ object GroupS {
           big(count(col("is_dup"))).as("dup_docs"),
           big(expr("1000000 * count(is_dup) div count(1)")).as("dup_ppm"))
         .orderBy("stop_decile")
+    },
+
+    // Fulfillment-latency SLO panel: order-to-ship lead time in whole days
+    // per order priority — count, exact nearest-rank p50/p90, and mean.
+    // Lead times are INTEGERS (µs difference, truncating day division —
+    // identical on both engines, negatives included), so the percentiles
+    // are exact picks, not interpolations. Shape: ONE fact-fact equi-join
+    // on orderkey, then the q_winsorize pattern — rank and total as
+    // window aggregates over the SAME per-priority partitioning (one
+    // shuffle, one sort), never a global window.
+    Q("q_ship_latency",
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS pri,
+        |         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |           // 86400000000 AS d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT pri, d,
+        |         row_number() OVER (PARTITION BY pri ORDER BY d) AS rn,
+        |         count(*) OVER (PARTITION BY pri) AS n,
+        |         sum(d) OVER (PARTITION BY pri) AS sd
+        |  FROM j)
+        |SELECT pri, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(min(CASE WHEN rn = (n-1)//2+1 THEN d END) AS BIGINT)
+        |         AS p50_days,
+        |       CAST(min(CASE WHEN rn = ((n-1)*9)//10+1 THEN d END) AS BIGINT)
+        |         AS p90_days,
+        |       round(CAST(max(sd) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+        |         AS avg_days
+        |FROM r GROUP BY pri
+        |ORDER BY pri""".stripMargin) { (spark, dir) =>
+      val li = Q.instantTs(tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate")), "l_shipdate")
+      val od = Q.instantTs(tbl(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+          col("o_orderdate")), "o_orderdate")
+      val byPri = Window.partitionBy("pri").orderBy(col("d"))
+      val overPri = Window.partitionBy("pri")
+      li.join(od, Seq("l_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+            " div 86400000000").as("d"))
+        .withColumn("rn", row_number().over(byPri))
+        .withColumn("n", count(lit(1)).over(overPri))
+        .withColumn("sd", sum(col("d")).over(overPri))
+        .groupBy("pri")
+        .agg(big(max(col("n"))).as("n"),
+          big(min(when(col("rn") === expr("(n-1) div 2 + 1"), col("d"))))
+            .as("p50_days"),
+          big(min(when(col("rn") === expr("((n-1)*9) div 10 + 1"), col("d"))))
+            .as("p90_days"),
+          round(max(col("sd")).cast(DoubleType) / max(col("n")).cast(DoubleType), 6)
+            .as("avg_days"))
+        .orderBy("pri")
     }
   )
 
