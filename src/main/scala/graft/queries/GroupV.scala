@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group V — round-5 fourteenth wave: dedup fairness, tokenizer
+  * vocabulary budgeting, and catalog price-consistency auditing.
+  */
+object GroupV {
+
+  val all: Seq[Q] = Seq(
+
+    // Dedup fairness: the keep-min rule drops the larger doc_id of every
+    // verified near-dup pair — does that fall evenly across sources, or
+    // does one source absorb the drops (it would, if its docs are
+    // re-posts of another's)? Per source: docs, dropped docs, drop ppm.
+    // The bias report a curation pipeline publishes NEXT TO its dedup
+    // stats, because "we removed 8% of docs" means something different
+    // when all 8% came from one supplier. One corpus scan + the
+    // SESSION-SHARED pair artifact (dropped = appears as the LARGER
+    // partner of ≥1 pair — exactly q_dedup_keep's pairwise rule).
+    Q("q_dedup_bias",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+        |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(x.doc_id) AS BIGINT) AS n_dropped,
+        |       CAST(1000000 * count(x.doc_id) // count(*) AS BIGINT) AS drop_ppm
+        |FROM documents d LEFT JOIN dropped x USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val dropped = PipelineQueries.jaccardPairs(spark, dir)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("is_dropped", lit(1L))
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(dropped, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(big(count(lit(1))).as("n_docs"),
+          big(count(col("is_dropped"))).as("n_dropped"),
+          big(expr("1000000 * count(is_dropped) div count(1)")).as("drop_ppm"))
+        .orderBy("source")
+    },
+
+    // Vocabulary coverage@K: what share of the corpus token MASS do the
+    // top 100 / 1,000 / 10,000 terms carry? The tokenizer-budget curve —
+    // if 1k terms cover 99%, a 30k-entry vocabulary is waste; if 10k
+    // cover 60%, plan for byte fallback. Each K is a distributed
+    // TakeOrdered (orderBy count DESC, term + limit) over the
+    // VOCABULARY-sized term table — never a global rank window — plus one
+    // bounded aggregate; the grand total joins as a ONE-ROW broadcast.
+    Q("q_vocab_coverage",
+      """WITH tf AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS t
+        |    FROM documents) GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM tf),
+        |k100 AS (SELECT sum(c) AS m FROM (
+        |  SELECT c FROM tf ORDER BY c DESC, t LIMIT 100)),
+        |k1000 AS (SELECT sum(c) AS m FROM (
+        |  SELECT c FROM tf ORDER BY c DESC, t LIMIT 1000)),
+        |k10000 AS (SELECT sum(c) AS m FROM (
+        |  SELECT c FROM tf ORDER BY c DESC, t LIMIT 10000))
+        |SELECT * FROM (
+        |  SELECT CAST(100 AS BIGINT) AS k, CAST(coalesce(m, 0) AS BIGINT) AS mass,
+        |         CAST(1000000 * coalesce(m, 0) // total AS BIGINT) AS coverage_ppm
+        |  FROM k100, tot
+        |  UNION ALL
+        |  SELECT 1000, CAST(coalesce(m, 0) AS BIGINT),
+        |         CAST(1000000 * coalesce(m, 0) // total AS BIGINT) FROM k1000, tot
+        |  UNION ALL
+        |  SELECT 10000, CAST(coalesce(m, 0) AS BIGINT),
+        |         CAST(1000000 * coalesce(m, 0) // total AS BIGINT) FROM k10000, tot)
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val tf = tbl(spark, dir, "documents")
+        .select(explode(graft.ops.DedupOps.tokens(lower(col("text")))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // three TakeOrdered passes + the total
+      val tot = tf.agg(sum("c").as("total"))
+      def cov(k: Int): DataFrame =
+        tf.orderBy(col("c").desc, col("t")).limit(k)
+          .agg(coalesce(sum("c"), lit(0L)).as("m"))
+          .crossJoin(broadcast(tot))
+          .select(lit(k.toLong).as("k"), big(col("m")).as("mass"),
+            big(expr("1000000 * m div total")).as("coverage_ppm"))
+      cov(100).unionByName(cov(1000)).unionByName(cov(10000)).orderBy("k")
+    },
+
+    // Price-consistency audit: the same part sold at materially different
+    // unit prices across line items — data-entry errors, stale catalogs,
+    // or genuine discount structure; either way the top spreads get a
+    // human look. Unit price = extendedprice / quantity (one IEEE divide
+    // per row); per part with ≥2 sales: spread ppm = ⌊10⁶·(max−min)/min⌋.
+    // Top-20 by spread via distributed TakeOrdered, partkey tiebreak.
+    Q("q_price_consistency",
+      """WITH u AS (
+        |  SELECT l_partkey, l_extendedprice / l_quantity AS unit
+        |  FROM lineitem WHERE l_quantity > 0),
+        |p AS (
+        |  SELECT l_partkey, count(*) AS n_sales,
+        |         min(unit) AS lo, max(unit) AS hi
+        |  FROM u GROUP BY 1 HAVING count(*) >= 2 AND min(unit) > 0)
+        |SELECT CAST(l_partkey AS BIGINT) AS partkey,
+        |       CAST(n_sales AS BIGINT) AS n_sales,
+        |       round(lo, 6) AS lo_unit, round(hi, 6) AS hi_unit,
+        |       CAST(floor(1000000.0 * (hi - lo) / lo) AS BIGINT) AS spread_ppm
+        |FROM p
+        |ORDER BY spread_ppm DESC, partkey LIMIT 20""".stripMargin) { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_sales"), min("unit").as("lo"), max("unit").as("hi"))
+        .filter(col("n_sales") >= 2 && col("lo") > 0)
+        .select(big(col("l_partkey")).as("partkey"),
+          big(col("n_sales")).as("n_sales"),
+          round(col("lo"), 6).as("lo_unit"), round(col("hi"), 6).as("hi_unit"),
+          big(floor(lit(1000000.0) * (col("hi") - col("lo")) / col("lo")))
+            .as("spread_ppm"))
+        .orderBy(col("spread_ppm").desc, col("partkey")).limit(20)
+    }
+  )
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    Q.tbl(spark, dir, name)
+  private def big(c: Column): Column = Q.big(c)
+}

@@ -45,7 +45,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_label_noise",     // 10%-sample broadcast scan (the q_knn_vote shape)
       "q_dow_profile",     // ONE-ROW grand-total cross join (scalar shape)
       "q_benford",         // ONE-ROW grand-total cross join (scalar shape)
-      "q_rolling_median")  // ≤7-offset calendar range join (bounded day axis)
+      "q_rolling_median",  // ≤7-offset calendar range join (bounded day axis)
+      "q_vocab_coverage")  // ONE-ROW token-total cross join (scalar shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
