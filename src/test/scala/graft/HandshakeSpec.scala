@@ -1,0 +1,184 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import graft.sources.{PgOutputWire, PgReplicationHandshake, WalReceiveLoop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1 front door: the replication-connection handshake against an
+  * in-process mock PostgreSQL backend — StartupMessage bytes
+  * (protocol 3.0, replication=database), trust-auth drain,
+  * IDENTIFY_SYSTEM over the simple-query protocol, slot-exists (42710)
+  * tolerated like the reference, START_REPLICATION → CopyBothResponse,
+  * then the SAME streams handed to WalReceiveLoop for an end-to-end
+  * handshake→stream→decode pass. With WalSocketSpec this covers every
+  * byte of S1 short of the dial to a live server and non-trust auth.
+  */
+class HandshakeSpec extends AnyFunSuite {
+
+  // ---- backend message builders -----------------------------------------
+
+  private def msg(tag: Char, body: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(5 + body.length)
+    b.put(tag.toByte).putInt(4 + body.length).put(body)
+    b.array()
+  }
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+  private def authOk = msg('R', ByteBuffer.allocate(4).putInt(0).array())
+  private def paramStatus(k: String, v: String) = msg('S', cstr(k) ++ cstr(v))
+  private def keyData = msg('K', ByteBuffer.allocate(8).putInt(42).putInt(7).array())
+  private def readyForQuery = msg('Z', Array('I'.toByte))
+  private def commandComplete(t: String) = msg('C', cstr(t))
+  private def dataRow(cols: String*): Array[Byte] = {
+    val body = ByteBuffer.allocate(2 + cols.map(c => 4 + c.length).sum)
+    body.putShort(cols.size.toShort)
+    cols.foreach { c => body.putInt(c.length).put(c.getBytes(UTF_8)) }
+    msg('D', body.array())
+  }
+  private def rowDescription(names: String*): Array[Byte] = {
+    val body = ByteBuffer.allocate(2 + names.map(n => n.length + 1 + 18).sum)
+    body.putShort(names.size.toShort)
+    names.foreach { n =>
+      body.put(cstr(n)).putInt(0).putShort(0.toShort).putInt(25)
+        .putShort((-1).toShort).putInt(-1).putShort(0.toShort)
+    }
+    msg('T', body.array())
+  }
+  private def errorResponse(state: String, m: String) =
+    msg('E', Array('S'.toByte) ++ cstr("ERROR") ++ Array('C'.toByte) ++
+      cstr(state) ++ Array('M'.toByte) ++ cstr(m) :+ 0.toByte)
+  private def copyBoth = msg('W',
+    ByteBuffer.allocate(3).put(0.toByte).putShort(0.toShort).array())
+  private def copyData(sub: Array[Byte]) = msg('d', sub)
+  private def xlog(walStart: Long, walEnd: Long, m: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(25 + m.length)
+    b.put('w'.toByte).putLong(walStart).putLong(walEnd).putLong(777L).put(m)
+    copyData(b.array())
+  }
+
+  private def readFrontend(in: DataInputStream, tagged: Boolean): (Char, Array[Byte]) = {
+    val tag = if (tagged) in.readByte().toChar else ' '
+    val len = in.readInt() - 4
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    (tag, payload)
+  }
+
+  test("startup → identify → slot-exists → start replication → decode") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val seen = new LinkedBlockingQueue[(Char, Array[Byte])]()
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        // 1. StartupMessage (untagged)
+        seen.put(readFrontend(sin, tagged = false))
+        sout.write(authOk); sout.write(paramStatus("server_version", "16.0"))
+        sout.write(keyData); sout.write(readyForQuery); sout.flush()
+        // 2. IDENTIFY_SYSTEM
+        seen.put(readFrontend(sin, tagged = true))
+        sout.write(rowDescription("systemid", "timeline", "xlogpos", "dbname"))
+        sout.write(dataRow("7357000", "1", "0/1A2B3C4D", "postgres"))
+        sout.write(commandComplete("IDENTIFY_SYSTEM"))
+        sout.write(readyForQuery); sout.flush()
+        // 3. CREATE_REPLICATION_SLOT — already exists
+        seen.put(readFrontend(sin, tagged = true))
+        sout.write(errorResponse("42710", "replication slot \"graft\" already exists"))
+        sout.write(readyForQuery); sout.flush()
+        // 4. START_REPLICATION → CopyBoth → one committed tx → CopyDone
+        seen.put(readFrontend(sin, tagged = true))
+        sout.write(copyBoth)
+        import PgOutputWire._
+        sout.write(xlog(100, 110, begin(190, 7)))
+        sout.write(xlog(110, 120,
+          relation(1, "public", "documents", Seq("id", "title", "content"))))
+        sout.write(xlog(120, 130, insert(1,
+          tupleData(Seq(Some("9"), Some("hello"), Some("body"))))))
+        sout.write(xlog(150, 160, commit(190)))
+        sout.write(Array[Byte]('c'.toByte, 0, 0, 0, 4))
+        sout.flush()
+      } finally s.close()
+    })
+    serverThread.start()
+
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val hs = new PgReplicationHandshake(in, out)
+      hs.startup("rep", "postgres")
+      val ident = hs.identifySystem()
+      assert(ident.systemId == "7357000" && ident.timeline == 1L)
+      assert(ident.xlogPos == PgReplicationHandshake.parseLsn("0/1A2B3C4D"))
+      assert(ident.dbName == "postgres")
+      assert(!hs.createReplicationSlot("graft"), "slot-exists must map to false")
+      hs.startReplication("graft", ident.xlogPos, "graft_pub")
+
+      // the streams now carry CopyBoth — the WalSocketSpec layer takes over
+      val loop = new WalReceiveLoop(in, out, clockMicros = () => 1L)
+      loop.run()
+      val changes = loop.changes()
+      assert(changes.map(_.op) == Seq("c"))
+      assert(changes.head.primaryKey == "9")
+      assert(changes.head.lsn == 190L)
+
+      // ---- frontend bytes the mock backend observed ----------------------
+      val (_, startup) = seen.poll(5, TimeUnit.SECONDS)
+      val sb = ByteBuffer.wrap(startup)
+      assert(sb.getInt == 196608, "protocol must be 3.0")
+      val params = new String(startup, 4, startup.length - 5, UTF_8)
+        .split('\u0000').grouped(2).collect { case Array(k, v) => k -> v }.toMap
+      assert(params("user") == "rep")
+      assert(params("database") == "postgres")
+      assert(params("replication") == "database",
+        "replication=database is what makes this a walsender session")
+      def sql(p: (Char, Array[Byte])): String = {
+        assert(p._1 == 'Q'); new String(p._2.dropRight(1), UTF_8)
+      }
+      assert(sql(seen.poll(5, TimeUnit.SECONDS)) == "IDENTIFY_SYSTEM")
+      assert(sql(seen.poll(5, TimeUnit.SECONDS)) ==
+        "CREATE_REPLICATION_SLOT graft LOGICAL pgoutput")
+      assert(sql(seen.poll(5, TimeUnit.SECONDS)) ==
+        "START_REPLICATION SLOT graft LOGICAL 0/1A2B3C4D " +
+          "(proto_version '1', publication_names 'graft_pub')")
+    } finally {
+      sock.close()
+      serverThread.join(5000)
+      server.close()
+    }
+  }
+
+  test("LSN text round-trips and non-trust auth fails with a clear error") {
+    import PgReplicationHandshake._
+    assert(lsnString(parseLsn("1A/2B3C4D5E")) == "1A/2B3C4D5E")
+    assert(parseLsn("0/0") == 0L)
+    assert(lsnString((5L << 32) | 0x10L) == "5/10")
+
+    // SCRAM request (authtype 10) → descriptive failure, not a hang
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sin = new DataInputStream(s.getInputStream)
+        readFrontend(sin, tagged = false)
+        val sout = new DataOutputStream(s.getOutputStream)
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()))
+        sout.flush()
+      } finally s.close()
+    })
+    t.start()
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream))
+      val e = intercept[IllegalStateException](hs.startup("rep", "postgres"))
+      assert(e.getMessage.contains("trust auth only"))
+    } finally { sock.close(); t.join(5000); server.close() }
+  }
+}
