@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** The live half of the S1 CDC source, composed from the spec-verified
+  * layers: dial → [[PgReplicationHandshake]] (startup, slot,
+  * START_REPLICATION) → [[WalReceiveLoop]] (CopyBoth drain + keepalive
+  * acks) → [[WalSegmentTap]] (slot-ordered segment files) → the
+  * `graft-pgoutput` DataSourceV2 (`PgOutputReplaySource`), which streams
+  * the segments into DataFrames with Spark-checkpointed offsets. This is
+  * the reference's full topology (postgres.go:95-221 feeding the
+  * pipeline) mapped onto Spark's source seam.
+  *
+  * Only [[connect]]'s `new Socket(host, port)` line needs a live server;
+  * every protocol byte above it is asserted offline by `HandshakeSpec` /
+  * `WalSocketSpec`, and the tap's file contract by `HandshakeSpec`'s
+  * roundtrip (the segment bytes re-decode to the received transactions).
+  */
+object LiveWal {
+
+  /** Dial and run the replication handshake to the CopyBoth cutover.
+    * Returns the socket (caller closes) and the connected receive loop.
+    * `startLsn` 0 resumes from the server's current flush LSN, mirroring
+    * the reference's fresh-slot behavior (postgres.go:152-158). */
+  def connect(host: String, port: Int, user: String, database: String,
+              slot: String, publication: String,
+              startLsn: Long = 0L): (Socket, WalReceiveLoop) = {
+    val sock = new Socket(host, port)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val hs = new PgReplicationHandshake(in, out)
+    hs.startup(user, database)
+    val ident = hs.identifySystem()
+    hs.createReplicationSlot(slot) // false (already exists) is fine
+    hs.startReplication(slot,
+      if (startLsn > 0L) startLsn else ident.xlogPos, publication)
+    (sock, new WalReceiveLoop(in, out))
+  }
+}
+
+/** Writes drained WAL frames as slot-ordered binary segment files in the
+  * exact framing `PgOutputWire.decodeSegment` / the `graft-pgoutput`
+  * source's `wire_format=pgoutput` reader consume. Files appear
+  * atomically (tmp + move) so a concurrently-polling streaming source
+  * never reads a half-written segment, and names are zero-padded so the
+  * source's name-ordered consumption matches arrival order. */
+final class WalSegmentTap(dir: Path) {
+  Files.createDirectories(dir)
+  private var n = 0
+
+  /** Write one segment if there is anything to write; returns its path. */
+  def write(frames: Seq[(Long, Array[Byte])]): Option[Path] =
+    if (frames.isEmpty) None
+    else {
+      val name = f"segment-$n%08d.bin"
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, PgOutputWire.frame(frames))
+      val p = dir.resolve(name)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      n += 1
+      Some(p)
+    }
+
+  /** Drain the loop's buffer into the next segment file. */
+  def tap(loop: WalReceiveLoop): Option[Path] = write(loop.drainFrames())
+}

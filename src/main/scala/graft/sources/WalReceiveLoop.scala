@@ -89,6 +89,16 @@ final class WalReceiveLoop(in: DataInputStream, out: DataOutputStream,
 
   /** Highest walEnd observed (what the next status update acks). */
   def walEnd: Long = lastWalEnd
+
+  /** Remove and return everything received since the last drain — the
+    * [[WalSegmentTap]] consumes these into slot-ordered segment files for
+    * the `graft-pgoutput` DataSourceV2 to stream. `changes()` reads the
+    * buffer non-destructively; a caller uses one style or the other. */
+  def drainFrames(): Seq[(Long, Array[Byte])] = {
+    val out = frames.toSeq
+    frames.clear()
+    out
+  }
 }
 
 object WalReceiveLoop {

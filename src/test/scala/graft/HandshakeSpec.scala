@@ -127,6 +127,23 @@ class HandshakeSpec extends AnyFunSuite {
       assert(changes.head.primaryKey == "9")
       assert(changes.head.lsn == 190L)
 
+      // segment tap: the drained frames land as an atomically-named
+      // segment file whose bytes re-decode to the same committed changes —
+      // the contract that feeds the graft-pgoutput DataSourceV2
+      val tapDir = java.nio.file.Files.createTempDirectory("wal_tap")
+      val tap = new graft.sources.WalSegmentTap(tapDir)
+      val seg = tap.tap(loop)
+      assert(seg.exists(_.getFileName.toString == "segment-00000000.bin"))
+      val replayed = PgOutputWire.decodeSegment(
+        java.nio.file.Files.readAllBytes(seg.get), _ => "id")
+      assert(replayed.map(c => (c.op, c.primaryKey, c.lsn)) ==
+        changes.map(c => (c.op, c.primaryKey, c.lsn)))
+      assert(tap.tap(loop).isEmpty, "second drain must be empty")
+      val listed = java.nio.file.Files.list(tapDir).toArray.toSeq
+        .map(_.toString.split('/').last)
+      assert(listed == Seq("segment-00000000.bin"),
+        s"expected exactly the one visible segment, got $listed")
+
       // ---- frontend bytes the mock backend observed ----------------------
       val (_, startup) = seen.poll(5, TimeUnit.SECONDS)
       val sb = ByteBuffer.wrap(startup)
