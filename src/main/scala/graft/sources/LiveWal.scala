@@ -66,3 +66,59 @@ final class WalSegmentTap(dir: Path) {
   /** Drain the loop's buffer into the next segment file. */
   def tap(loop: WalReceiveLoop): Option[Path] = write(loop.drainFrames())
 }
+
+/** Incremental ingest driver: steps the receive loop message by message
+  * and cuts a segment whenever ≥ `minFramesPerSegment` frames are
+  * buffered AND the newest frame is a Commit — so a segment never splits
+  * a transaction (commit-time emission, S5, holds per segment file), and
+  * every segment is SELF-CONTAINED: Relation messages pgoutput sends only
+  * once per connection are cached by the runner and re-emitted at the
+  * head of every later segment, so the `graft-pgoutput` reader's
+  * self-contained-segment contract (`PgOutputWire.decodeSegment`'s
+  * documented precondition) holds for every file independently. The final
+  * drain on CopyDone/disconnect flushes the tail; an uncommitted trailing
+  * transaction decodes to nothing there — correct, because an
+  * uncommitted transaction will be re-delivered by the slot on
+  * reconnect. */
+final class LiveWalRunner(loop: WalReceiveLoop, tap: WalSegmentTap,
+                          minFramesPerSegment: Int = 64) {
+
+  // relId → latest Relation frame seen (insertion-ordered for stable output)
+  private val relCache =
+    scala.collection.mutable.LinkedHashMap[Int, (Long, Array[Byte])]()
+
+  /** Consume the stream to its end, cutting segments as transactions
+    * commit; returns the segment paths written. */
+  def run(): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    var go = true
+    while (go) {
+      go = loop.step()
+      if (loop.pendingFrames >= minFramesPerSegment &&
+          loop.lastFrameTag == 'C') cut().foreach(out += _)
+    }
+    cut().foreach(out += _) // tail flush (uncommitted tail decodes empty)
+    out.result()
+  }
+
+  private def cut(): Option[Path] = {
+    val drained = loop.drainFrames()
+    if (drained.isEmpty) None
+    else {
+      // relations this segment already carries need no re-emission
+      val carried = drained.collect {
+        case (_, p) if p.headOption.contains('R'.toByte) =>
+          java.nio.ByteBuffer.wrap(p).getInt(1)
+      }.toSet
+      val prefix = relCache.collect {
+        case (relId, frame) if !carried(relId) => frame
+      }.toSeq
+      drained.foreach {
+        case (lsn, p) if p.headOption.contains('R'.toByte) =>
+          relCache.update(java.nio.ByteBuffer.wrap(p).getInt(1), (lsn, p))
+        case _ =>
+      }
+      tap.write(prefix ++ drained)
+    }
+  }
+}

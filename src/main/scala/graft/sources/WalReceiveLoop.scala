@@ -99,6 +99,15 @@ final class WalReceiveLoop(in: DataInputStream, out: DataOutputStream,
     frames.clear()
     out
   }
+
+  /** Frames buffered since the last drain. */
+  def pendingFrames: Int = frames.size
+
+  /** pgoutput tag of the newest buffered frame (0 if none) — the
+    * [[LiveWalRunner]] cuts segments only when this is 'C' (Commit), so
+    * no segment ever splits a transaction. */
+  def lastFrameTag: Byte =
+    if (frames.isEmpty) 0 else frames.last._2.headOption.getOrElse(0)
 }
 
 object WalReceiveLoop {

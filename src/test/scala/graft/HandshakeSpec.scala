@@ -170,6 +170,62 @@ class HandshakeSpec extends AnyFunSuite {
     }
   }
 
+  test("live runner cuts self-contained segments at commit boundaries") {
+    import graft.sources.{LiveWalRunner, WalSegmentTap, PgOutputWire}
+    import PgOutputWire._
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sout = new DataOutputStream(s.getOutputStream)
+        // tx1: relation sent ONCE for the whole connection (real pgoutput)
+        sout.write(xlog(10, 11, begin(100, 1)))
+        sout.write(xlog(11, 12,
+          relation(1, "public", "documents", Seq("id", "title", "content"))))
+        sout.write(xlog(12, 13, insert(1,
+          tupleData(Seq(Some("1"), Some("a"), Some("x"))))))
+        sout.write(xlog(13, 14, commit(100)))
+        // tx2 + tx3: no relation re-send
+        sout.write(xlog(20, 21, begin(200, 2)))
+        sout.write(xlog(21, 22, insert(1,
+          tupleData(Seq(Some("2"), Some("b"), Some("y"))))))
+        sout.write(xlog(22, 23, commit(200)))
+        sout.write(xlog(30, 31, begin(300, 3)))
+        sout.write(xlog(31, 32, insert(1,
+          tupleData(Seq(Some("3"), Some("c"), Some("z"))))))
+        sout.write(xlog(32, 33, commit(300)))
+        // uncommitted tail — must decode to nothing wherever it lands
+        sout.write(xlog(40, 41, begin(400, 4)))
+        sout.write(xlog(41, 42, insert(1,
+          tupleData(Seq(Some("4"), Some("phantom"), None)))))
+        sout.write(Array[Byte]('c'.toByte, 0, 0, 0, 4))
+        sout.flush()
+      } finally s.close()
+    })
+    t.start()
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val loop = new WalReceiveLoop(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream), clockMicros = () => 1L)
+      val dir = java.nio.file.Files.createTempDirectory("wal_runner")
+      val segs = new LiveWalRunner(loop, new WalSegmentTap(dir),
+        minFramesPerSegment = 4).run()
+      assert(segs.size >= 2, s"expected multiple segments, got ${segs.size}")
+      // EVERY segment must decode standalone — the relation cache frame is
+      // re-emitted into segments whose transactions didn't carry it
+      val perSeg = segs.map(p => PgOutputWire.decodeSegment(
+        java.nio.file.Files.readAllBytes(p), _ => "id"))
+      val all = perSeg.flatten
+      assert(all.map(_.primaryKey) == Seq("1", "2", "3"),
+        s"committed rows diverged: ${all.map(_.primaryKey)}")
+      assert(all.map(_.lsn) == Seq(100L, 200L, 300L))
+      // no segment splits a transaction: each decodes ≥0 WHOLE commits and
+      // the phantom row appears nowhere
+      assert(!all.exists(_.primaryKey == "4"))
+    } finally { sock.close(); t.join(5000); server.close() }
+  }
+
   test("LSN text round-trips and non-trust auth fails with a clear error") {
     import PgReplicationHandshake._
     assert(lsnString(parseLsn("1A/2B3C4D5E")) == "1A/2B3C4D5E")
