@@ -16,7 +16,8 @@ object SparkEntry {
       QualityQueries.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
       GroupH.all ++ GroupI.all ++ GroupJ.all ++ GroupK.all ++ GroupL.all ++
       GroupM.all ++ GroupN.all ++ GroupO.all ++ GroupP.all ++ GroupQ.all ++
-      GroupR.all ++ GroupS.all ++ GroupT.all ++ GroupU.all ++ GroupV.all
+      GroupR.all ++ GroupS.all ++ GroupT.all ++ GroupU.all ++ GroupV.all ++
+      GroupW.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

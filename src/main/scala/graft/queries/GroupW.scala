@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group W — round-5 fifteenth wave: approximate query processing with
+  * EXACT oracles — KMV sketch set operations and coordinated (universe)
+  * join sampling. Both estimators are pure deterministic functions of the
+  * data through the replayable FNV fold, so the oracle checks estimate
+  * AND error, not just the exact side.
+  */
+object GroupW {
+
+  private val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+
+  /** DuckDB HUGEINT codepoint FNV-1a fold of an expression. */
+  private def fnvSql(e: String): String =
+    s"""CAST(list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(list_filter(string_split($e, ''), c -> c <> ''),
+       |          c -> CAST(ascii(c) AS HUGEINT))),
+       |      (acc, x) -> (xor(acc, x) * 1099511628211)
+       |                  % CAST(18446744073709551616 AS HUGEINT))
+       |    AS HUGEINT)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // KMV set-operation estimation: per event-type pair, the distinct-user
+    // union and intersection estimated FROM THE SKETCHES (k=16 minimum FNV
+    // hashes per type — the mergeable summary a distributed system ships
+    // instead of user sets), against the exact counts. Union sketch =
+    // k smallest of the merged minima, est = (k−1)·2⁶⁴/h_k; intersection
+    // via the standard ρ·est_union with ρ = |K_∪ ∩ K_a ∩ K_b|/k. Every
+    // value is integer-exact (unsigned hashes as DECIMAL(38,0)), so both
+    // engines produce identical ESTIMATES — the property that makes a
+    // sketch auditable. Scale shape: sketches are 16 longs per type; only
+    // the exact baseline touches the full user sets.
+    Q("q_kmv_setops",
+      s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (
+         |  SELECT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS u
+         |  FROM ut),
+         |k AS (
+         |  SELECT event_type, u FROM (
+         |    SELECT event_type, u,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+         |    FROM h) WHERE rn <= 16),
+         |prs AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM (SELECT DISTINCT event_type FROM ut) a
+         |  JOIN (SELECT DISTINCT event_type FROM ut) b
+         |    ON a.event_type < b.event_type),
+         |mrg AS (
+         |  SELECT ta, tb, u FROM (
+         |    SELECT p.ta, p.tb, k.u,
+         |           row_number() OVER (PARTITION BY p.ta, p.tb ORDER BY k.u) AS rn
+         |    FROM prs p JOIN (SELECT DISTINCT event_type, u FROM k) k
+         |      ON k.event_type = p.ta OR k.event_type = p.tb) s
+         |  WHERE rn <= 16),
+         |kth AS (
+         |  SELECT ta, tb, max(u) AS hk, count(*) AS kk FROM mrg GROUP BY 1, 2),
+         |inb AS (
+         |  SELECT m.ta, m.tb, count(*) AS c
+         |  FROM mrg m
+         |  JOIN k ka ON ka.event_type = m.ta AND ka.u = m.u
+         |  JOIN k kb ON kb.event_type = m.tb AND kb.u = m.u
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT p.ta, p.tb,
+         |         count(DISTINCT ut.user_id) AS true_union
+         |  FROM prs p JOIN ut ON ut.event_type = p.ta OR ut.event_type = p.tb
+         |  GROUP BY 1, 2),
+         |exi AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb,
+         |         count(*) AS true_int
+         |  FROM ut a JOIN ut b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT kth.ta, kth.tb,
+         |         CAST(((kth.kk - 1) * CAST(18446744073709551616 AS HUGEINT))
+         |              // kth.hk AS BIGINT) AS est_union,
+         |         coalesce(inb.c, 0) AS c, kth.kk
+         |  FROM kth LEFT JOIN inb ON inb.ta = kth.ta AND inb.tb = kth.tb)
+         |SELECT est.ta AS ta, est.tb AS tb,
+         |       CAST(ex.true_union AS BIGINT) AS true_union, est.est_union,
+         |       CAST(coalesce(exi.true_int, 0) AS BIGINT) AS true_int,
+         |       CAST(est.c * est.est_union // est.kk AS BIGINT) AS est_int
+         |FROM est JOIN ex ON ex.ta = est.ta AND ex.tb = est.tb
+         |LEFT JOIN exi ON exi.ta = est.ta AND exi.tb = est.tb
+         |ORDER BY ta, tb""".stripMargin) { (spark, dir) =>
+      val ut = events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true) // sketches + both exact baselines read it
+      val h2 = ut.select(col("event_type"),
+          graft.ops.expr.Fnv1a64.columnCodePoints(col("user_id").cast("string"))
+            .as("hs"))
+        .select(col("event_type"),
+          expr(s"CASE WHEN hs >= 0 THEN CAST(hs AS DECIMAL(38,0)) " +
+            s"ELSE CAST(hs AS DECIMAL(38,0)) + $two64 END").as("u"))
+      val byT = Window.partitionBy("event_type").orderBy("u")
+      val k = h2.withColumn("rn", row_number().over(byT))
+        .filter(col("rn") <= 16).select("event_type", "u")
+        .localCheckpoint(true) // merged sketch + both membership probes
+      val types = ut.select("event_type").distinct()
+      val prs = types.select(col("event_type").as("ta"))
+        .crossJoin(types.select(col("event_type").as("tb")))
+        .filter(col("ta") < col("tb"))
+      val byPair = Window.partitionBy("ta", "tb").orderBy("u")
+      val mrg = prs.join(k.select("event_type", "u").distinct(),
+          col("event_type") === col("ta") || col("event_type") === col("tb"))
+        .select("ta", "tb", "u")
+        .withColumn("rn", row_number().over(byPair))
+        .filter(col("rn") <= 16).select("ta", "tb", "u")
+        .localCheckpoint(true) // kth + membership agg share it
+      val kth = mrg.groupBy("ta", "tb")
+        .agg(max("u").as("hk"), count(lit(1)).as("kk"))
+      val both = mrg
+        .join(k.select(col("event_type").as("ta"), col("u")), Seq("ta", "u"))
+        .join(k.select(col("event_type").as("tb"), col("u")), Seq("tb", "u"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("c"))
+      val ex = prs.join(ut,
+          col("event_type") === col("ta") || col("event_type") === col("tb"))
+        .groupBy("ta", "tb").agg(countDistinct("user_id").as("true_union"))
+      val exi = ut.select(col("event_type").as("ta"), col("user_id"))
+        .join(ut.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("true_int"))
+      kth.join(both, Seq("ta", "tb"), "left")
+        .withColumn("est_union",
+          expr(s"CAST((CAST(kk - 1 AS DECIMAL(38,0)) * $two64) DIV hk AS BIGINT)"))
+        .join(ex, Seq("ta", "tb"))
+        .join(exi, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"), big(col("true_union")).as("true_union"),
+          col("est_union"),
+          big(coalesce(col("true_int"), lit(0L))).as("true_int"),
+          big(expr("coalesce(c, 0) * est_union div kk")).as("est_int"))
+        .orderBy("ta", "tb")
+    },
+
+    // Coordinated (universe) join sampling: restrict BOTH join sides to
+    // the same 10% of the KEY UNIVERSE (pmod(fnv(key), 100) < 10) — the
+    // sampled join then contains every joined row whose key falls in the
+    // sampled universe, so join_rows/10% is an unbiased size estimate
+    // without ever joining the full inputs. Independent Bernoulli samples
+    // of each side would estimate p² of the join and miss key-correlation;
+    // coordination through the SHARED hash is the whole trick (the AQP
+    // "universe sampling" of Quickr/BlinkDB lineage). The hash wraps to
+    // SIGNED and uses pmod on both engines (100 ∤ 2⁶⁴, so the unsigned
+    // residue would diverge). Exact side + estimate + signed error ppm.
+    Q("q_join_sample",
+      s"""WITH lk AS (
+         |  SELECT l_orderkey AS k FROM lineitem),
+         |ok AS (SELECT o_orderkey AS k FROM orders),
+         |hs AS (
+         |  SELECT k,
+         |    CAST(CASE WHEN ${fnvSql("CAST(k AS VARCHAR)")}
+         |                   >= CAST(9223372036854775808 AS HUGEINT)
+         |              THEN ${fnvSql("CAST(k AS VARCHAR)")}
+         |                   - CAST(18446744073709551616 AS HUGEINT)
+         |              ELSE ${fnvSql("CAST(k AS VARCHAR)")} END AS BIGINT) AS h
+         |  FROM (SELECT DISTINCT k FROM ok)),
+         |surv AS (SELECT k FROM hs WHERE ((h % 100) + 100) % 100 < 10),
+         |exact AS (
+         |  SELECT count(*) AS n FROM lk JOIN ok USING (k)),
+         |samp AS (
+         |  SELECT count(*) AS n
+         |  FROM lk JOIN surv USING (k) JOIN ok USING (k))
+         |SELECT CAST(exact.n AS BIGINT) AS exact_rows,
+         |       CAST(samp.n AS BIGINT) AS sample_rows,
+         |       CAST(samp.n * 10 AS BIGINT) AS est_rows,
+         |       CAST((samp.n * 10 - exact.n) * 1000000 // exact.n AS BIGINT)
+         |         AS err_ppm
+         |FROM exact, samp
+         |ORDER BY exact_rows""".stripMargin) { (spark, dir) =>
+      val lk = tbl(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val ok = tbl(spark, dir, "orders").select(col("o_orderkey").as("k"))
+      val surv = ok.select("k").distinct()
+        .withColumn("h",
+          graft.ops.expr.Fnv1a64.columnCodePoints(col("k").cast("string")))
+        .filter(pmod(col("h"), lit(100)) < 10)
+        .select("k")
+      val exact = lk.join(ok, Seq("k")).agg(count(lit(1)).as("n"))
+        .select(col("n").as("exact_rows"))
+      val samp = lk.join(surv, Seq("k")).join(ok, Seq("k"))
+        .agg(count(lit(1)).as("n")).select(col("n").as("sample_rows"))
+      exact.crossJoin(broadcast(samp))
+        .select(big(col("exact_rows")).as("exact_rows"),
+          big(col("sample_rows")).as("sample_rows"),
+          big(col("sample_rows") * 10).as("est_rows"),
+          big(expr("(sample_rows * 10 - exact_rows) * 1000000 div exact_rows"))
+            .as("err_ppm"))
+        .orderBy("exact_rows")
+    }
+  )
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    Q.tbl(spark, dir, name)
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Q.events(spark, dir)
+  private def big(c: Column): Column = Q.big(c)
+}

@@ -46,7 +46,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_dow_profile",     // ONE-ROW grand-total cross join (scalar shape)
       "q_benford",         // ONE-ROW grand-total cross join (scalar shape)
       "q_rolling_median",  // ≤7-offset calendar range join (bounded day axis)
-      "q_vocab_coverage")  // ONE-ROW token-total cross join (scalar shape)
+      "q_vocab_coverage",  // ONE-ROW token-total cross join (scalar shape)
+      "q_kmv_setops",      // bounded type-axis pair grid (the q_ks_drift shape)
+      "q_join_sample")     // ONE-ROW exact×sample cross join (scalar shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
