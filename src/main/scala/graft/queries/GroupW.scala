@@ -192,6 +192,65 @@ object GroupW {
           big(expr("(sample_rows * 10 - exact_rows) * 1000000 div exact_rows"))
             .as("err_ppm"))
         .orderBy("exact_rows")
+    },
+
+    // Grouped-aggregate estimation from a coordinated sample — the third
+    // leg of the AQP set (q_kmv_setops: distinct cardinality, q_join_sample:
+    // join size, here: SUMs). Per event type, total value estimated from
+    // the 10% USER-universe sample (same signed-fnv pmod gate — sampling
+    // whole users, not rows, keeps per-user correlation intact, the
+    // cluster-sampling property dashboards need) scaled ×10, against the
+    // exact DECIMAL total, with signed error ppm. Values stay in integer
+    // micros end-to-end, so the estimate replays exactly.
+    Q("q_sum_sample",
+      s"""WITH ev AS (
+         |  SELECT event_type, user_id,
+         |         CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+         |           AS v_micros
+         |  FROM events),
+         |uh AS (
+         |  SELECT user_id,
+         |    CAST(CASE WHEN ${fnvSql("CAST(user_id AS VARCHAR)")}
+         |                   >= CAST(9223372036854775808 AS HUGEINT)
+         |              THEN ${fnvSql("CAST(user_id AS VARCHAR)")}
+         |                   - CAST(18446744073709551616 AS HUGEINT)
+         |              ELSE ${fnvSql("CAST(user_id AS VARCHAR)")} END AS BIGINT) AS h
+         |  FROM (SELECT DISTINCT user_id FROM ev)),
+         |surv AS (SELECT user_id FROM uh WHERE ((h % 100) + 100) % 100 < 10),
+         |ex AS (
+         |  SELECT event_type, sum(v_micros) AS exact_micros FROM ev GROUP BY 1),
+         |sm AS (
+         |  SELECT ev.event_type, sum(ev.v_micros) AS samp_micros
+         |  FROM ev JOIN surv USING (user_id) GROUP BY 1)
+         |SELECT ex.event_type AS event_type,
+         |       CAST(ex.exact_micros AS BIGINT) AS exact_micros,
+         |       CAST(coalesce(sm.samp_micros, 0) * 10 AS BIGINT) AS est_micros,
+         |       CAST(CAST(coalesce(sm.samp_micros, 0) * 10 - ex.exact_micros
+         |                 AS HUGEINT)
+         |            * 1000000 // ex.exact_micros AS BIGINT) AS err_ppm
+         |FROM ex LEFT JOIN sm ON sm.event_type = ex.event_type
+         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+          (col("value").cast(DecimalType(25, 6)) * 1000000)
+            .cast("long").as("v_micros"))
+        .localCheckpoint(true) // exact totals + the sampled leg share it
+      val surv = ev.select("user_id").distinct()
+        .withColumn("h",
+          graft.ops.expr.Fnv1a64.columnCodePoints(col("user_id").cast("string")))
+        .filter(pmod(col("h"), lit(100)) < 10)
+        .select("user_id")
+      val ex = ev.groupBy("event_type").agg(sum("v_micros").as("exact_micros"))
+      val sm = ev.join(surv, Seq("user_id"))
+        .groupBy("event_type").agg(sum("v_micros").as("samp_micros"))
+      ex.join(sm, Seq("event_type"), "left")
+        .select(col("event_type"), big(col("exact_micros")).as("exact_micros"),
+          big(coalesce(col("samp_micros"), lit(0L)) * 10).as("est_micros"),
+          // DECIMAL(38,0) headroom: diff·10⁶ overflows int64 at large SF
+          big(expr("CAST(coalesce(samp_micros, 0) * 10 - exact_micros" +
+            " AS DECIMAL(38,0)) * 1000000 div exact_micros")).as("err_ppm"))
+        .orderBy("event_type")
     }
   )
 
