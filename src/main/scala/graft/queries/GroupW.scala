@@ -251,6 +251,66 @@ object GroupW {
           big(expr("CAST(coalesce(samp_micros, 0) * 10 - exact_micros" +
             " AS DECIMAL(38,0)) * 1000000 div exact_micros")).as("err_ppm"))
         .orderBy("event_type")
+    },
+
+    // Max-min fair quota allocation (waterfilling): split a token budget
+    // (half the corpus here) across sources so that no source gets more
+    // than it has, small sources keep everything, and the remainder is
+    // levelled — alloc_i = min(mass_i, L) with the unique water level L
+    // where the budget exhausts. The quota planner a multi-source ingest
+    // runs when one supplier would otherwise flood the mix
+    // (q_mix_temperature re-weights; this CAPS). The waterfilling solve
+    // runs entirely on the BOUNDED source axis (one partition-less window
+    // over ≤|sources| rows — the q_revenue_growth exception class); the
+    // corpus scan reduces to source-keyed token masses first. All integer
+    // arithmetic; alloc ≤ budget with the div remainder documented.
+    Q("q_fair_quota",
+      """WITH m AS (
+        |  SELECT source,
+        |         sum(len(list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> ''))) AS mass
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT sum(mass) // 2 AS budget FROM m),
+        |r AS (
+        |  SELECT source, mass,
+        |         row_number() OVER (ORDER BY mass, source) AS rn,
+        |         count(*) OVER () AS n,
+        |         sum(mass) OVER (ORDER BY mass, source
+        |                         ROWS UNBOUNDED PRECEDING) - mass AS pfx
+        |  FROM m),
+        |lvl AS (
+        |  SELECT min(CASE WHEN pfx + (n - rn + 1) * mass >= b.budget
+        |                  THEN (b.budget - pfx) // (n - rn + 1) END) AS level
+        |  FROM r, b)
+        |SELECT r.source AS source, CAST(r.mass AS BIGINT) AS mass,
+        |       CAST(least(r.mass, lvl.level) AS BIGINT) AS alloc,
+        |       CAST(CASE WHEN r.mass > lvl.level THEN 1 ELSE 0 END AS BIGINT)
+        |         AS capped
+        |FROM r, lvl
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val m = tbl(spark, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(graft.ops.DedupOps.tokens(lower(col("text")))))
+          .as("mass"))
+        .localCheckpoint(true) // budget, ranks, and the final join share it
+      val b = m.agg(expr("sum(mass) div 2").as("budget"))
+      val byMass = Window.orderBy(col("mass"), col("source"))
+      val all = Window.partitionBy()
+      val r = m
+        .withColumn("rn", row_number().over(byMass))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("pfx", sum("mass").over(
+          byMass.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("mass"))
+        .crossJoin(broadcast(b))
+      val lvl = r.agg(min(when(
+          expr("pfx + (n - rn + 1) * mass >= budget"),
+          expr("(budget - pfx) div (n - rn + 1)"))).as("level"))
+      r.crossJoin(broadcast(lvl))
+        .select(col("source"), big(col("mass")).as("mass"),
+          big(least(col("mass"), col("level"))).as("alloc"),
+          big(when(col("mass") > col("level"), 1L).otherwise(0L)).as("capped"))
+        .orderBy("source")
     }
   )
 

@@ -48,14 +48,16 @@ class PlanGuardSpec extends SparkSpec {
       "q_rolling_median",  // ≤7-offset calendar range join (bounded day axis)
       "q_vocab_coverage",  // ONE-ROW token-total cross join (scalar shape)
       "q_kmv_setops",      // bounded type-axis pair grid (the q_ks_drift shape)
-      "q_join_sample")     // ONE-ROW exact×sample cross join (scalar shape)
+      "q_join_sample",     // ONE-ROW exact×sample cross join (scalar shape)
+      "q_fair_quota")      // ONE-ROW budget + water-level cross joins
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
     * q_revenue_growth lags over the ≤decades-row year axis, q_wilson_rank
     * ranks the 20-row source dimension. */
   private val globalWindowAllowed =
-    Set("q_revenue_growth", "q_wilson_rank")
+    Set("q_revenue_growth", "q_wilson_rank",
+      "q_fair_quota") // waterfilling over the ≤|sources|-row mass axis
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
