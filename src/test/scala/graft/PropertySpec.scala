@@ -121,4 +121,43 @@ class PropertySpec extends SparkSpec {
       assert(delta.get(a).contains((n, c)), s"author $a: delta=${delta.get(a)} recompute=${(n, c)}")
     }
   }
+
+  test("property: BurstMonitor split-invariance — any batching equals one flush") {
+    import graft.stream.{BurstMonitor, MinuteArrival}
+    // random in-order minute streams: ascending minutes, 1-5 events each,
+    // occasional gaps wider than the trailing window
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 15L))
+      counts <- Gen.listOfN(n, Gen.chooseNum(1, 5))
+    } yield {
+      val minutes = gaps.scanLeft(1000L)(_ + _).tail
+      minutes.zip(counts).flatMap { case (m, c) =>
+        Seq.fill(c)(MinuteArrival("k", m))
+      }
+    }
+    val splitsGen = Gen.chooseNum(1, 5)
+    samples(Gen.zip(gen, splitsGen), 60).foreach { case (arr, nSplits) =>
+      // one-shot flush (the batch twin)
+      val (oneShot, _) = BurstMonitor.transition("k", arr.iterator,
+        BurstMonitor.empty, flush = true)
+      // the same arrivals over nSplits micro-batches + a final flush
+      val chunks = arr.grouped(math.max(1, arr.size / nSplits)).toSeq
+      var st = BurstMonitor.empty
+      val streamed = Seq.newBuilder[graft.stream.BurstRow]
+      chunks.foreach { c =>
+        val (out, next) = BurstMonitor.transition("k", c.iterator, st,
+          flush = false)
+        streamed ++= out
+        st = next
+        assert(st._2.size <= BurstMonitor.TrailMinutes, "ring unbounded")
+      }
+      val (tail, fin) = BurstMonitor.transition("k", Iterator.empty, st,
+        flush = true)
+      streamed ++= tail
+      assert(streamed.result() == oneShot,
+        s"split divergence at nSplits=$nSplits over ${arr.size} arrivals")
+      assert(fin._3.isEmpty, "open minutes survived the flush")
+    }
+  }
 }
