@@ -119,4 +119,23 @@ class PushdownSpec extends SparkSpec {
     assert(ss.forall(!_.requiredSchema.fieldNames.contains("text")),
       "q_sample_stratified must not scan the text column")
   }
+
+  test("final-wave panels prune their fact scans") {
+    // q_ship_latency: lineitem → (l_orderkey, l_shipdate) only
+    val li = scans("q_ship_latency")
+      .filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(li.nonEmpty && li.forall(_.requiredSchema.size <= 2),
+      s"q_ship_latency lineitem reads ${li.map(_.requiredSchema.size)} columns")
+    // q_supplier_scorecard: lineitem needs 4 (suppkey, price, discount, flag)
+    val sc = scans("q_supplier_scorecard")
+      .filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(sc.nonEmpty && sc.forall(_.requiredSchema.size <= 4),
+      s"q_supplier_scorecard lineitem reads ${sc.map(_.requiredSchema.size)} columns")
+    // growth accounting and the AQP sum sample only touch (user_id, ts) /
+    // (event_type, user_id, value, ts) — never the wide props JSON
+    for (name <- Seq("q_growth_accounting", "q_sum_sample", "q_kmv_setops")) {
+      val wide = scans(name).filter(_.requiredSchema.fieldNames.contains("props"))
+      assert(wide.isEmpty, s"$name reads the props column — pruning lost")
+    }
+  }
 }
