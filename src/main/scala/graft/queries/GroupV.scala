@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group V — round-5 fourteenth wave: dedup fairness, tokenizer
@@ -129,6 +130,76 @@ object GroupV {
           big(floor(lit(1000000.0) * (col("hi") - col("lo")) / col("lo")))
             .as("spread_ppm"))
         .orderBy(col("spread_ppm").desc, col("partkey")).limit(20)
+    },
+
+    // Contrastive-pair mining for embedding-model training: every verified
+    // near-dup pair is an (anchor, positive) example, and each gets 4
+    // SHARED per-language negatives — the in-batch-negatives pattern:
+    // negatives are chosen once per language (smallest codepoint-FNV of
+    // the doc id — deterministic, reproducible across epochs and engines),
+    // NOT per pair, so the join volume is O(pairs·k) instead of
+    // pairs × corpus. Six candidates are drawn so that dropping the
+    // anchor/positive themselves still leaves 4. Output is one training
+    // row per pair with the negative ids comma-joined.
+    Q("q_contrastive_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+        |        >= 0.95),
+        |h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(list_filter(string_split(
+        |            'neg:' || CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS HUGEINT))),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                  % CAST(18446744073709551616 AS HUGEINT))
+        |      AS HUGEINT) AS u
+        |  FROM documents),
+        |cand AS (
+        |  SELECT lang, list(doc_id ORDER BY u, doc_id) AS negs FROM (
+        |    SELECT lang, doc_id, u,
+        |           row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        |    FROM h) WHERE rn <= 6
+        |  GROUP BY lang)
+        |SELECT CAST(p.a_id AS BIGINT) AS a_id, CAST(p.b_id AS BIGINT) AS b_id,
+        |       array_to_string(
+        |         list_transform(
+        |           list_filter(c.negs, x -> x <> p.a_id AND x <> p.b_id)[1:4],
+        |           x -> CAST(x AS VARCHAR)), ',') AS negs
+        |FROM pairs p JOIN cand c ON c.lang = p.lang
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val h = tbl(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          graft.ops.expr.Fnv1a64.columnCodePoints(
+            concat(lit("neg:"), col("doc_id").cast("string"))).as("hs"))
+        .select(col("lang"), col("doc_id"),
+          expr("CASE WHEN hs >= 0 THEN CAST(hs AS DECIMAL(38,0)) " +
+            "ELSE CAST(hs AS DECIMAL(38,0)) + " +
+            "CAST('18446744073709551616' AS DECIMAL(38,0)) END").as("u"))
+      val byLang = Window.partitionBy("lang").orderBy(col("u"), col("doc_id"))
+      val cand = h.withColumn("rn", row_number().over(byLang))
+        .filter(col("rn") <= 6)
+        .groupBy("lang")
+        .agg(expr("transform(sort_array(collect_list(struct(u, doc_id))), " +
+          "x -> x.doc_id)").as("negs"))
+      PipelineQueries.jaccardPairs(spark, dir)
+        .join(tbl(spark, dir, "documents")
+          .select(col("doc_id").as("a_id"), col("lang")), Seq("a_id"))
+        .join(broadcast(cand), Seq("lang"))
+        .select(big(col("a_id")).as("a_id"), big(col("b_id")).as("b_id"),
+          expr("array_join(transform(slice(filter(negs, " +
+            "x -> x != a_id AND x != b_id), 1, 4), " +
+            "x -> CAST(x AS STRING)), ',')").as("negs"))
+        .orderBy("a_id", "b_id")
     }
   )
 
