@@ -200,6 +200,46 @@ object GroupV {
             "x -> x != a_id AND x != b_id), 1, 4), " +
             "x -> CAST(x AS STRING)), ',')").as("negs"))
         .orderBy("a_id", "b_id")
+    },
+
+    // SymSpell identifier-typo candidates: supplier-name pairs at edit
+    // distance EXACTLY 1 (one mistyped character apart — the dirty-CRM
+    // entity-resolution pass), found by the deletion-neighborhood
+    // equi-join: each name expands to {name} ∪ its 1-deletion variants
+    // and pairs match on a SHARED variant — substitution, insertion, and
+    // deletion all collide there, so candidate generation is an EQUI-join
+    // on variant strings, never a name × name cross product (the SymSpell
+    // trick that makes fuzzy matching linear in names × length). A
+    // Levenshtein = 1 verification discards the distance-2 collisions the
+    // deletion join admits; the corpus vocabulary has no ed-1 structure
+    // (31 curated tokens), so the identifier domain is where this
+    // operator bites.
+    Q("q_symspell",
+      """WITH names AS (SELECT s_name AS nm FROM supplier),
+        |v AS (
+        |  SELECT nm, unnest(list_append(
+        |    list_transform(range(0, length(nm)),
+        |      i -> substr(nm, 1, i) || substr(nm, i + 2, length(nm))),
+        |    nm)) AS var
+        |  FROM names)
+        |SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        |FROM v a JOIN v b ON a.var = b.var
+        |WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) = 1
+        |ORDER BY name_a, name_b""".stripMargin) { (spark, dir) =>
+      val v = tbl(spark, dir, "supplier")
+        .select(col("s_name").as("nm"))
+        .withColumn("var", explode(expr(
+          "array_union(transform(sequence(0, length(nm) - 1), " +
+            "i -> concat(substring(nm, 1, i), " +
+            "substring(nm, i + 2, length(nm)))), array(nm))")))
+        .localCheckpoint(true) // both sides of the variant self-join
+      v.select(col("nm").as("name_a"), col("var"))
+        .join(v.select(col("nm").as("name_b"), col("var")), Seq("var"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) === 1)
+        .select("name_a", "name_b")
+        .distinct()
+        .orderBy("name_a", "name_b")
     }
   )
 
