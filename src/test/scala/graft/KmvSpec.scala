@@ -94,4 +94,36 @@ class KmvSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("merged streaming sketches reproduce the batch q_kmv_setops union estimate") {
+    // the batch AQP estimator and the streaming sketch share one contract:
+    // per-type k-min summaries of fnv(user_id) merge by union-keep-k, and
+    // the merged estimate must equal the ORACLED q_kmv_setops est_union
+    // column. sf0.01 (150+ users/type) keeps every sketch at capacity,
+    // where both sides use the same ⌊(k−1)·2⁶⁴/h_k⌋ formula.
+    val dir = "/root/testdata/sf0.01"
+    val summaries: Map[String, StreamingKmv.Summary] =
+      spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_type", "CAST(user_id AS STRING) AS u")
+        .distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) =>
+          t -> rows.map(_.getString(1)).sorted.foldLeft(Seq.empty[Long]) {
+            (s, u) => StreamingKmv.step(s,
+              graft.ops.expr.Fnv1a64.hashCodePoints(u), K)
+          }
+        }
+    def merged(a: String, b: String): StreamingKmv.Summary =
+      summaries(b).foldLeft(summaries(a))((s, h) => StreamingKmv.step(s, h, K))
+    val batch = SparkEntry.queries("q_kmv_setops")(spark, dir)
+      .selectExpr("ta", "tb", "est_union").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.size == 10)
+    batch.foreach { case ((ta, tb), est) =>
+      val m = merged(ta, tb)
+      assert(m.size == K, s"$ta/$tb sketch below capacity")
+      assert(StreamingKmv.estimate(m, K) == est,
+        s"$ta/$tb: stream-merged ${StreamingKmv.estimate(m, K)} != batch $est")
+    }
+  }
 }
