@@ -311,6 +311,59 @@ object GroupW {
           big(least(col("mass"), col("level"))).as("alloc"),
           big(when(col("mass") > col("level"), 1L).otherwise(0L)).as("capped"))
         .orderBy("source")
+    },
+
+    // Join-order advisor for the customer⋈orders⋈lineitem chain: the CBO
+    // decision COMPUTED — both left-deep orders' intermediate sizes from
+    // EXACT per-key cardinalities (q_join_cardinality's statistic), cost =
+    // intermediate + final rows materialized, cheapest plan flagged. The
+    // final join size is order-independent; the intermediate is the whole
+    // decision. Everything runs on key-cardinality-sized count tables.
+    Q("q_join_order",
+      """WITH oc AS (SELECT o_custkey AS ck, o_orderkey AS ok FROM orders),
+        |ck AS (SELECT c_custkey AS ck FROM customer),
+        |lc AS (SELECT l_orderkey AS ok, count(*) AS c FROM lineitem GROUP BY 1),
+        |co AS (SELECT count(*) AS n FROM oc JOIN ck USING (ck)),
+        |ol AS (SELECT sum(lc.c) AS n FROM oc JOIN lc USING (ok)),
+        |fin AS (
+        |  SELECT sum(lc.c) AS n
+        |  FROM oc JOIN ck USING (ck) JOIN lc USING (ok))
+        |SELECT * FROM (
+        |  SELECT '(customer*orders)*lineitem' AS plan,
+        |         CAST(co.n AS BIGINT) AS inter_rows,
+        |         CAST(fin.n AS BIGINT) AS final_rows,
+        |         CAST(co.n + fin.n AS BIGINT) AS cost,
+        |         CAST(CASE WHEN co.n <= ol.n THEN 1 ELSE 0 END AS BIGINT)
+        |           AS chosen
+        |  FROM co, ol, fin
+        |  UNION ALL
+        |  SELECT '(orders*lineitem)*customer', CAST(ol.n AS BIGINT),
+        |         CAST(fin.n AS BIGINT), CAST(ol.n + fin.n AS BIGINT),
+        |         CAST(CASE WHEN ol.n < co.n THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM co, ol, fin)
+        |ORDER BY plan""".stripMargin) { (spark, dir) =>
+      val oc = tbl(spark, dir, "orders")
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"))
+        .localCheckpoint(true) // all three cardinality probes read it
+      val ckeys = tbl(spark, dir, "customer").select(col("c_custkey").as("ck"))
+      val lcnt = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok")).agg(count(lit(1)).as("c"))
+      val co = oc.join(ckeys, Seq("ck")).agg(count(lit(1)).as("co_n"))
+      val ol = oc.join(lcnt, Seq("ok")).agg(sum("c").as("ol_n"))
+      val fin = oc.join(ckeys, Seq("ck")).join(lcnt, Seq("ok"))
+        .agg(sum("c").as("fin_n"))
+      val s = co.crossJoin(broadcast(ol)).crossJoin(broadcast(fin))
+        .localCheckpoint(true) // both plan rows project from one 1-row frame
+      def plan(name: String, inter: String, chosenExpr: String): DataFrame =
+        s.select(lit(name).as("plan"), big(col(inter)).as("inter_rows"),
+          big(col("fin_n")).as("final_rows"),
+          big(expr(s"$inter + fin_n")).as("cost"),
+          big(expr(chosenExpr)).as("chosen"))
+      plan("(customer*orders)*lineitem", "co_n",
+          "CASE WHEN co_n <= ol_n THEN 1 ELSE 0 END")
+        .unionByName(plan("(orders*lineitem)*customer", "ol_n",
+          "CASE WHEN ol_n < co_n THEN 1 ELSE 0 END"))
+        .orderBy("plan")
     }
   )
 
