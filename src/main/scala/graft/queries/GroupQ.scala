@@ -133,14 +133,17 @@ object GroupQ {
         |ORDER BY rel""".stripMargin) { (spark, dir) =>
       def audit(rel: String, child: DataFrame, childKey: String,
                 parent: DataFrame, parentKey: String): DataFrame = {
-        val total = child.count() // driver-side scalar per relationship:
-        // the audit output is 4 rows; a count here is one map-side agg
+        // the total rides as a ONE-ROW broadcast (the q_bm25 scalar shape)
+        // rather than a driver-side count(): query CONSTRUCTION stays
+        // action-free, so building the registry never runs jobs
+        val total = child.agg(big(count(lit(1))).as("n_rows"))
         val orphans = child.select(col(childKey))
           .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
             "left_anti")
         orphans.agg(big(count(lit(1))).as("n_orphans"),
           big(countDistinct(childKey)).as("n_orphan_keys"))
-          .select(lit(rel).as("rel"), lit(total).as("n_rows"),
+          .crossJoin(broadcast(total))
+          .select(lit(rel).as("rel"), col("n_rows"),
             col("n_orphans"), col("n_orphan_keys"))
       }
       audit("lineitem->orders", tbl(spark, dir, "lineitem"), "l_orderkey",

@@ -50,7 +50,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_kmv_setops",      // bounded type-axis pair grid (the q_ks_drift shape)
       "q_join_sample",     // ONE-ROW exact×sample cross join (scalar shape)
       "q_fair_quota",      // ONE-ROW budget + water-level cross joins
-      "q_join_order")      // ONE-ROW cardinality-probe cross joins
+      "q_join_order",      // ONE-ROW cardinality-probe cross joins
+      "q_fk_violations")   // ONE-ROW child-total cross join per relationship
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
