@@ -22,7 +22,28 @@ final class Health extends StreamingQueryListener {
   private val last = new AtomicReference(
     Status("starting", "", 0L, java.time.Instant.now.toString))
 
+  // cumulative counters for the /metrics surface (monotone; Prometheus
+  // counter semantics — rates derive from deltas, never reset mid-run)
+  private val batchesTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rowsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def status: Status = last.get()
+
+  /** Prometheus text exposition of the pipeline counters: batches and
+    * input rows since start, the last batch's size, and an up gauge. */
+  def metricsText: String = {
+    val s = status
+    val up = if (s.status == "running" || s.status == "starting") 1 else 0
+    s"""# TYPE graft_batches_total counter
+       |graft_batches_total ${batchesTotal.get()}
+       |# TYPE graft_input_rows_total counter
+       |graft_input_rows_total ${rowsTotal.get()}
+       |# TYPE graft_last_batch_rows gauge
+       |graft_last_batch_rows ${s.batchRows}
+       |# TYPE graft_up gauge
+       |graft_up $up
+       |""".stripMargin
+  }
 
   /** The reference serves this as JSON; kept dependency-free. */
   def statusJson: String = {
@@ -42,6 +63,8 @@ final class Health extends StreamingQueryListener {
     val p = e.progress
     val offset = Option(p.sources).filter(_.nonEmpty)
       .flatMap(s => Option(s.head.endOffset)).getOrElse("")
+    batchesTotal.incrementAndGet()
+    rowsTotal.addAndGet(p.numInputRows)
     last.set(Status("running", offset, p.numInputRows, p.timestamp))
   }
 
@@ -74,6 +97,16 @@ final class HealthServer(health: Health, addr: String = ":8080") {
     s.createContext("/healthz", (ex: com.sun.net.httpserver.HttpExchange) => {
       val body = health.statusJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    // Prometheus text exposition on the same listener — what a scrape
+    // target expects next to /healthz (beyond the reference's surface,
+    // recorded as a deliberate addition)
+    s.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = health.metricsText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
       ex.sendResponseHeaders(200, body.length.toLong)
       val os = ex.getResponseBody
       try os.write(body) finally os.close()

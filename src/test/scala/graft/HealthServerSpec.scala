@@ -38,4 +38,30 @@ class HealthServerSpec extends AnyFunSuite {
     try assert(server.boundPort > 0)
     finally server.stop()
   }
+
+  test("/metrics serves Prometheus text with monotone counters") {
+    val health = new Health
+    val server = new HealthServer(health, "127.0.0.1:0").start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def scrape(): String = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(
+            s"http://127.0.0.1:${server.boundPort}/metrics"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val first = scrape()
+      assert(first.contains("graft_batches_total 0"))
+      assert(first.contains("graft_input_rows_total 0"))
+      assert(first.contains("graft_up 1")) // starting counts as up
+      // every non-comment line is `name value` with an integer value —
+      // the exposition format a scraper parses (counter advancement rides
+      // the listener path the streaming suites drive)
+      first.linesIterator.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .foreach { l =>
+          val parts = l.trim.split(' ')
+          assert(parts.length == 2 && parts(1).matches("-?\\d+"), s"bad line: $l")
+        }
+    } finally server.stop()
+  }
 }
