@@ -135,8 +135,13 @@ object GroupP {
     // (reach2 = 1) from template blobs (reach2 ≫ reach1) more finely
     // than degree alone (q_degree_dist) and cheaper than full components
     // (q_dup_components). Shapes: the session pair artifact both ways,
-    // ONE mid-keyed self-join for hop 2 with per-node DISTINCT collapse —
-    // at web scale the same plan runs frontier-at-a-time with hub caps.
+    // ONE mid-keyed self-join for hop 2 with per-node DISTINCT collapse
+    // and a HUB CAP (GraphOps.khop2 — the intermediate hop runs only
+    // through vertices of degree ≤ 1024; hop-1 edges always count). The
+    // cap is declared semantics, applied identically in the oracle SQL
+    // below so the hash gate checks the capped operator; the ≥20×
+    // wedge-volume drop on a hub fixture is pinned by
+    // GraphSaturationSpec.
     Q("q_graph_khop",
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -153,9 +158,11 @@ object GroupP {
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |h1 AS (SELECT DISTINCT src, dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM h1 GROUP BY 1),
         |h2 AS (
         |  SELECT DISTINCT a.src, b.dst
         |  FROM h1 a JOIN h1 b ON a.dst = b.src
+        |       JOIN deg m ON m.src = a.dst AND m.deg <= 1024
         |  WHERE b.dst <> a.src
         |  UNION SELECT src, dst FROM h1),
         |r1 AS (SELECT src, count(DISTINCT dst) AS reach1 FROM h1 GROUP BY 1),
@@ -170,12 +177,7 @@ object GroupP {
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .distinct()
         .localCheckpoint(true) // hop-1 counts + both sides of the hop-2 join
-      val h2 = e.select(col("src"), col("dst").as("mid"))
-        .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
-        .filter(col("dst") =!= col("src"))
-        .select("src", "dst")
-        .unionByName(e.select("src", "dst"))
-        .distinct()
+      val h2 = graft.ops.GraphOps.khop2(e)
       val r1 = e.groupBy("src").agg(countDistinct("dst").as("reach1"))
       val r2 = h2.groupBy("src").agg(count(lit(1)).as("reach2"))
       r1.join(r2, Seq("src"))

@@ -148,9 +148,16 @@ object GroupR {
     // yet marked duplicates, but they co-occur with the same clones":
     // the candidate queue an entity-resolution pass reviews next, and the
     // standard graph-completion baseline. Shapes: the session pair
-    // artifact both directions, ONE mid-keyed self-join for wedges
-    // (hub caps bound it at web scale, as in q_graph_khop), an anti join
-    // to drop closed edges, two key-joins to the degree table.
+    // artifact both directions, ONE mid-keyed self-join for wedges with a
+    // HUB CAP (GraphOps.commonNeighbors — only mids of degree ≤ 1024
+    // generate wedges; a 10⁵-member template hub would otherwise put 10¹⁰
+    // wedges on one key, and its co-membership carries no linkage signal
+    // anyway — the df-cap treatment the inverted index applies to
+    // stop-words), an anti join to drop closed edges, two key-joins to
+    // the degree table. The cap is part of the declared semantics: the
+    // oracle SQL below applies the SAME mid filter, so the hash gate
+    // checks the capped operator, and GraphSaturationSpec pins the ≥20×
+    // candidate-volume drop on a synthetic hub fixture.
     Q("q_link_predict",
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -171,6 +178,7 @@ object GroupR {
         |cn AS (
         |  SELECT a.src AS a_id, b.src AS b_id, count(*) AS common
         |  FROM h1 a JOIN h1 b ON a.dst = b.dst AND a.src < b.src
+        |       JOIN deg m ON m.src = a.dst AND m.deg <= 1024
         |  GROUP BY 1, 2),
         |nonadj AS (
         |  SELECT cn.a_id, cn.b_id, cn.common FROM cn
@@ -189,10 +197,7 @@ object GroupR {
         .distinct()
         .localCheckpoint(true) // wedges, degrees, and the anti join read it
       val deg = h1.groupBy("src").agg(count(lit(1)).as("deg"))
-      val cn = h1.select(col("src").as("a_id"), col("dst").as("mid"))
-        .join(h1.select(col("src").as("b_id"), col("dst").as("mid")), Seq("mid"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+      val cn = graft.ops.GraphOps.commonNeighbors(h1)
       cn.join(h1.select(col("src").as("a_id"), col("dst").as("b_id")),
           Seq("a_id", "b_id"), "left_anti")
         .join(deg.select(col("src").as("a_id"), col("deg").as("dega")), Seq("a_id"))

@@ -2384,15 +2384,17 @@ object PipelineQueries {
     // Triangle counting + local clustering coefficient over the near-dup
     // graph: distinguishes TEMPLATE CLIQUES (every pair similar — one
     // canonical doc survives curation) from CHAIN-shaped drift (A~B~C but
-    // A≁C — each hop may deserve keeping). Edges are canonical (a<b), so
-    // each triangle x<y<z is enumerated exactly once by the wedge join
-    // e(x,y)⋈e(y,z) closed by a LEFT SEMI against e(x,z) — the standard
-    // distributed triangle plan: two equi-joins on node keys, no cross
-    // join, wedge volume bounded by Σdeg² (at web scale the same plan
-    // orients edges by DEGREE instead of id, bounding wedges by
-    // arboricity·|E|; id-orientation is the fixture-honest version since
-    // near-dup cliques make every orientation clique-bound anyway). The
-    // coefficient is float-free: lcc_e6 = ⌊2·tri·10⁶ / (deg·(deg−1))⌋.
+    // A≁C — each hop may deserve keeping). Wedges are generated from the
+    // DEGREE-ORIENTED edge list (GraphOps.triangles — each edge directed
+    // from its lower-(degree,id) endpoint, so every triangle is enumerated
+    // exactly once from its minimum-degree vertex and wedge volume is
+    // O(arboricity·|E|) instead of Σdeg²: a 10⁵-degree template hub emits
+    // ZERO wedges because all its edges point inward), closed by a LEFT
+    // SEMI against the canonical pair list. Exact — the triangle set is
+    // orientation-invariant, so the oracle keeps the plain formulation.
+    // The coefficient is float-free: lcc_e6 = ⌊2·tri·10⁶/(deg·(deg−1))⌋.
+    // Saturation-pinned by GraphSaturationSpec (star-hub fixture: oriented
+    // wedge volume ≥20× below the id-oriented plan's).
     Q("q_triangle_count",
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -2429,11 +2431,7 @@ object PipelineQueries {
         |FROM deg LEFT JOIN tcnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
-      val tri = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-        .join(pairs.select(col("a_id").as("y"), col("b_id").as("z")), Seq("y"))
-        .join(pairs.select(col("a_id").as("x"), col("b_id").as("z")),
-          Seq("x", "z"), "left_semi")
-        .localCheckpoint(true)
+      val tri = graft.ops.GraphOps.triangles(pairs).localCheckpoint(true)
       val tcnt = tri.select(col("x").as("doc_id"))
         .unionByName(tri.select(col("y").as("doc_id")))
         .unionByName(tri.select(col("z").as("doc_id")))
