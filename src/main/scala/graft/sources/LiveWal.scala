@@ -23,16 +23,22 @@ object LiveWal {
   /** Dial and run the replication handshake to the CopyBoth cutover.
     * Returns the socket (caller closes) and the connected receive loop.
     * `startLsn` 0 resumes from the server's current flush LSN, mirroring
-    * the reference's fresh-slot behavior (postgres.go:152-158). */
+    * the reference's fresh-slot behavior (postgres.go:152-158). A
+    * `password` enables SCRAM-SHA-256 when the server demands it; the
+    * publication is created `FOR ALL TABLES` if missing, then the slot
+    * (both 42710-tolerant), the reference's bootstrap order
+    * (postgres.go:124-150). */
   def connect(host: String, port: Int, user: String, database: String,
               slot: String, publication: String,
-              startLsn: Long = 0L): (Socket, WalReceiveLoop) = {
+              startLsn: Long = 0L,
+              password: Option[String] = None): (Socket, WalReceiveLoop) = {
     val sock = new Socket(host, port)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-    val hs = new PgReplicationHandshake(in, out)
+    val hs = new PgReplicationHandshake(in, out, password)
     hs.startup(user, database)
     val ident = hs.identifySystem()
+    hs.createPublication(publication) // false (already exists) is fine
     hs.createReplicationSlot(slot) // false (already exists) is fine
     hs.startReplication(slot,
       if (startLsn > 0L) startLsn else ident.xlogPos, publication)
@@ -105,13 +111,26 @@ final class LiveWalRunner(loop: WalReceiveLoop, tap: WalSegmentTap,
     val drained = loop.drainFrames()
     if (drained.isEmpty) None
     else {
-      // relations this segment already carries need no re-emission
-      val carried = drained.collect {
-        case (_, p) if p.headOption.contains('R'.toByte) =>
-          java.nio.ByteBuffer.wrap(p).getInt(1)
-      }.toSet
+      // A relation counts as carried only if its Relation frame PRECEDES
+      // that relation's first data frame in this batch — pgoutput may
+      // re-send a Relation mid-segment after a schema change, and rows
+      // before the re-send still need the cached frame prepended (those
+      // rows were encoded under the cached schema, which decodeSegment
+      // replays in order: cached R → old rows → new R → new rows).
+      val seenRel = scala.collection.mutable.Set[Int]()
+      val needCached = scala.collection.mutable.LinkedHashSet[Int]()
+      drained.foreach { case (_, p) =>
+        p.headOption.map(_.toChar) match {
+          case Some('R') =>
+            seenRel += java.nio.ByteBuffer.wrap(p).getInt(1)
+          case Some('I') | Some('U') | Some('D') =>
+            val relId = java.nio.ByteBuffer.wrap(p).getInt(1)
+            if (!seenRel(relId)) needCached += relId
+          case _ =>
+        }
+      }
       val prefix = relCache.collect {
-        case (relId, frame) if !carried(relId) => frame
+        case (relId, frame) if needCached(relId) => frame
       }.toSeq
       drained.foreach {
         case (lsn, p) if p.headOption.contains('R'.toByte) =>

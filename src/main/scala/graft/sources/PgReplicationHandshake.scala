@@ -12,18 +12,30 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Implements the wire messages a logical-replication client exchanges:
   * StartupMessage (protocol 3.0, `replication=database`), the
-  * Authentication/ParameterStatus/BackendKeyData/ReadyForQuery drain,
-  * simple Query for the replication-command mini-language
-  * (`IDENTIFY_SYSTEM`, `CREATE_REPLICATION_SLOT ... LOGICAL pgoutput`,
-  * `START_REPLICATION SLOT ...`), and the CopyBothResponse cutover.
-  * Trust auth only: an offline build cannot negotiate SCRAM, so any
-  * other Authentication subtype fails with a descriptive error — the
-  * ONLY parts of S1 still needing a live server are the dial itself and
-  * password auth. Byte framing is spec-verified against an in-process
-  * mock server (`HandshakeSpec`), the WalSocketSpec pattern one layer
-  * earlier in the connection's life.
+  * Authentication/ParameterStatus/BackendKeyData/ReadyForQuery drain
+  * with trust AND SCRAM-SHA-256 auth (the [[ScramClient]] SASL exchange
+  * wrapped in AuthenticationSASL/SASLInitialResponse/SASLContinue/
+  * SASLFinal — what any real-world server demands; the reference gets it
+  * from its driver's DSN, postgres.go:97-113), simple Query for the
+  * replication-command mini-language (`IDENTIFY_SYSTEM`,
+  * `CREATE_REPLICATION_SLOT ... LOGICAL pgoutput`,
+  * `START_REPLICATION SLOT ...`) plus the `CREATE PUBLICATION` bootstrap
+  * (postgres.go:124-140), and the CopyBothResponse cutover. Identifiers
+  * are double-quote-escaped and the publication_names literal
+  * single-quote-escaped, so names survive quotes/spaces/commas intact.
+  * Byte framing is spec-verified against an in-process mock server
+  * (`HandshakeSpec`), the WalSocketSpec pattern one layer earlier in the
+  * connection's life; the SCRAM math is pinned to the RFC 7677 test
+  * vector in `ScramSpec`.
+  *
+  * @param password  credential for SCRAM; None = trust-auth-only (a SASL
+  *                  challenge then fails with a descriptive error)
+  * @param nonceGen  client-nonce source — injectable so specs drive the
+  *                  exchange deterministically; defaults to SecureRandom
   */
-final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream) {
+final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream,
+                                   password: Option[String] = None,
+                                   nonceGen: () => String = ScramAuth.randomNonce) {
 
   import PgReplicationHandshake._
 
@@ -65,7 +77,21 @@ final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream) {
     * treats as success: postgres.go:141-150). Any other error rethrows. */
   def createReplicationSlot(slot: String): Boolean = {
     require(ready, "startup() first")
-    query(s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput")
+    query(s"CREATE_REPLICATION_SLOT ${quoteIdent(slot)} LOGICAL pgoutput")
+    try { drainRows(); true }
+    catch {
+      case e: BackendError if e.sqlState == "42710" => false
+    }
+  }
+
+  /** `CREATE PUBLICATION name FOR ALL TABLES` over the simple-query
+    * protocol (a `replication=database` connection accepts plain SQL) —
+    * the optional bootstrap the reference performs before the slot
+    * (postgres.go:124-140). Returns true if created, false if it already
+    * existed (42710 duplicate_object, tolerated exactly like the slot). */
+  def createPublication(name: String): Boolean = {
+    require(ready, "startup() first")
+    query(s"CREATE PUBLICATION ${quoteIdent(name)} FOR ALL TABLES")
     try { drainRows(); true }
     catch {
       case e: BackendError if e.sqlState == "42710" => false
@@ -78,8 +104,14 @@ final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream) {
     * (reference command text: postgres.go:164-175). */
   def startReplication(slot: String, startLsn: Long, publication: String): Unit = {
     require(ready, "startup() first")
-    query(s"START_REPLICATION SLOT $slot LOGICAL ${lsnString(startLsn)} " +
-      s"(proto_version '1', publication_names '$publication')")
+    // publication_names is a single-quoted LITERAL whose content pgoutput
+    // splits as an identifier list — so the name is double-quote-escaped
+    // inside the literal, and the literal itself single-quote-escaped
+    // (the pglogrepl treatment; a quote/space/comma in the name survives)
+    val pubLiteral = quoteLiteral(quoteIdent(publication))
+    query(s"START_REPLICATION SLOT ${quoteIdent(slot)} LOGICAL " +
+      s"${lsnString(startLsn)} (proto_version '1', " +
+      s"publication_names $pubLiteral)")
     var going = true
     while (going) {
       val (tag, payload) = readMessage()
@@ -111,21 +143,68 @@ final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream) {
   }
 
   private def drainToReady(): Unit = {
+    var scram: ScramClient = null
     var going = true
     while (going) {
       val (tag, payload) = readMessage()
       tag match {
         case 'R' =>
-          val authType = ByteBuffer.wrap(payload).getInt
-          if (authType != 0)
-            throw new IllegalStateException(
-              s"unsupported Authentication subtype $authType — this offline " +
-                "build speaks trust auth only (SCRAM needs a live server)")
+          val b = ByteBuffer.wrap(payload)
+          b.getInt match {
+            case 0 => // AuthenticationOk
+            case 10 => // AuthenticationSASL: cstring mechanism list
+              val mechanisms = Iterator
+                .continually(readCString(b)).takeWhile(_.nonEmpty).toSeq
+              if (!mechanisms.contains(ScramAuth.Mechanism))
+                throw new IllegalStateException(
+                  s"server offers ${mechanisms.mkString(",")}; only " +
+                    s"${ScramAuth.Mechanism} is supported (channel-binding " +
+                    "-PLUS variants need TLS, which this connection is not)")
+              val pw = password.getOrElse(throw new IllegalStateException(
+                "server demands SCRAM authentication but no password was " +
+                  "configured — pass one to PgReplicationHandshake"))
+              scram = new ScramClient(pw, nonceGen())
+              val first = scram.clientFirstMessage().getBytes(UTF_8)
+              // SASLInitialResponse: cstr(mechanism), int32 len, response
+              val body = cstr(ScramAuth.Mechanism) ++
+                intBytes(first.length) ++ first.toSeq
+              send('p', body)
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              require(scram != null, "SASLContinue before SASL start")
+              val serverFirst = new String(payload, 4, payload.length - 4, UTF_8)
+              send('p', scram.clientFinalMessage(serverFirst)
+                .getBytes(UTF_8).toSeq)
+            case 12 => // AuthenticationSASLFinal: server-final-message
+              require(scram != null, "SASLFinal before SASL start")
+              scram.verifyServerFinal(
+                new String(payload, 4, payload.length - 4, UTF_8))
+            case other =>
+              throw new IllegalStateException(
+                s"unsupported Authentication subtype $other — trust and " +
+                  s"${ScramAuth.Mechanism} are implemented (md5 and cleartext " +
+                  "are legacy; prefer a SCRAM-enabled server)")
+          }
         case 'Z' => ready = true; going = false
         case 'E' => throw backendError(payload)
         case _ => // ParameterStatus / BackendKeyData / NoticeResponse
       }
     }
+  }
+
+  private def send(tag: Char, body: Seq[Byte]): Unit = {
+    val b = ByteBuffer.allocate(5 + body.length)
+    b.put(tag.toByte).putInt(4 + body.length).put(body.toArray)
+    out.write(b.array()); out.flush()
+  }
+
+  private def intBytes(v: Int): Seq[Byte] =
+    ByteBuffer.allocate(4).putInt(v).array().toSeq
+
+  private def readCString(b: ByteBuffer): String = {
+    val sb = new StringBuilder
+    var c = if (b.hasRemaining) b.get() else 0
+    while (c != 0) { sb.append(c.toChar); c = if (b.hasRemaining) b.get() else 0 }
+    sb.toString
   }
 
   /** Rows of a simple-query result (text format), draining to
@@ -183,6 +262,16 @@ object PgReplicationHandshake {
 
   private def cstr(s: String): Seq[Byte] =
     s.getBytes(UTF_8).toSeq :+ 0.toByte
+
+  /** Double-quoted identifier with internal quotes doubled — the exact
+    * name is used verbatim (no lower-case folding), and quotes, spaces,
+    * and commas cannot break or inject into the command text. */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Single-quoted SQL string literal with internal quotes doubled. */
+  def quoteLiteral(value: String): String =
+    "'" + value.replace("'", "''") + "'"
 
   /** LSN rendered the way the wire protocol prints it: `XXXXXXXX/YYYYYYYY`. */
   def lsnString(lsn: Long): String =

@@ -159,10 +159,10 @@ class HandshakeSpec extends AnyFunSuite {
       }
       assert(sql(seen.poll(5, TimeUnit.SECONDS)) == "IDENTIFY_SYSTEM")
       assert(sql(seen.poll(5, TimeUnit.SECONDS)) ==
-        "CREATE_REPLICATION_SLOT graft LOGICAL pgoutput")
+        "CREATE_REPLICATION_SLOT \"graft\" LOGICAL pgoutput")
       assert(sql(seen.poll(5, TimeUnit.SECONDS)) ==
-        "START_REPLICATION SLOT graft LOGICAL 0/1A2B3C4D " +
-          "(proto_version '1', publication_names 'graft_pub')")
+        "START_REPLICATION SLOT \"graft\" LOGICAL 0/1A2B3C4D " +
+          "(proto_version '1', publication_names '\"graft_pub\"')")
     } finally {
       sock.close()
       serverThread.join(5000)
@@ -226,13 +226,15 @@ class HandshakeSpec extends AnyFunSuite {
     } finally { sock.close(); t.join(5000); server.close() }
   }
 
-  test("LSN text round-trips and non-trust auth fails with a clear error") {
+  test("LSN text round-trips and passwordless SCRAM fails with a clear error") {
     import PgReplicationHandshake._
     assert(lsnString(parseLsn("1A/2B3C4D5E")) == "1A/2B3C4D5E")
     assert(parseLsn("0/0") == 0L)
     assert(lsnString((5L << 32) | 0x10L) == "5/10")
+    assert(quoteIdent("a\"b c,d") == "\"a\"\"b c,d\"")
+    assert(quoteLiteral("it's") == "'it''s'")
 
-    // SCRAM request (authtype 10) → descriptive failure, not a hang
+    // SCRAM demanded but no password configured → descriptive failure
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     val t = new Thread(() => {
       val s = server.accept()
@@ -240,7 +242,8 @@ class HandshakeSpec extends AnyFunSuite {
         val sin = new DataInputStream(s.getInputStream)
         readFrontend(sin, tagged = false)
         val sout = new DataOutputStream(s.getOutputStream)
-        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()))
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()
+          ++ cstr("SCRAM-SHA-256") :+ 0.toByte))
         sout.flush()
       } finally s.close()
     })
@@ -251,7 +254,133 @@ class HandshakeSpec extends AnyFunSuite {
         new DataInputStream(sock.getInputStream),
         new DataOutputStream(sock.getOutputStream))
       val e = intercept[IllegalStateException](hs.startup("rep", "postgres"))
-      assert(e.getMessage.contains("trust auth only"))
+      assert(e.getMessage.contains("no password was configured"))
+    } finally { sock.close(); t.join(5000); server.close() }
+  }
+
+  test("SCRAM-SHA-256 handshake authenticates against a verifying mock backend") {
+    import java.util.Base64
+    import graft.sources.ScramAuth
+    val password = "wal+s3cret"
+    val salt = "sixteen-byte-salt".getBytes(UTF_8)
+    val iterations = 4096
+    val serverNonceExt = "SrVn0nce"
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        readFrontend(sin, tagged = false) // StartupMessage
+        // AuthenticationSASL with the mechanism list
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()
+          ++ cstr("SCRAM-SHA-256") :+ 0.toByte)); sout.flush()
+        // SASLInitialResponse: cstr mechanism + int32 + client-first
+        val (tag1, p1) = readFrontend(sin, tagged = true)
+        if (tag1 != 'p') failure.set(s"expected SASLInitialResponse, got $tag1")
+        val b1 = ByteBuffer.wrap(p1)
+        val mech = new StringBuilder
+        var c = b1.get(); while (c != 0) { mech.append(c.toChar); c = b1.get() }
+        if (mech.toString != "SCRAM-SHA-256")
+          failure.set(s"wrong mechanism ${mech.toString}")
+        val len = b1.getInt
+        val firstBytes = new Array[Byte](len); b1.get(firstBytes)
+        val clientFirst = new String(firstBytes, UTF_8)
+        if (!clientFirst.startsWith("n,,"))
+          failure.set(s"client-first missing gs2 header: $clientFirst")
+        val bare = clientFirst.drop(3)
+        val clientNonce = ScramAuth.parseAttrs(bare)("r")
+        // AuthenticationSASLContinue: server-first-message
+        val combined = clientNonce + serverNonceExt
+        val serverFirst = s"r=$combined," +
+          s"s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(11).array()
+          ++ serverFirst.getBytes(UTF_8))); sout.flush()
+        // SASLResponse: client-final-message — verify the proof for real
+        val (tag2, p2) = readFrontend(sin, tagged = true)
+        if (tag2 != 'p') failure.set(s"expected SASLResponse, got $tag2")
+        val clientFinal = new String(p2, UTF_8)
+        val attrs = ScramAuth.parseAttrs(clientFinal)
+        if (attrs("r") != combined) failure.set("nonce not echoed")
+        val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+        val authMessage = s"$bare,$serverFirst,$withoutProof"
+        val salted = ScramAuth.hi(password, salt, iterations)
+        val clientKey = ScramAuth.hmac(salted, "Client Key")
+        val wantProof = Base64.getEncoder.encodeToString(ScramAuth.xor(
+          clientKey, ScramAuth.hmac(ScramAuth.h(clientKey), authMessage)))
+        if (attrs("p") != wantProof) failure.set("client proof REJECTED")
+        // AuthenticationSASLFinal (v=) + AuthenticationOk + ReadyForQuery
+        val serverSig = Base64.getEncoder.encodeToString(ScramAuth.hmac(
+          ScramAuth.hmac(salted, "Server Key"), authMessage))
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(12).array()
+          ++ s"v=$serverSig".getBytes(UTF_8)))
+        sout.write(authOk); sout.write(readyForQuery); sout.flush()
+        // CREATE PUBLICATION bootstrap: already exists → 42710 tolerated
+        val (qt, qp) = readFrontend(sin, tagged = true)
+        if (qt != 'Q') failure.set(s"expected Query, got $qt")
+        val pubSql = new String(qp.dropRight(1), UTF_8)
+        if (pubSql != "CREATE PUBLICATION \"graft_pub\" FOR ALL TABLES")
+          failure.set(s"unexpected publication SQL: $pubSql")
+        sout.write(errorResponse("42710", "publication already exists"))
+        sout.write(readyForQuery); sout.flush()
+      } catch { case e: Throwable => failure.set(s"mock backend: $e") }
+      finally s.close()
+    })
+    serverThread.start()
+
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream),
+        password = Some(password))
+      hs.startup("rep", "postgres") // throws on any SCRAM failure
+      assert(!hs.createPublication("graft_pub"),
+        "publication-exists must map to false")
+      serverThread.join(5000)
+      assert(failure.get() == null, s"backend saw: ${failure.get()}")
+    } finally { sock.close(); serverThread.join(5000); server.close() }
+  }
+
+  test("SCRAM rejects a server that cannot prove it knows the password") {
+    import java.util.Base64
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        readFrontend(sin, tagged = false)
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()
+          ++ cstr("SCRAM-SHA-256") :+ 0.toByte)); sout.flush()
+        val (_, p1) = readFrontend(sin, tagged = true)
+        val b1 = ByteBuffer.wrap(p1)
+        var c = b1.get(); while (c != 0) c = b1.get()
+        val len = b1.getInt; val fb = new Array[Byte](len); b1.get(fb)
+        val nonce = graft.sources.ScramAuth
+          .parseAttrs(new String(fb, UTF_8).drop(3))("r")
+        val sf = s"r=${nonce}EXT,s=${Base64.getEncoder
+          .encodeToString("salt".getBytes(UTF_8))},i=4096"
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(11).array()
+          ++ sf.getBytes(UTF_8))); sout.flush()
+        readFrontend(sin, tagged = true) // client-final (proof ignored)
+        // forged v= — a server that skipped proof verification and does
+        // not actually hold the credentials
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(12).array()
+          ++ "v=Zm9yZ2Vkc2ln".getBytes(UTF_8))); sout.flush()
+      } finally s.close()
+    })
+    t.start()
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream),
+        password = Some("pw"))
+      val e = intercept[SecurityException](hs.startup("rep", "postgres"))
+      assert(e.getMessage.contains("signature"))
     } finally { sock.close(); t.join(5000); server.close() }
   }
 }

@@ -1,0 +1,187 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.{LiveWal, LiveWalRunner, PgOutputWire, WalSegmentTap}
+import graft.stream.ParquetTableStore
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end live-topology integration: a mock walsender serves the
+  * ENTIRE sf0.001 fixture changelog as pgoutput wire transactions over a
+  * real socket, and the full production chain consumes it —
+  * `LiveWal.connect` (handshake incl. publication + slot bootstrap) →
+  * `LiveWalRunner`/`WalSegmentTap` (commit-aligned self-contained
+  * segments) → `graft-pgoutput` readStream (`wire_format=pgoutput`) →
+  * foreachBatch MERGE into [[ParquetTableStore]]. The final table state
+  * must equal the REGISTERED oracle-gated batch query `q_latest_by_pk`
+  * (latest effective non-delete per pk) — the composition the reference
+  * runs as one process (cmd/cdc2vec/main.go:33-200), here asserted
+  * across every layer seam at once. Each layer is additionally unit-spec'd
+  * in HandshakeSpec / WalSocketSpec / PgOutputWireSpec / MergeStreamSpec.
+  *
+  * Wire-expressible changes only: null-After updates (has_after = false,
+  * op = 'u') exist in the synthetic changelog as DECODE outcomes, not
+  * wire messages — pgoutput always ships a new tuple on Update — so the
+  * mock does not emit them; they are non-effective and both sides of the
+  * comparison skip them by the same (op = 'd' OR has_after) rule.
+  */
+class LiveTopologySpec extends SparkSpec {
+
+  private def msg(tag: Char, body: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(5 + body.length)
+    b.put(tag.toByte).putInt(4 + body.length).put(body)
+    b.array()
+  }
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+  private def authOk = msg('R', ByteBuffer.allocate(4).putInt(0).array())
+  private def readyForQuery = msg('Z', Array('I'.toByte))
+  private def commandComplete(t: String) = msg('C', cstr(t))
+  private def dataRow(cols: String*): Array[Byte] = {
+    val body = ByteBuffer.allocate(2 + cols.map(c => 4 + c.length).sum)
+    body.putShort(cols.size.toShort)
+    cols.foreach { c => body.putInt(c.length).put(c.getBytes(UTF_8)) }
+    msg('D', body.array())
+  }
+  private def copyBoth = msg('W',
+    ByteBuffer.allocate(3).put(0.toByte).putShort(0.toShort).array())
+  private def xlog(lsn: Long, m: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(25 + m.length)
+    b.put('w'.toByte).putLong(lsn).putLong(lsn + 1).putLong(0L).put(m)
+    msg('d', b.array())
+  }
+
+  /** One fixture change, pre-collected so the server thread touches no
+    * Spark objects. */
+  private case class Chg(op: String, table: String, pk: String, lsn: Long,
+                         title: Option[String], content: Option[String],
+                         created: Option[String], author: Option[String],
+                         hasAfter: Boolean)
+
+  test("socket → handshake → runner → segments → readStream → merged table == q_latest_by_pk") {
+    import spark.implicits._
+    // fixture changelog in commit order, wire-expressible rows only
+    val log: Seq[Chg] = graft.cdc.Changelog.flat(spark, sfDir)
+      .filter(col("op") === "d" || col("has_after"))
+      .orderBy("lsn")
+      .select("op", "table_name", "pk", "lsn", "title", "content",
+        "created_at", "author", "has_after")
+      .collect().toSeq
+      .map(r => Chg(r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)),
+        Option(r.getString(6)), Option(r.getString(7)), r.getBoolean(8)))
+
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val serverFailure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        // startup (untagged) → trust ok
+        val slen = sin.readInt() - 4
+        sin.readFully(new Array[Byte](slen))
+        sout.write(authOk); sout.write(readyForQuery); sout.flush()
+        // command loop: IDENTIFY_SYSTEM, CREATE PUBLICATION,
+        // CREATE_REPLICATION_SLOT, START_REPLICATION
+        var streaming = false
+        while (!streaming) {
+          val tag = sin.readByte().toChar
+          val len = sin.readInt() - 4
+          val payload = new Array[Byte](len)
+          sin.readFully(payload)
+          assert(tag == 'Q', s"unexpected frontend tag $tag")
+          val sql = new String(payload.dropRight(1), UTF_8)
+          if (sql == "IDENTIFY_SYSTEM") {
+            sout.write(dataRow("7357001", "1", "0/10", "postgres"))
+            sout.write(commandComplete("IDENTIFY_SYSTEM"))
+            sout.write(readyForQuery)
+          } else if (sql.startsWith("CREATE PUBLICATION")) {
+            sout.write(commandComplete("CREATE PUBLICATION"))
+            sout.write(readyForQuery)
+          } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+            sout.write(dataRow("graft_e2e", "0/10", "", "pgoutput"))
+            sout.write(commandComplete("CREATE_REPLICATION_SLOT"))
+            sout.write(readyForQuery)
+          } else if (sql.startsWith("START_REPLICATION")) {
+            sout.write(copyBoth); streaming = true
+          } else serverFailure.set(s"unexpected SQL: $sql")
+          sout.flush()
+        }
+        // stream the changelog: relations once, one tx per change
+        import PgOutputWire._
+        val DOCS = 1; val OTHER = 2
+        sout.write(xlog(1L,
+          relation(DOCS, "public", "documents",
+            Seq("id", "title", "content", "created_at", "author"))))
+        sout.write(xlog(2L,
+          relation(OTHER, "public", "other", Seq("id", "title", "content"))))
+        log.foreach { c =>
+          val relId = if (c.table == "documents") DOCS else OTHER
+          val body: Array[Byte] = c.op match {
+            case "c" | "u" =>
+              val tuple =
+                if (relId == DOCS)
+                  tupleData(Seq(Some(c.pk), c.title, c.content, c.created, c.author))
+                else tupleData(Seq(Some(c.pk), c.title, c.content))
+              if (c.op == "c") insert(relId, tuple) else update(relId, tuple)
+            case "d" =>
+              if (c.pk.nonEmpty)
+                delete(relId, Some(tupleData(
+                  Some(c.pk) +: Seq.fill(if (relId == DOCS) 4 else 2)(None))))
+              else delete(relId, None) // blind delete: no REPLICA IDENTITY
+          }
+          sout.write(xlog(c.lsn, begin(c.lsn, (c.lsn % 100000).toInt)))
+          sout.write(xlog(c.lsn, body))
+          sout.write(xlog(c.lsn, commit(c.lsn)))
+        }
+        sout.write(Array[Byte]('c'.toByte, 0, 0, 0, 4)) // CopyDone
+        sout.flush()
+      } catch { case e: Throwable => serverFailure.set(s"mock walsender: $e") }
+      finally s.close()
+    })
+    serverThread.start()
+
+    // --- the production chain ------------------------------------------
+    val (sock, loop) = LiveWal.connect(
+      InetAddress.getLoopbackAddress.getHostAddress, server.getLocalPort,
+      "rep", "postgres", "graft_e2e", "graft_pub")
+    val segDir = java.nio.file.Files.createTempDirectory("e2e_segs")
+    try {
+      val segs = new LiveWalRunner(loop, new WalSegmentTap(segDir),
+        minFramesPerSegment = 64).run()
+      assert(segs.size > 1, s"expected multiple segments, got ${segs.size}")
+    } finally sock.close()
+    serverThread.join(10000)
+    assert(serverFailure.get() == null, s"server saw: ${serverFailure.get()}")
+
+    val storeDir = java.nio.file.Files.createTempDirectory("e2e_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("e2e_ckpt").toString
+    val store = new ParquetTableStore(s"$storeDir/table")
+    val q = spark.readStream.format("graft-pgoutput")
+      .option("path", segDir.toString).option("wire_format", "pgoutput")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.merge(batch)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // --- final state vs the registered oracle-gated batch answer -------
+    val got = store.current(spark)
+      .select($"pk", $"lsn", $"title", $"content")
+      .as[(String, Long, Option[String], Option[String])].collect().toSet
+    val want = SparkEntry.queries("q_latest_by_pk")(spark, sfDir)
+      .select($"pk", $"lsn", $"title", $"content")
+      .as[(String, Long, Option[String], Option[String])].collect().toSet
+    assert(want.nonEmpty, "batch reference answer is empty")
+    assert(got == want,
+      s"merged table diverges from q_latest_by_pk: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
