@@ -338,7 +338,8 @@ object GroupA {
          |    SELECT pk, lsn, op,
          |           row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
          |    FROM ch) WHERE rn = 1),
-         |idx AS (SELECT pk, lsn FROM ch WHERE lsn % 10 = 1)
+         |idx AS (SELECT pk, min(lsn) AS lsn FROM ch
+         |        WHERE lsn % 10 = 1 GROUP BY pk)
          |SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
          |  SELECT CASE
          |           WHEN cur.op <> 'd' AND idx.lsn IS NOT NULL
@@ -359,8 +360,11 @@ object GroupA {
       val byPk = Window.partitionBy("pk").orderBy(col("lsn").desc)
       val cur = ch.withColumn("rn", row_number().over(byPk))
         .filter(col("rn") === 1).select("pk", "lsn", "op")
+      // index = FIRST snapshot-marked change per pk (deduped: a pk with
+      // several marked changes must not fan out the left join below —
+      // the streaming twin folds the same min, StalenessMonitor.step)
       val idx = ch.filter(col("lsn") % 10 === 1)
-        .select(col("pk"), col("lsn").as("idx_lsn"))
+        .groupBy("pk").agg(min(col("lsn")).as("idx_lsn"))
       cur.join(idx, Seq("pk"), "left")
         .select(when(col("op") =!= "d" && col("idx_lsn").isNotNull &&
             col("lsn") === col("idx_lsn"), "fresh")

@@ -8,7 +8,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class MinuteArrival(key: String, mi: Long)
 
 /** One finalized minute: `c` events, `trail_sum` over the 10 preceding
-  * finalized minutes (event-time range (mi−10, mi−1]), burst iff
+  * finalized minutes (event-time range [mi−10, mi−1] — ten minute
+  * buckets inclusive), burst iff
   * c·10 > trail_sum·3 with a non-empty trail — exactly q_burst_detect's
   * integer contract. */
 final case class BurstRow(key: String, mi: Long, c: Long, trail_sum: Long,

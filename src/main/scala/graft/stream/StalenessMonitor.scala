@@ -11,33 +11,56 @@ final case class PkChange(pk: String, lsn: Long, op: String)
 final case class StatusChange(pk: String, status: String, cur_lsn: Long)
 
 /** Streaming index-freshness monitor — the keyed-state twin of the batch
-  * q_index_staleness audit: the vector index holds each pk's FIRST
-  * effective change (the snapshot load — the minimum LSN ever seen); the
-  * WAL keeps moving. Per pk the state is three values (first LSN, latest
-  * LSN, latest op) folded with min/max — ORDER-FREE, so re-delivered and
-  * out-of-order chunks converge to the same statuses (the MergeStream
-  * convergence property, here for the freshness dimension). A row is
-  * emitted only when the pk's status CHANGES (fresh → stale → ghost...),
-  * so the output is the freshness transition log an alerting pipeline
-  * consumes, not a per-batch rescan. StalenessMonitorSpec pins final
-  * statuses against the REGISTERED batch query and split-invariance.
+  * q_index_staleness audit, deriving index membership from the SAME rule
+  * the batch query declares: the vector index holds, per pk, the FIRST
+  * change the snapshot load applied (minimum LSN among changes with
+  * `lsn % 10 == 1` — the fixture's snapshot-batch marker, shared by both
+  * formulations so the two stay equivalent by construction, not by
+  * accident of the fixture's LSN layout); the WAL keeps moving. Per pk
+  * the state is three values (indexed LSN = min over marked changes or
+  * none, latest LSN, latest op) folded with min/max — ORDER-FREE, so
+  * re-delivered and out-of-order chunks converge to the same statuses
+  * (the MergeStream convergence property, here for the freshness
+  * dimension). All five batch statuses are modeled: fresh / stale /
+  * missing (never indexed, still live) / ghost (deleted upstream, still
+  * indexed) / gone (never indexed, deleted). A row is emitted only when
+  * the pk's status CHANGES, so the output is the freshness transition
+  * log an alerting pipeline consumes, not a per-batch rescan.
+  * StalenessMonitorSpec pins final statuses against the REGISTERED batch
+  * query and split-invariance.
   */
 object StalenessMonitor {
 
-  /** (index LSN = min seen, current LSN = max seen, op at current LSN). */
+  /** The batch audit's index-membership rule (q_index_staleness's
+    * `lsn % 10 = 1` snapshot marker). */
+  def indexed(lsn: Long): Boolean = lsn % 10 == 1
+
+  /** Sentinel for "no indexed change seen" (min-folds correctly). */
+  val NoIndex: Long = Long.MaxValue
+
+  /** (index LSN = min marked seen or NoIndex, current LSN = max seen,
+    * op at current LSN). */
   type S = (Long, Long, String)
 
-  def status(s: S): String =
-    if (s._3 != "d") { if (s._2 == s._1) "fresh" else "stale" }
-    else "ghost" // indexed (every pk's first change is its snapshot row)
+  def status(s: S): String = {
+    val hasIdx = s._1 != NoIndex
+    if (s._3 != "d") {
+      if (hasIdx && s._2 == s._1) "fresh"
+      else if (hasIdx) "stale"
+      else "missing"
+    } else if (hasIdx) "ghost" else "gone"
+  }
 
-  /** Fold one change — commutative in LSN (min/max; the op follows the
-    * max), so arrival order never matters. */
-  def step(s: Option[S], c: PkChange): S = s match {
-    case None => (c.lsn, c.lsn, c.op)
-    case Some((idx, cur, op)) =>
-      val (nCur, nOp) = if (c.lsn > cur) (c.lsn, c.op) else (cur, op)
-      (math.min(idx, c.lsn), nCur, nOp)
+  /** Fold one change — commutative in LSN (min over marked / max overall;
+    * the op follows the max), so arrival order never matters. */
+  def step(s: Option[S], c: PkChange): S = {
+    val cIdx = if (indexed(c.lsn)) c.lsn else NoIndex
+    s match {
+      case None => (cIdx, c.lsn, c.op)
+      case Some((idx, cur, op)) =>
+        val (nCur, nOp) = if (c.lsn > cur) (c.lsn, c.op) else (cur, op)
+        (math.min(idx, cIdx), nCur, nOp)
+    }
   }
 
   /** Fold a batch; emit a transition row iff the status changed (or the
