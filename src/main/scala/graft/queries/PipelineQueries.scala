@@ -1739,6 +1739,97 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Non-ASCII through the ORACLE GATE: the corpus fixtures are ASCII by
+    // construction, so without this query the 200+ green hash rows would
+    // never exercise the codepoint-FNV contract (every oracle-checked text
+    // kernel folds Unicode CODEPOINTS because DuckDB's ascii(c) per
+    // character yields the codepoint — byte folds silently diverge on
+    // anything non-ASCII). Both engines union the SAME literal zh / fr /
+    // emoji / ru / mixed / ar rows (2-, 3-, and 4-byte UTF-8) into the
+    // corpus, then hash-match char vs byte lengths, the whole-text
+    // codepoint FNV, and the MinHash permutation-0 kernel on multi-byte
+    // tokens — a regression to byte folding breaks this row instantly.
+    Q("q_unicode_fold",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, '数据 管道 在 大规模 训练 中 去重 数据'),
+        |    (9000002, 'déjà vu à côté naïve œuvre garçon'),
+        |    (9000003, '🚀 🌍 data 🔥 pipeline 😀 🚀'),
+        |    (9000004, 'данные конвейер дедупликация'),
+        |    (9000005, 'mixed ASCII 与 中文 and émojis 🎯'),
+        |    (9000006, 'بيانات معالجة تدفق')) v(doc_id, text)),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM corpus),
+        |f AS (
+        |  SELECT doc_id, text, t,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(list_filter(string_split(lower(text), ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS HUGEINT))),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                  % CAST(18446744073709551616 AS HUGEINT)) AS h,
+        |    list_min(list_transform(t, tok ->
+        |      CAST(CASE WHEN list_reduce(
+        |             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |               list_transform(list_filter(string_split('#0#' || tok, ''),
+        |                                          c -> c <> ''),
+        |                 c -> CAST(ascii(c) AS HUGEINT))),
+        |             (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                         % CAST(18446744073709551616 AS HUGEINT))
+        |             >= CAST(9223372036854775808 AS HUGEINT)
+        |           THEN list_reduce(
+        |             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |               list_transform(list_filter(string_split('#0#' || tok, ''),
+        |                                          c -> c <> ''),
+        |                 c -> CAST(ascii(c) AS HUGEINT))),
+        |             (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                         % CAST(18446744073709551616 AS HUGEINT))
+        |             - CAST(18446744073709551616 AS HUGEINT)
+        |           ELSE list_reduce(
+        |             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |               list_transform(list_filter(string_split('#0#' || tok, ''),
+        |                                          c -> c <> ''),
+        |                 c -> CAST(ascii(c) AS HUGEINT))),
+        |             (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                         % CAST(18446744073709551616 AS HUGEINT))
+        |           END AS BIGINT))) AS mh
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE h END AS BIGINT) AS fnv_cp,
+        |       mh AS minhash0
+        |FROM f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val lits = Seq(
+        9000001L -> "数据 管道 在 大规模 训练 中 去重 数据",
+        9000002L -> "déjà vu à côté naïve œuvre garçon",
+        9000003L -> "🚀 🌍 data 🔥 pipeline 😀 🚀",
+        9000004L -> "данные конвейер дедупликация",
+        9000005L -> "mixed ASCII 与 中文 and émojis 🎯",
+        9000006L -> "بيانات معالجة تدفق").toDF("doc_id", "text")
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(lits)
+        .select(col("doc_id"), col("text"),
+          DedupOps.tokenSet(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          big(length(col("text"))).as("n_chars"),
+          big(octet_length(col("text"))).as("n_bytes"),
+          big(size(col("t"))).as("n_tokens"),
+          graft.ops.expr.Fnv1a64.columnCodePoints(lower(col("text"))).as("fnv_cp"),
+          element_at(DedupOps.minhashSignatureFnv(col("t"), 1), 1).as("minhash0"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal ------------------------------------------------------
 
     Q("q_multimodal_join",
