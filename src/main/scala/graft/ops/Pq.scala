@@ -44,13 +44,38 @@ object Pq {
         lit(cell.c).as("code"))
     }: _*)).getField("code")
 
+  /** Above this codebook size, [[train]] switches to the join-based
+    * [[trainDf]] pipeline — the [[Ivf.MaxLiteralK]] treatment: a literal
+    * argmin embeds k structs per (row, subspace) in the expression tree
+    * and the update collects subspaces·k·subDim rows to the driver; both
+    * are fine at the queries' 8×16 codebooks and wrong at k in the
+    * thousands. PqSpec pins the two paths cell-for-cell at k=256. */
+  val MaxLiteralK = 64
+
   /** Train per-subspace codebooks: seeds are the first `k` vectors by id
     * (their quantized sub-vectors), refined by one Lloyd iteration whose
     * centroid update re-quantizes floor(Σqx/count) — the same
     * engine-replayable step [[Ivf.train]]'s exact mode uses. Empty cells
-    * keep their seed. Returns `subspaces·k` cells (tiny; broadcast-safe). */
+    * keep their seed. Returns `subspaces·k` cells (tiny; broadcast-safe).
+    * Above [[MaxLiteralK]] the work runs through [[trainDf]] (one bounded
+    * subspaces·k·subDim collect at the end to honor this signature;
+    * callers at extreme k should consume [[trainDf]] + [[encodeByJoin]]
+    * and keep codebooks off the driver entirely). */
   def train(vectors: DataFrame, idCol: String, vecCol: String,
             subspaces: Int, k: Int): Seq[Cell] = {
+    if (k > MaxLiteralK) {
+      val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+      require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+      return trainDf(vectors, idCol, vecCol, subspaces, k)
+        .collect()
+        .map(r => Cell(r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .sortBy(c => (c.s, c.c)).toSeq
+    }
+    trainLiteral(vectors, idCol, vecCol, subspaces, k)
+  }
+
+  private[graft] def trainLiteral(vectors: DataFrame, idCol: String, vecCol: String,
+                                subspaces: Int, k: Int): Seq[Cell] = {
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     val subDim = dim / subspaces
@@ -82,6 +107,61 @@ object Pq {
       cell.copy(centroid = updated.getOrElse((cell.s, cell.c), cell.centroid)))
   }
 
+  /** The large-k trainer: codebooks stay a (s, code, centroid) DataFrame
+    * end to end — nothing subspaces·k·subDim-sized reaches the driver and
+    * no expression embeds k literals. Assignment streams the exploded
+    * (id, s, sv) sub-vectors past the broadcast cell table joined on s,
+    * arg-min in one hash agg (ties → lowest code, the [[trainLiteral]]
+    * contract); the update re-quantizes floor(Σqx/count) per component;
+    * empty cells keep their seed via the left join. Arithmetic is
+    * identical to the literal path — PqSpec proves cell-for-cell equality
+    * at k=256. */
+  def trainDf(vectors: DataFrame, idCol: String, vecCol: String,
+              subspaces: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val subDim = dim / subspaces
+    // seeds: first k by id, exploded per subspace, quantized to longs; the
+    // row_number window spans only the k-row limit result
+    val seeds = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__sid"), col(vecCol))
+      .withColumn("code", row_number().over(Window.orderBy(col("__sid"))) - 1)
+      .select(explode(array((0 until subspaces).map { s =>
+        struct(lit(s).as("s"), col("code"),
+          transform(subvec(col(vecCol), s, subDim),
+            x => floor(x.cast("double") * graft.ops.expr.VecQuant.Scale)
+              .cast("long")).as("centroid"))
+      }: _*)).as("c"))
+      .select(col("c.s"), col("c.code"), col("c.centroid"))
+      .localCheckpoint(true)
+    // one Lloyd step: explode (id, s, sv) once, broadcast-join the cell
+    // table on s, argmin per (id, s), then one hash agg per (s, code, i)
+    val sv = vectors.select(col(idCol),
+      explode(array((0 until subspaces).map { s =>
+        struct(lit(s).as("s"), subvec(col(vecCol), s, subDim).as("sv"))
+      }: _*)).as("v"))
+      .select(col(idCol), col("v.s").as("s"), col("v.sv").as("sv"))
+    val assigned = sv.join(broadcast(seeds), Seq("s"))
+      .select(col(idCol), col("s"), col("sv"),
+        struct(graft.ops.expr.VecQuant.dist2Column(col("sv"), col("centroid"))
+          .as("d2"), col("code")).as("__dc"))
+      .groupBy(col(idCol), col("s"))
+      .agg(first(col("sv")).as("sv"),
+        min(col("__dc")).getField("code").as("code"))
+    val updated = assigned
+      .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy("s", "code", "i")
+      .agg(floor(sum(floor(col("x").cast("double") * graft.ops.expr.VecQuant.Scale))
+        .cast("double") / count(lit(1)).cast("double")).cast("long").as("m"))
+      .groupBy("s", "code")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        e => e.getField("m")).as("upd"))
+    seeds.join(updated, Seq("s", "code"), "left")
+      .select(col("s"), col("code"),
+        coalesce(col("upd"), col("centroid")).as("centroid"))
+  }
+
   /** Encode: one row per (id, subspace) with the nearest code id — the
     * long-format code table an ADC join consumes (8 rows/vector here; a
     * production sink would pack them into one long). */
@@ -92,6 +172,24 @@ object Pq {
         struct(lit(s).as("s"), nearestCode(col(vecCol), cells, s, subDim).as("code"))
       }: _*)).as("sc"))
       .select(col(idCol), col("sc.s").as("s"), col("sc.code").as("code"))
+
+  /** Encode against a (s, code, centroid) DataFrame codebook — the
+    * large-k companion of [[encode]]: sub-vectors stream past the
+    * broadcast cell table, argmin in one hash agg, no literal expressions.
+    * Same tie-break (lowest code) as [[encode]]. */
+  def encodeByJoin(vectors: DataFrame, idCol: String, vecCol: String,
+                   cells: DataFrame, subspaces: Int, subDim: Int): DataFrame =
+    vectors.select(col(idCol),
+      explode(array((0 until subspaces).map { s =>
+        struct(lit(s).as("s"), subvec(col(vecCol), s, subDim).as("sv"))
+      }: _*)).as("v"))
+      .select(col(idCol), col("v.s").as("s"), col("v.sv").as("sv"))
+      .join(broadcast(cells), Seq("s"))
+      .select(col(idCol), col("s"),
+        struct(graft.ops.expr.VecQuant.dist2Column(col("sv"), col("centroid"))
+          .as("d2"), col("code")).as("__dc"))
+      .groupBy(col(idCol), col("s"))
+      .agg(min(col("__dc")).getField("code").as("code"))
 
   /** Per-query ADC lookup table: distance from the query's sub-vector to
     * every (subspace, code) centroid — `subspaces·k` rows per query, the

@@ -68,4 +68,41 @@ class PqSpec extends SparkSpec {
     // shortlist; the floor pins slicing/training/code-join plumbing)
     assert(recall >= 0.5, f"ADC shortlist recall collapsed: $recall%.2f")
   }
+
+  test("join-based trainer matches the literal path cell-for-cell at k=256") {
+    // k=256 is the production codebook size and is above MaxLiteralK, so
+    // Pq.train takes the trainDf route; the literal path is forced via
+    // trainLiteral. Equality must be exact — same seeds (first k by id),
+    // same quantized assignment tie-breaks, same floor'd update — on every
+    // (subspace, code) centroid, including empty cells keeping seeds.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = 256
+    val viaDf = graft.ops.Pq.train(e, "vec_id", "embedding",
+      subspaces = 4, k = k).sortBy(c => (c.s, c.c))
+    val viaLiteral = graft.ops.Pq.trainLiteral(e, "vec_id", "embedding",
+      subspaces = 4, k = k).sortBy(c => (c.s, c.c))
+    assert(k > graft.ops.Pq.MaxLiteralK, "k must exercise the trainDf route")
+    assert(viaDf.size == viaLiteral.size)
+    viaDf.zip(viaLiteral).foreach { case (a, b) =>
+      assert(a.s == b.s && a.c == b.c, s"cell order diverged: $a vs $b")
+      assert(a.centroid == b.centroid,
+        s"centroid mismatch at (s=${a.s}, c=${a.c})")
+    }
+    // and the join-based encoder agrees with the literal encoder on the
+    // trained codebook
+    import org.apache.spark.sql.functions.col
+    val dim = e.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val cellsDf = graft.ops.Pq.trainDf(e, "vec_id", "embedding",
+      subspaces = 4, k = k)
+    val encJoin = graft.ops.Pq.encodeByJoin(e, "vec_id", "embedding",
+      cellsDf, subspaces = 4, subDim = dim / 4)
+      .orderBy("vec_id", "s")
+      .as[(Long, Int, Int)].collect().toSeq
+    val encLit = graft.ops.Pq.encode(e, "vec_id", "embedding",
+      viaLiteral, subspaces = 4, subDim = dim / 4)
+      .orderBy("vec_id", "s")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(encJoin == encLit, "join-based encode diverged from literal encode")
+  }
 }
