@@ -45,8 +45,29 @@ object Main {
         catch { case _: IllegalStateException => }
     }
 
+    // S1 live topology: when the source is a real PostgreSQL server, dial
+    // the replication connection (SCRAM when the server demands it, slot +
+    // publication bootstrap) on a supervised daemon thread that taps
+    // commit-aligned segments into the WAL dir, and stream THOSE segments
+    // through the graft-pgoutput DataSourceV2 — the composition
+    // LiveTopologySpec pins end-to-end. File mode (the default) reads
+    // pre-landed envelope JSON, the reference's offset-store replay shape.
+    val walDir =
+      if (cfg.sourceDir.nonEmpty) cfg.sourceDir else s"$storeDir/_wal"
+    if (cfg.sourceType == "postgres") startLiveWal(cfg, walDir)
+
+    def readSource(): DataFrame = cfg.sourceType match {
+      case "postgres" =>
+        spark.readStream.format("graft-pgoutput")
+          .option("path", walDir)
+          .option("wire_format", "pgoutput")
+          .option("max_files_per_trigger", cfg.batchSize)
+          .load()
+      case _ => CdcStream.readEnvelopes(spark, cfg.sourceDir, cfg.batchSize)
+    }
+
     Supervisor.runWithRestarts(backoffMs = 5000L) { () =>
-      CdcStream.readEnvelopes(spark, cfg.sourceDir, cfg.batchSize)
+      readSource()
         .writeStream
         .option("checkpointLocation",
           if (cfg.checkpointDir.nonEmpty) cfg.checkpointDir
@@ -70,6 +91,37 @@ object Main {
         }
         .start()
     }
+  }
+
+  /** Supervised replication-receiver thread: dial → handshake →
+    * [[graft.sources.LiveWalRunner]] cutting segments into `walDir`;
+    * reconnects with backoff on socket loss (the slot re-delivers any
+    * unacked tail, and the segment store is append-only + idempotent to
+    * re-reads via the source's checkpointed offsets). Daemon: process
+    * shutdown never blocks on it. */
+  private def startLiveWal(cfg: GraftConfig, walDir: String): Thread = {
+    val password =
+      if (cfg.pgPasswordEnv.nonEmpty) sys.env.get(cfg.pgPasswordEnv) else None
+    val tap = new graft.sources.WalSegmentTap(java.nio.file.Paths.get(walDir))
+    val t = new Thread(() => {
+      while (true) {
+        try {
+          val (sock, loop) = graft.sources.LiveWal.connect(
+            cfg.pgHost, cfg.pgPort, cfg.pgUser, cfg.pgDatabase,
+            cfg.pgSlot, cfg.pgPublication, cfg.pgStartLsn, password)
+          try new graft.sources.LiveWalRunner(loop, tap, cfg.batchSize).run()
+          finally sock.close()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[graft] wal receiver: ${e.getMessage}; " +
+              "reconnecting in 5s")
+        }
+        Thread.sleep(5000L)
+      }
+    }, "graft-wal-receiver")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   private def mkEmbedder(cfg: GraftConfig): Embedder = cfg.embeddingProvider match {

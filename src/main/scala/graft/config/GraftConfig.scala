@@ -12,6 +12,15 @@ import scala.collection.mutable
 final case class GraftConfig(
     sourceDir: String = "",
     checkpointDir: String = "",
+    sourceType: String = "files",                // files | postgres
+    pgHost: String = "localhost",
+    pgPort: Int = 5432,
+    pgUser: String = "postgres",
+    pgDatabase: String = "postgres",
+    pgPasswordEnv: String = "",                  // env var holding the password
+    pgSlot: String = "graft",
+    pgPublication: String = "graft_pub",
+    pgStartLsn: Long = 0L,
     embeddingProvider: String = "deterministic", // or "ollama_http"
     embeddingUrl: String = "",
     embeddingModel: String = "",
@@ -61,9 +70,26 @@ object GraftConfig {
       }
     }.getOrElse(Nil)
 
+    val pg = source.get("postgres")
+      .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+      .getOrElse(Map.empty[String, Any])
     GraftConfig(
       sourceDir = str(source, "dir"),
       checkpointDir = str(source, "checkpoint_dir"),
+      sourceType = str(source, "type", "files"),
+      pgHost = str(pg, "host", "localhost"),
+      pgPort = num(pg, "port", 5432L).toInt,
+      pgUser = str(pg, "user", "postgres"),
+      pgDatabase = str(pg, "database", "postgres"),
+      // password via env indirection — credentials never live in YAML
+      // (the reference embeds them in its DSN string, config.go:17)
+      pgPasswordEnv = str(pg, "password_env"),
+      pgSlot = str(pg, "slot", "graft"),
+      pgPublication = str(pg, "publication", "graft_pub"),
+      pgStartLsn = {
+        val s = str(pg, "start_lsn")
+        if (s.isEmpty) 0L else graft.sources.PgReplicationHandshake.parseLsn(s)
+      },
       embeddingProvider = str(emb, "provider", "deterministic"),
       embeddingUrl = str(emb, "url"),
       embeddingModel = str(emb, "model"),

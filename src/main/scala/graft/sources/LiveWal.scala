@@ -54,7 +54,23 @@ object LiveWal {
   * source's name-ordered consumption matches arrival order. */
 final class WalSegmentTap(dir: Path) {
   Files.createDirectories(dir)
-  private var n = 0
+  // resume numbering after existing segments: a restarted process must
+  // APPEND to the store, not overwrite segment-00000000.bin (the
+  // streaming source's checkpointed offset counts files ever seen)
+  private var n = {
+    val listing = Files.list(dir)
+    try {
+      val it = listing.iterator()
+      var max = -1
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("segment-") && name.endsWith(".bin"))
+          max = math.max(max, name.stripPrefix("segment-")
+            .stripSuffix(".bin").toInt)
+      }
+      max + 1
+    } finally listing.close()
+  }
 
   /** Write one segment if there is anything to write; returns its path. */
   def write(frames: Seq[(Long, Array[Byte])]): Option[Path] =

@@ -52,6 +52,48 @@ class ConfigSpec extends AnyFunSuite {
       Mapping("public.products", "sku", Seq("name"), Nil)))
   }
 
+  test("live postgres source block parses (slot/publication/password_env/lsn)") {
+    val cfg = GraftConfig.fromYaml(
+      """source:
+        |  type: postgres
+        |  dir: /data/wal
+        |  postgres:
+        |    host: db.internal
+        |    port: 5433
+        |    user: rep
+        |    database: appdb
+        |    password_env: GRAFT_PG_PASSWORD
+        |    slot: graft_main
+        |    publication: graft_tables
+        |    start_lsn: 1A/2B3C4D5E
+        |mappings:
+        |  - table: public.documents
+        |""".stripMargin)
+    assert(cfg.sourceType == "postgres")
+    assert(cfg.pgHost == "db.internal" && cfg.pgPort == 5433)
+    assert(cfg.pgUser == "rep" && cfg.pgDatabase == "appdb")
+    assert(cfg.pgPasswordEnv == "GRAFT_PG_PASSWORD")
+    assert(cfg.pgSlot == "graft_main" && cfg.pgPublication == "graft_tables")
+    assert(cfg.pgStartLsn ==
+      graft.sources.PgReplicationHandshake.parseLsn("1A/2B3C4D5E"))
+    // absent block keeps file mode + reference-shaped defaults
+    val d = GraftConfig.fromYaml("mappings:\n  - table: t\n")
+    assert(d.sourceType == "files" && d.pgPort == 5432 && d.pgStartLsn == 0L)
+    assert(d.pgSlot == "graft" && d.pgPublication == "graft_pub")
+  }
+
+  test("segment tap resumes numbering after existing segments") {
+    val dir = java.nio.file.Files.createTempDirectory("tap_resume")
+    val tap1 = new graft.sources.WalSegmentTap(dir)
+    tap1.write(Seq(1L -> Array[Byte](1, 2)))
+    tap1.write(Seq(2L -> Array[Byte](3)))
+    // a restarted process must append, not overwrite segment-00000000.bin
+    val tap2 = new graft.sources.WalSegmentTap(dir)
+    val p = tap2.write(Seq(3L -> Array[Byte](4)))
+    assert(p.exists(_.getFileName.toString == "segment-00000002.bin"),
+      s"expected resume at index 2, got $p")
+  }
+
   test("defaults mirror the reference when sections are absent") {
     val cfg = GraftConfig.fromYaml("mappings:\n  - table: t\n")
     assert(cfg.batchSize == 64)           // config.go:103-105
