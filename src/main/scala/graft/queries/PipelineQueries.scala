@@ -557,6 +557,72 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // WEIGHTED near-dup detection: plain set Jaccard treats "spam spam
+    // spam buy" and "spam buy analysis report" as similar; weighted
+    // Jaccard Σmin(cₐ,c_b)/Σmax(cₐ,c_b) over token MULTIPLICITIES does
+    // not. Implemented by the capped-multiplicity expansion (Chum et al.'s
+    // histogram-intersection trick): token t with count c becomes the
+    // distinct elements t~1..t~min(c,4), and weighted Jaccard (counts
+    // capped at 4) becomes EXACT set Jaccard of the expansions — so the
+    // whole verified MinHash-banding machinery (nearDupPairs: identical-
+    // signature compaction, lossless 8×2 banding at the 0.95 floor,
+    // mask/merge verification) is reused unchanged, and the oracle is the
+    // all-pairs exact form over the same expansion. The occurrence index
+    // comes from SORTING the tokens first: on a sorted list, occurrence =
+    // position − first-occurrence position + 1, and first-occurrence is a
+    // scan (list_position / array_position) with NO per-position array
+    // allocation — the prefix-count formulation (len(filter(t[1:i],...)))
+    // materializes O(len²) slice copies per document and measured 381 s
+    // at sf0.1 vs sub-second for this form. O(len²) compares, bounded by
+    // document length, never corpus size.
+    Q("q_minhash_weighted",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_sort(list_filter(string_split(lower(text), ' '),
+        |                               x -> x <> '')) AS t
+        |  FROM documents),
+        |expd AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_filter(
+        |      list_transform(range(1, len(t)+1), i ->
+        |        CASE WHEN i - list_position(t, t[i]) + 1 <= 4
+        |             THEN t[i] || '~' ||
+        |                  CAST(i - list_position(t, t[i]) + 1 AS VARCHAR)
+        |             END),
+        |      e -> e IS NOT NULL)) AS w
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |             / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE), 6)
+        |         AS wjac
+        |FROM expd a JOIN expd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE), 6)
+        |      >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+      val expd = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          array_sort(DedupOps.tokens(col("text"))).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("lang"),
+          array_sort(filter(
+            transform(sequence(lit(1), size(col("t"))), i => {
+              val occ = i.cast("long") -
+                array_position(col("t"), element_at(col("t"), i)) + 1L
+              when(occ <= 4L,
+                concat(element_at(col("t"), i), lit("~"), occ.cast("string")))
+            }),
+            e => e.isNotNull)).as("toks"))
+        // eager checkpoint: nearDupPairs reads the corpus from FIVE plans
+        // (vocab probe, two banding sides, two verify sides) — without
+        // materialization each re-runs the expansion HOFs (measured 94 s
+        // vs 3.6 s at sf0.1)
+        .localCheckpoint(true)
+      DedupOps.nearDupPairs(expd)
+        .select(col("a_id"), col("b_id"), col("jac").as("wjac"))
+        .orderBy("a_id", "b_id")
+    },
+
     // The dedup DECISION step: detection queries emit pairs, this one
     // emits the curation action — per signature-identical group (all 16
     // MinHash permutations equal ⟹ near-certain duplicates), KEEP the
@@ -2616,6 +2682,85 @@ object PipelineQueries {
         .select(big(col("vec_id")).as("query_id"),
           big(col("nb")).as("neighbor_id"), col("sim"), col("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    // Graph-based ANN SEARCH over the NN-descent k-NN graph — the HNSW
+    // family's layer-0 beam search, the modality the brute/LSH/IVF/PQ
+    // suite was missing: from a deterministic entry point (min vec_id),
+    // 3 rounds of frontier expansion along the graph's out-edges, each
+    // round exactly rescoring beam ∪ neighbors(beam) against the query
+    // (quantized-integer cosine) and keeping the top-8 beam by
+    // (sim DESC, id). Per round the work is one edge join keyed by the
+    // beam's members + one rescore join — beam×outdeg candidates, never
+    // a scan of the corpus; at 100 TB the graph artifact is the index
+    // and each query touches O(rounds·beam·k) vectors. Every round is
+    // CTE-replayed in the oracle (generated text, same per round), so
+    // the search path — not just the graph build — is hash-matched.
+    // Self-matches stay IN the beam (a corpus query's own out-edges are
+    // its best frontier) and are dropped only from the reported top-3.
+    Q("q_ann_graph", {
+      val beamRounds = (1 to 3).map { i =>
+        s"""bc$i AS (
+           |  SELECT qid, nb FROM be${i - 1}
+           |  UNION
+           |  SELECT e.qid, g.nb FROM be${i - 1} e JOIN gb g ON g.src = e.nb),
+           |bs$i AS (
+           |  SELECT bc.qid, bc.nb, ${quantCosSql("q", "c")} AS sim
+           |  FROM bc$i bc JOIN qn q ON bc.qid = q.vec_id
+           |               JOIN qn c ON bc.nb = c.vec_id),
+           |be$i AS (
+           |  SELECT qid, nb FROM (
+           |    SELECT qid, nb, row_number() OVER (PARTITION BY qid
+           |                      ORDER BY sim DESC, nb) AS brn
+           |    FROM bs$i) WHERE brn <= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nnDescentCtes,
+         |gb AS (SELECT vec_id AS src, nb FROM r1 WHERE rn <= $nnK),
+         |qq AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
+         |be0 AS (
+         |  SELECT qid, (SELECT min(vec_id) FROM embeddings) AS nb FROM qq),
+         |$beamRounds
+         |SELECT CAST(qid AS BIGINT) AS query_id, CAST(nb AS BIGINT) AS neighbor_id,
+         |       sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM (
+         |  SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid
+         |                         ORDER BY sim DESC, nb) AS rnk
+         |  FROM bs3 WHERE nb <> qid)
+         |WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    }) { (spark, dir) =>
+      val g = nnDescentGraph(spark, dir).select(col("vec_id").as("src"), col("nb"))
+      val base = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), quantN2(col("embedding")).as("n2"))
+        .localCheckpoint(true) // rescored once per round, 3 rounds
+      val queries = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("n2").as("qn2"))
+        .localCheckpoint(true)
+      val entry = base.agg(min(col("vec_id"))).head().getLong(0)
+      def score(cand: org.apache.spark.sql.DataFrame) = cand
+        .join(queries, Seq("qid"))
+        .join(base.select(col("vec_id").as("nb"), col("embedding").as("cv"),
+          col("n2").as("cn2")), Seq("nb"))
+        .withColumn("sim", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
+        .select("qid", "nb", "sim")
+      val b0 = queries.select(col("qid"), lit(entry).as("nb"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nb"))
+      val lastScored = (1 to 3).foldLeft((b0, b0.limit(0))) { case ((beam, _), _) =>
+        val cand = beam.unionByName(
+          beam.join(g, beam("nb") === g("src")).select(col("qid"), g("nb")))
+          .distinct()
+        val scored = score(cand).localCheckpoint(true) // beam + next round read it
+        (scored.withColumn("brn", row_number().over(w)).filter(col("brn") <= 8)
+          .select("qid", "nb"),
+          scored)
+      }._2
+      lastScored.filter(col("nb") =!= col("qid"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(big(col("qid")).as("query_id"), big(col("nb")).as("neighbor_id"),
+          col("sim"), big(col("rnk")).as("rnk"))
+        .orderBy("query_id", "rnk")
     },
 
     // LSH index-health report: per hash table of the q_ann_lsh index —

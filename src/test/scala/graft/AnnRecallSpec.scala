@@ -107,4 +107,27 @@ class AnnRecallSpec extends SparkSpec {
     // bucket seed measures ~0.1), not against the fixture's geometry.
     assert(r >= 0.45, f"NN-descent recall collapsed: $r%.2f")
   }
+
+  test("graph beam search recall@3 vs exact cosine stays above floor") {
+    // q_ann_graph walks the NN-descent graph from one entry point with an
+    // 8-wide beam for 3 rounds; on isotropic fixture embeddings the graph
+    // itself plateaus (see above), so the floor guards the SEARCH
+    // construction (frontier expansion, beam truncation, rescoring)
+    // against collapse, not the fixture's geometry. A broken expansion
+    // (e.g. frontier never leaves the entry point) measures ~0.0 because
+    // the entry's neighborhood is unrelated to most queries.
+    val exact = topk("q_cosine_topk").map { case (q, s) => q -> s.take(5) }
+    val beam = SparkEntry.queries("q_ann_graph")(spark, sfDir)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    assert(beam.nonEmpty && beam.forall(_._2.size == 3))
+    // recall of the beam's top-3 against the exact top-5
+    val hits = exact.map { case (q, truth) =>
+      beam.getOrElse(q, Set.empty).count(truth) / 3.0
+    }
+    val r = hits.sum / hits.size
+    info(f"graph beam search recall(top3 in exact top5): $r%.2f")
+    assert(r >= 0.2, f"graph search collapsed: $r%.2f")
+  }
 }
