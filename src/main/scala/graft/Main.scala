@@ -101,14 +101,21 @@ object Main {
     * shutdown never blocks on it. */
   private def startLiveWal(cfg: GraftConfig, walDir: String): Thread = {
     val password =
-      if (cfg.pgPasswordEnv.nonEmpty) sys.env.get(cfg.pgPasswordEnv) else None
+      if (cfg.pgPasswordEnv.isEmpty) None
+      else Some(sys.env.getOrElse(cfg.pgPasswordEnv,
+        // fail FAST at startup: silently degrading to no-password would
+        // spin the reconnect loop on SCRAM failures forever (and hammer
+        // server-side auth throttling) while the pipeline looks healthy
+        sys.error(s"config names password_env ${cfg.pgPasswordEnv} " +
+          "but that environment variable is not set")))
     val tap = new graft.sources.WalSegmentTap(java.nio.file.Paths.get(walDir))
     val t = new Thread(() => {
       while (true) {
         try {
           val (sock, loop) = graft.sources.LiveWal.connect(
             cfg.pgHost, cfg.pgPort, cfg.pgUser, cfg.pgDatabase,
-            cfg.pgSlot, cfg.pgPublication, cfg.pgStartLsn, password)
+            cfg.pgSlot, cfg.pgPublication, cfg.pgStartLsn, password,
+            cfg.pgCreatePublication, cfg.pgCreateSlot)
           try new graft.sources.LiveWalRunner(loop, tap, cfg.batchSize).run()
           finally sock.close()
         } catch {

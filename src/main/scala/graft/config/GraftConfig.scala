@@ -21,6 +21,8 @@ final case class GraftConfig(
     pgSlot: String = "graft",
     pgPublication: String = "graft_pub",
     pgStartLsn: Long = 0L,
+    pgCreatePublication: Boolean = true,         // reference: config.go:21
+    pgCreateSlot: Boolean = true,                // reference: config.go:22
     embeddingProvider: String = "deterministic", // or "ollama_http"
     embeddingUrl: String = "",
     embeddingModel: String = "",
@@ -90,6 +92,8 @@ object GraftConfig {
         val s = str(pg, "start_lsn")
         if (s.isEmpty) 0L else graft.sources.PgReplicationHandshake.parseLsn(s)
       },
+      pgCreatePublication = bool(pg, "create_publication", d = true),
+      pgCreateSlot = bool(pg, "create_slot", d = true),
       embeddingProvider = str(emb, "provider", "deterministic"),
       embeddingUrl = str(emb, "url"),
       embeddingModel = str(emb, "model"),

@@ -91,10 +91,7 @@ object GraphOps {
     * applied before the wedge self-join, so a hub contributes zero wedges
     * instead of deg(hub)². */
   def commonNeighbors(h1: DataFrame, cap: Int = HubCap): DataFrame = {
-    val mids = h1.groupBy(col("src").as("mid")).agg(count(lit(1)).as("mdeg"))
-      .filter(col("mdeg") <= cap).select("mid")
-    val wedgeIn = h1.select(col("src"), col("dst").as("mid"))
-      .join(mids, Seq("mid"), "left_semi")
+    val wedgeIn = capMids(h1, cap)
     wedgeIn.select(col("src").as("a_id"), col("mid"))
       .join(wedgeIn.select(col("src").as("b_id"), col("mid")), Seq("mid"))
       .filter(col("a_id") < col("b_id"))
@@ -104,15 +101,23 @@ object GraphOps {
   /** Two-hop closure `(src, dst)` distinct, where the intermediate hop
     * runs only through vertices with degree ≤ `cap`; hop-1 edges are
     * always included (a direct neighbor needs no intermediate). */
-  def khop2(h1: DataFrame, cap: Int = HubCap): DataFrame = {
-    val mids = h1.groupBy(col("src").as("mid")).agg(count(lit(1)).as("mdeg"))
-      .filter(col("mdeg") <= cap).select("mid")
-    h1.select(col("src"), col("dst").as("mid"))
-      .join(mids, Seq("mid"), "left_semi")
+  def khop2(h1: DataFrame, cap: Int = HubCap): DataFrame =
+    capMids(h1, cap)
       .join(h1.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .filter(col("dst") =!= col("src"))
       .select("src", "dst")
       .unionByName(h1.select("src", "dst"))
       .distinct()
+
+  /** Shared mid-cap subplan: `(src, mid)` edges whose mid vertex has
+    * degree ≤ cap — a node-sized semi-join applied BEFORE any wedge
+    * self-join, so capped hubs contribute zero wedges. One definition so
+    * the common-neighbor and k-hop operators cannot drift on the cap's
+    * semantics. */
+  private def capMids(h1: DataFrame, cap: Int): DataFrame = {
+    val mids = h1.groupBy(col("src").as("mid")).agg(count(lit(1)).as("mdeg"))
+      .filter(col("mdeg") <= cap).select("mid")
+    h1.select(col("src"), col("dst").as("mid"))
+      .join(mids, Seq("mid"), "left_semi")
   }
 }

@@ -64,8 +64,7 @@ object Pq {
   def train(vectors: DataFrame, idCol: String, vecCol: String,
             subspaces: Int, k: Int): Seq[Cell] = {
     if (k > MaxLiteralK) {
-      val dim = vectors.select(size(col(vecCol))).head().getInt(0)
-      require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+      // dim probing + divisibility check happen inside trainDf
       return trainDf(vectors, idCol, vecCol, subspaces, k)
         .collect()
         .map(r => Cell(r.getInt(0), r.getInt(1), r.getSeq[Long](2)))

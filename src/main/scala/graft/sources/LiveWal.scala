@@ -22,26 +22,48 @@ object LiveWal {
 
   /** Dial and run the replication handshake to the CopyBoth cutover.
     * Returns the socket (caller closes) and the connected receive loop.
-    * `startLsn` 0 resumes from the server's current flush LSN, mirroring
-    * the reference's fresh-slot behavior (postgres.go:152-158). A
-    * `password` enables SCRAM-SHA-256 when the server demands it; the
-    * publication is created `FOR ALL TABLES` if missing, then the slot
-    * (both 42710-tolerant), the reference's bootstrap order
-    * (postgres.go:124-150). */
+    *
+    * `startLsn` 0 requests position 0/0, which the server clamps UP to
+    * the slot's confirmed_flush — so a reconnect resumes exactly where
+    * the acked stream left off. (Requesting the server's CURRENT
+    * `ident.xlogPos` here would silently skip every transaction
+    * committed during an outage: PostgreSQL starts logical streaming at
+    * max(confirmed_flush, requested). For a freshly created slot,
+    * confirmed_flush is the creation point, so 0/0 matches the
+    * reference's fresh-slot behavior too, postgres.go:152-158.)
+    *
+    * A `password` enables SCRAM-SHA-256 when the server demands it. The
+    * publication (when `createPublication`) is created `FOR ALL TABLES`
+    * if missing, then the slot — both 42710-tolerant, the reference's
+    * bootstrap order (postgres.go:124-150). `CREATE PUBLICATION FOR ALL
+    * TABLES` needs superuser, and PostgreSQL checks privilege BEFORE the
+    * duplicate-name check, so a hardened replication role gets 42501
+    * even when a DBA pre-created the publication — that case warns and
+    * proceeds (a genuinely missing publication still fails loudly at
+    * START_REPLICATION). */
   def connect(host: String, port: Int, user: String, database: String,
               slot: String, publication: String,
               startLsn: Long = 0L,
-              password: Option[String] = None): (Socket, WalReceiveLoop) = {
+              password: Option[String] = None,
+              createPublication: Boolean = true,
+              createSlot: Boolean = true): (Socket, WalReceiveLoop) = {
     val sock = new Socket(host, port)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val hs = new PgReplicationHandshake(in, out, password)
     hs.startup(user, database)
-    val ident = hs.identifySystem()
-    hs.createPublication(publication) // false (already exists) is fine
-    hs.createReplicationSlot(slot) // false (already exists) is fine
-    hs.startReplication(slot,
-      if (startLsn > 0L) startLsn else ident.xlogPos, publication)
+    hs.identifySystem() // walsender sanity + timeline visibility
+    if (createPublication)
+      try hs.createPublication(publication) // false (already exists) is fine
+      catch {
+        case e: PgReplicationHandshake.BackendError if e.sqlState == "42501" =>
+          System.err.println(s"[graft] CREATE PUBLICATION denied (42501) — " +
+            "assuming a pre-created publication; START_REPLICATION will " +
+            "fail if it is actually missing")
+      }
+    if (createSlot)
+      hs.createReplicationSlot(slot) // false (already exists) is fine
+    hs.startReplication(slot, math.max(startLsn, 0L), publication)
     (sock, new WalReceiveLoop(in, out))
   }
 }
@@ -64,7 +86,9 @@ final class WalSegmentTap(dir: Path) {
       var max = -1
       while (it.hasNext) {
         val name = it.next().getFileName.toString
-        if (name.startsWith("segment-") && name.endsWith(".bin"))
+        // only OUR zero-padded names count — an operator's stray copy
+        // (segment-backup.bin) must be skipped, not crash the constructor
+        if (name.matches("segment-\\d{1,9}\\.bin"))
           max = math.max(max, name.stripPrefix("segment-")
             .stripSuffix(".bin").toInt)
       }
@@ -104,6 +128,14 @@ final class WalSegmentTap(dir: Path) {
   * reconnect. */
 final class LiveWalRunner(loop: WalReceiveLoop, tap: WalSegmentTap,
                           minFramesPerSegment: Int = 64) {
+
+  // Activate flush-aware acking: status updates must report as flushed
+  // only what tap.write has durably persisted — NOT the received
+  // position — or a crash between receive and cut() would lose the
+  // buffered frames forever (the slot never re-delivers at or below
+  // confirmed_flush). Unflushed-but-received frames re-deliver on
+  // reconnect; the downstream merge is LSN-monotonic idempotent.
+  loop.markFlushed(0L)
 
   // relId → latest Relation frame seen (insertion-ordered for stable output)
   private val relCache =
@@ -153,7 +185,11 @@ final class LiveWalRunner(loop: WalReceiveLoop, tap: WalSegmentTap,
           relCache.update(java.nio.ByteBuffer.wrap(p).getInt(1), (lsn, p))
         case _ =>
       }
-      tap.write(prefix ++ drained)
+      val written = tap.write(prefix ++ drained)
+      // the segment is durably on disk — only NOW may acks advance the
+      // slot's confirmed_flush past these frames
+      loop.markFlushed(drained.iterator.map(_._1).max)
+      written
     }
   }
 }

@@ -27,6 +27,21 @@ final class WalReceiveLoop(in: DataInputStream, out: DataOutputStream,
 
   private val frames = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
   private var lastWalEnd = 0L
+  // -1 = no durability tracking installed → acks report the received
+  // position as flushed (the reference's behavior, postgres.go:207-216 —
+  // safe only when the consumer is the in-process decode). A persistent
+  // consumer (LiveWalRunner) calls markFlushed to switch the flush/apply
+  // fields to the PERSISTED position: acking received-but-unwritten
+  // frames advances the slot's confirmed_flush past data that exists
+  // only in this process's memory, and a crash then loses it forever —
+  // the slot will not re-deliver at or below confirmed_flush.
+  @volatile private var flushedWal = -1L
+
+  /** Record that everything up to `lsn` is durably persisted; from the
+    * first call on, status updates ack only this position as
+    * flushed/applied (monotone — stale calls cannot regress it). */
+  def markFlushed(lsn: Long): Unit =
+    flushedWal = math.max(math.max(flushedWal, 0L), lsn)
 
   /** Consume protocol messages until CopyDone / error / EOF. */
   def run(): Unit = {
@@ -68,14 +83,17 @@ final class WalReceiveLoop(in: DataInputStream, out: DataOutputStream,
     }
   }
 
-  /** StandbyStatusUpdate ('r' in CopyData): write/flush/apply LSNs all at
-    * the last received walEnd, like the reference's ack
-    * (postgres.go:207-216); clock is µs since the PostgreSQL epoch. */
+  /** StandbyStatusUpdate ('r' in CopyData): write LSN = last received
+    * walEnd; flush/apply LSN = the durably-persisted position when
+    * [[markFlushed]] tracking is active, else the received position
+    * (the reference's ack, postgres.go:207-216); clock is µs since the
+    * PostgreSQL epoch. */
   def sendStatusUpdate(): Unit = {
+    val flushPos = if (flushedWal >= 0L) flushedWal else lastWalEnd
     val b = ByteBuffer.allocate(1 + 4 + 34)
     b.put('d'.toByte).putInt(4 + 34)
     b.put('r'.toByte)
-      .putLong(lastWalEnd).putLong(lastWalEnd).putLong(lastWalEnd)
+      .putLong(lastWalEnd).putLong(flushPos).putLong(flushPos)
       .putLong(clockMicros()).put(0.toByte)
     out.write(b.array())
     out.flush()

@@ -7,9 +7,10 @@ import scala.util.matching.Regex
   * line against the committed budget (`tools/bench_budget.json`, the
   * round-6 sf0.1 per-query record) and exits non-zero when
   *
-  *   - any budgeted query regresses beyond `ratio`× its budget (queries
-  *     with budget < `floorSec` are skipped — at sub-150 ms the shared
-  *     box's scheduling noise exceeds the signal), or
+  *   - any budgeted query regresses beyond `ratio` × max(budget,
+  *     `floorSec`) — the floor absorbs scheduling noise on sub-150 ms
+  *     queries WITHOUT exempting them entirely (a 30 s regression on a
+  *     0.1 s query must still trip), or
   *   - the total regresses beyond `totalRatio`×, or
   *   - a budgeted query disappeared from the fresh run.
   *
@@ -46,8 +47,9 @@ object BenchGate {
     val perQuery = b.toSeq.sortBy(_._1).flatMap { case (name, bt) =>
       f.get(name) match {
         case None => Some(s"MISSING $name (budget ${fmt(bt)}s)")
-        case Some(ft) if bt >= floorSec && ft > bt * ratio =>
-          Some(s"REGRESSION $name ${fmt(ft)}s > ${ratio}x budget ${fmt(bt)}s")
+        case Some(ft) if ft > math.max(bt, floorSec) * ratio =>
+          Some(s"REGRESSION $name ${fmt(ft)}s > ${ratio}x " +
+            s"max(budget ${fmt(bt)}s, floor ${fmt(floorSec)}s)")
         case _ => None
       }
     }

@@ -25,11 +25,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(v.size == 1)
   }
 
-  test("sub-floor queries are exempt from the per-query ratio") {
-    val fresh = // q_fast 10x worse but budget < 150ms: scheduling noise
+  test("sub-floor budgets get the floor's allowance, not a blanket exemption") {
+    // q_fast budget 0.05 < floor 0.15 → allowed up to 2 x 0.15 = 0.30:
+    // scheduling noise passes...
+    val noisy =
       """{"metric":"total","value":100.0,"queries":{
-        |"q_fast":0.50,"q_mid":0.50,"q_slow":2.00}}""".stripMargin
-    assert(BenchGate.violations(budget, fresh).isEmpty)
+        |"q_fast":0.28,"q_mid":0.50,"q_slow":2.00}}""".stripMargin
+    assert(BenchGate.violations(budget, noisy).isEmpty)
+    // ...but a genuine blow-up on a formerly-cheap query still trips
+    val blown =
+      """{"metric":"total","value":100.0,"queries":{
+        |"q_fast":30.0,"q_mid":0.50,"q_slow":2.00}}""".stripMargin
+    val v = BenchGate.violations(budget, blown)
+    assert(v.size == 1 && v.head.contains("q_fast"), v.toString)
   }
 
   test("a budgeted query missing from the fresh run trips") {

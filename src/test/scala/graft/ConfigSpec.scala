@@ -76,10 +76,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.pgSlot == "graft_main" && cfg.pgPublication == "graft_tables")
     assert(cfg.pgStartLsn ==
       graft.sources.PgReplicationHandshake.parseLsn("1A/2B3C4D5E"))
+    // bootstrap flags mirror the reference's create_publication/create_slot
+    val hardened = GraftConfig.fromYaml(
+      """source:
+        |  type: postgres
+        |  postgres:
+        |    create_publication: false
+        |    create_slot: false
+        |mappings:
+        |  - table: t
+        |""".stripMargin)
+    assert(!hardened.pgCreatePublication && !hardened.pgCreateSlot)
     // absent block keeps file mode + reference-shaped defaults
     val d = GraftConfig.fromYaml("mappings:\n  - table: t\n")
     assert(d.sourceType == "files" && d.pgPort == 5432 && d.pgStartLsn == 0L)
     assert(d.pgSlot == "graft" && d.pgPublication == "graft_pub")
+    assert(d.pgCreatePublication && d.pgCreateSlot)
   }
 
   test("segment tap resumes numbering after existing segments") {

@@ -117,4 +117,71 @@ class WalSocketSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("flush-tracked acks report only the PERSISTED position, not the received one") {
+    // Acking received-but-unwritten frames advances the slot's
+    // confirmed_flush past data that exists only in process memory — a
+    // crash then loses it forever. With markFlushed tracking active (the
+    // LiveWalRunner contract), the flush/apply fields must lag at the
+    // durably-persisted LSN while the write field reports receipt.
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val statusUpdates = new LinkedBlockingQueue[Array[Byte]]()
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sout = new DataOutputStream(s.getOutputStream)
+        val sin = new DataInputStream(s.getInputStream)
+        import PgOutputWire._
+        def readStatus(): Unit = {
+          val tag = sin.readByte()
+          val len = sin.readInt() - 4
+          val payload = new Array[Byte](len)
+          sin.readFully(payload)
+          statusUpdates.put(Array(tag) ++ payload)
+        }
+        sout.write(xlog(100, 110, begin(190, 7)))
+        sout.write(xlog(110, 120, insert(1,
+          tupleData(Seq(Some("1"), Some("x"), None)))))
+        sout.write(keepalive(200, replyRequested = true)); sout.flush()
+        readStatus() // ack #1: nothing persisted yet
+        sout.write(keepalive(210, replyRequested = true)); sout.flush()
+        readStatus() // ack #2: client marked 110 flushed in between
+        sout.write(Array[Byte]('c'.toByte, 0, 0, 0, 4)); sout.flush()
+      } finally s.close()
+    })
+    serverThread.start()
+
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val loop = new WalReceiveLoop(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream),
+        clockMicros = () => 1L)
+      loop.markFlushed(0L) // activate durability tracking (runner contract)
+      // exactly three messages: begin, insert, keepalive #1 (forces ack
+      // #1). Stepping further would race ahead and consume keepalive #2
+      // before markFlushed below.
+      (1 to 3).foreach(_ => loop.step())
+      val ack1 = ByteBuffer.wrap(statusUpdates.poll(5, TimeUnit.SECONDS))
+      ack1.get(); ack1.get()
+      assert(ack1.getLong() == 200L, "write LSN must report receipt")
+      assert(ack1.getLong() == 0L, "flush LSN must NOT report unpersisted frames")
+      assert(ack1.getLong() == 0L, "apply LSN must NOT report unpersisted frames")
+      // persist through 110, then the next keepalive acks it
+      loop.markFlushed(110L)
+      loop.run() // drains keepalive #2 + CopyDone
+      val ack2 = ByteBuffer.wrap(statusUpdates.poll(5, TimeUnit.SECONDS))
+      ack2.get(); ack2.get()
+      assert(ack2.getLong() == 210L) // write: received through 210
+      assert(ack2.getLong() == 110L, "flush LSN must advance to the persisted position")
+      assert(ack2.getLong() == 110L)
+      // monotonicity: a stale markFlushed cannot regress the ack
+      loop.markFlushed(50L)
+      assert(loop.walEnd == 210L)
+    } finally {
+      sock.close()
+      serverThread.join(5000)
+      server.close()
+    }
+  }
 }
