@@ -61,10 +61,10 @@ class LiveTopologySpec extends SparkSpec {
                          created: Option[String], author: Option[String],
                          hasAfter: Boolean)
 
-  test("socket → handshake → runner → segments → readStream → merged table == q_latest_by_pk") {
-    import spark.implicits._
-    // fixture changelog in commit order, wire-expressible rows only
-    val log: Seq[Chg] = graft.cdc.Changelog.flat(spark, sfDir)
+  /** Fixture changelog in commit order, wire-expressible rows only. */
+  private lazy val fullLog: Seq[Chg] = {
+    import org.apache.spark.sql.functions.col
+    graft.cdc.Changelog.flat(spark, sfDir)
       .filter(col("op") === "d" || col("has_after"))
       .orderBy("lsn")
       .select("op", "table_name", "pk", "lsn", "title", "content",
@@ -73,10 +73,15 @@ class LiveTopologySpec extends SparkSpec {
       .map(r => Chg(r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3), Option(r.getString(4)), Option(r.getString(5)),
         Option(r.getString(6)), Option(r.getString(7)), r.getBoolean(8)))
+  }
 
-    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
-    val serverFailure = new java.util.concurrent.atomic.AtomicReference[String]()
-    val serverThread = new Thread(() => {
+  /** One mock-walsender session: trust handshake + replication-command
+    * loop, then `log` streamed as one transaction per change (relations
+    * sent once at stream start — real pgoutput behavior), then CopyDone. */
+  private def walsender(server: ServerSocket, log: Seq[Chg],
+                        failure: java.util.concurrent.atomic.AtomicReference[String])
+  : Thread = {
+    val t = new Thread(() => {
       val s = server.accept()
       try {
         val sin = new DataInputStream(s.getInputStream)
@@ -108,7 +113,7 @@ class LiveTopologySpec extends SparkSpec {
             sout.write(readyForQuery)
           } else if (sql.startsWith("START_REPLICATION")) {
             sout.write(copyBoth); streaming = true
-          } else serverFailure.set(s"unexpected SQL: $sql")
+          } else failure.set(s"unexpected SQL: $sql")
           sout.flush()
         }
         // stream the changelog: relations once, one tx per change
@@ -140,10 +145,20 @@ class LiveTopologySpec extends SparkSpec {
         }
         sout.write(Array[Byte]('c'.toByte, 0, 0, 0, 4)) // CopyDone
         sout.flush()
-      } catch { case e: Throwable => serverFailure.set(s"mock walsender: $e") }
+      } catch { case e: Throwable => failure.set(s"mock walsender: $e") }
       finally s.close()
     })
-    serverThread.start()
+    t.start()
+    t
+  }
+
+  test("socket → handshake → runner → segments → readStream → merged table == q_latest_by_pk") {
+    import spark.implicits._
+    val log = fullLog
+
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val serverFailure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val serverThread = walsender(server, log, serverFailure)
 
     // --- the production chain ------------------------------------------
     val (sock, loop) = LiveWal.connect(
@@ -183,5 +198,72 @@ class LiveTopologySpec extends SparkSpec {
     assert(got == want,
       s"merged table diverges from q_latest_by_pk: " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("outage + overlapping re-delivery + checkpoint restart converges to the same table") {
+    import spark.implicits._
+    // Crash-and-reconnect shape: session 1 delivers the first 60% of the
+    // log; the connection dies; the slot re-delivers an OVERLAPPING
+    // suffix (the last ~10% of session 1 was received but its flush was
+    // never acked — the WalReceiveLoop.markFlushed contract) plus the
+    // rest. The streaming query is stopped between sessions and restarted
+    // from its checkpoint (new segments only), so every layer's recovery
+    // story runs at once: tap numbering resume, source offset restore,
+    // duplicate envelopes across segments, LSN-monotonic merge.
+    val log = fullLog
+    val cut = (log.size * 6) / 10
+    val overlap = log.size / 10
+    val session1 = log.take(cut)
+    val session2 = log.slice(cut - overlap, log.size) // re-delivered overlap
+
+    val segDir = java.nio.file.Files.createTempDirectory("rr_segs")
+    val storeDir = java.nio.file.Files.createTempDirectory("rr_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rr_ckpt").toString
+    val store = new ParquetTableStore(s"$storeDir/table")
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+
+    def receive(part: Seq[Chg]): Unit = {
+      val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+      val t = walsender(server, part, failure)
+      val (sock, loop) = LiveWal.connect(
+        InetAddress.getLoopbackAddress.getHostAddress, server.getLocalPort,
+        "rep", "postgres", "graft_e2e", "graft_pub")
+      try new LiveWalRunner(loop, new WalSegmentTap(segDir),
+        minFramesPerSegment = 32).run()
+      finally { sock.close(); t.join(10000); server.close() }
+      assert(failure.get() == null, s"server saw: ${failure.get()}")
+    }
+    def drainStream(): Unit = {
+      val q = spark.readStream.format("graft-pgoutput")
+        .option("path", segDir.toString).option("wire_format", "pgoutput")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          store.merge(batch)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    receive(session1)
+    drainStream() // session-1 state merged, checkpoint records the offset
+    val segsAfter1 = java.nio.file.Files.list(segDir).count()
+    receive(session2) // NEW runner on the same dir: numbering must resume
+    assert(java.nio.file.Files.list(segDir).count() > segsAfter1,
+      "re-delivery session appended no segments")
+    drainStream() // restart from checkpoint: reads only the new segments
+
+    val got = store.current(spark)
+      .select($"pk", $"lsn", $"title", $"content")
+      .as[(String, Long, Option[String], Option[String])].collect().toSeq
+    assert(got.map(_._1).distinct.size == got.size,
+      "duplicate pks after overlapping re-delivery")
+    val want = SparkEntry.queries("q_latest_by_pk")(spark, sfDir)
+      .select($"pk", $"lsn", $"title", $"content")
+      .as[(String, Long, Option[String], Option[String])].collect().toSeq
+    assert(got.toSet == want.toSet,
+      s"restart+re-delivery diverged: missing=${(want.toSet -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- want.toSet).take(3)}")
   }
 }
