@@ -26,6 +26,12 @@ final class ScramClient(password: String, clientNonce: String) {
 
   import ScramAuth._
 
+  // SASLprep the password like libpq (pg_saslprep): normalized form when
+  // valid, RAW password when prep rejects it — a server that stored an
+  // exotic password unprepared still authenticates.
+  private val preppedPassword: String =
+    saslPrep(password).getOrElse(password)
+
   private val gs2Header = "n,,"
   private var clientFirstBare: String = _
   private var serverSignatureB64: String = _
@@ -53,7 +59,7 @@ final class ScramClient(password: String, clientNonce: String) {
       fail("server-first-message missing i=")).toInt
     if (iterations < 1) fail(s"non-positive iteration count $iterations")
 
-    val saltedPassword = hi(password, salt, iterations)
+    val saltedPassword = hi(preppedPassword, salt, iterations)
     val clientKey = hmac(saltedPassword, "Client Key")
     val storedKey = h(clientKey)
     val channelBinding = Base64.getEncoder.encodeToString(gs2Header.getBytes(UTF_8))
@@ -86,6 +92,63 @@ final class ScramClient(password: String, clientNonce: String) {
 object ScramAuth {
 
   val Mechanism = "SCRAM-SHA-256"
+
+  /** SASLprep (RFC 4013 profile of stringprep) for the password, matching
+    * PostgreSQL's client behavior (libpq's pg_saslprep): map non-ASCII
+    * spaces to space and drop the map-to-nothing set (RFC 3454 B.1),
+    * normalize NFKC, then reject prohibited output (control chars,
+    * surrogates, non-characters, private/unassigned planes). Returns None
+    * when the result is prohibited or empty — callers fall back to the
+    * RAW password, exactly like libpq, so an exotic password still works
+    * against a server that stored it unprepared. ASCII passwords pass
+    * through unchanged (prep is the identity there). */
+  def saslPrep(password: String): Option[String] = {
+    val mapped = new StringBuilder
+    password.codePoints().forEach { cp =>
+      // map-to-nothing takes precedence over space-mapping for the
+      // overlap (U+200B is in both tables) — the order saslprep.c uses
+      if (isMapToNothing(cp)) ()
+      else if (isNonAsciiSpace(cp)) mapped.append(' ')
+      else mapped.appendAll(Character.toChars(cp))
+    }
+    val normalized = java.text.Normalizer
+      .normalize(mapped, java.text.Normalizer.Form.NFKC)
+    val ok = normalized.nonEmpty &&
+      normalized.codePoints().allMatch(cp => !isProhibited(cp))
+    if (ok) Some(normalized) else None
+  }
+
+  /** RFC 3454 C.1.2 non-ASCII space characters. */
+  private def isNonAsciiSpace(cp: Int): Boolean =
+    cp == 0x00a0 || cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200b) ||
+      cp == 0x202f || cp == 0x205f || cp == 0x3000
+
+  /** RFC 3454 B.1 commonly-mapped-to-nothing. */
+  private def isMapToNothing(cp: Int): Boolean =
+    cp == 0x00ad || cp == 0x034f || cp == 0x1806 ||
+      (cp >= 0x180b && cp <= 0x180d) || (cp >= 0x200b && cp <= 0x200d) ||
+      cp == 0x2060 || (cp >= 0xfe00 && cp <= 0xfe0f) || cp == 0xfeff
+
+  /** RFC 4013 §2.3 prohibited output: C.2.1/C.2.2 control, C.3 private
+    * use, C.4 non-characters, C.5 surrogates, C.6 inappropriate for plain
+    * text, C.7 inappropriate for canonical representation, C.8
+    * change-display/deprecated, C.9 tagging. */
+  private def isProhibited(cp: Int): Boolean =
+    (cp <= 0x1f) || cp == 0x7f ||                          // C.2.1 ASCII control
+      (cp >= 0x80 && cp <= 0x9f) || cp == 0x06dd || cp == 0x070f ||
+      cp == 0x180e || cp == 0x200c || cp == 0x200d || cp == 0x2028 ||
+      cp == 0x2029 || (cp >= 0x2060 && cp <= 0x2063) ||
+      (cp >= 0x206a && cp <= 0x206f) || cp == 0xfeff ||
+      (cp >= 0xfff9 && cp <= 0xfffc) ||                    // C.2.2 + C.6
+      (cp >= 0xe000 && cp <= 0xf8ff) || (cp >= 0xf0000 && cp <= 0xffffd) ||
+      (cp >= 0x100000 && cp <= 0x10fffd) ||                // C.3 private use
+      (cp & 0xfffe) == 0xfffe || (cp >= 0xfdd0 && cp <= 0xfdef) || // C.4
+      (cp >= 0xd800 && cp <= 0xdfff) ||                    // C.5 surrogates
+      cp == 0xfffd ||                                      // C.6 replacement
+      (cp >= 0x2ff0 && cp <= 0x2ffb) ||                    // C.7
+      cp == 0x0340 || cp == 0x0341 || cp == 0x200e || cp == 0x200f ||
+      (cp >= 0x202a && cp <= 0x202e) ||                    // C.8 bidi control
+      cp == 0xe0001 || (cp >= 0xe0020 && cp <= 0xe007f)    // C.9 tagging
 
   /** `Hi(str, salt, i)` = PBKDF2-HMAC-SHA-256 (RFC 5802 §2.2). */
   def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {

@@ -88,6 +88,34 @@ class ScramSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nonce"))
   }
 
+  test("SASLprep matches libpq's pg_saslprep behavior") {
+    import graft.sources.ScramAuth.saslPrep
+    // identity on ASCII
+    assert(saslPrep("s3cret!pass") == Some("s3cret!pass"))
+    // non-ASCII space → SPACE; soft hyphen (map-to-nothing) dropped
+    assert(saslPrep("a b") == Some("a b"))
+    assert(saslPrep("pa­ss") == Some("pass"))
+    // ZWSP is in BOTH tables; map-to-nothing wins (saslprep.c order)
+    assert(saslPrep("a​b") == Some("ab"))
+    // NFKC: fullwidth + compatibility forms normalize
+    assert(saslPrep("ａｂ") == Some("ab")) // ａｂ → ab
+    assert(saslPrep("Å") == Some("Å"))   // Å (Angstrom) → Å
+    // prohibited output → None (caller falls back to the raw password)
+    assert(saslPrep("a\u0007b").isEmpty) // control char (BEL)
+    assert(saslPrep("a\u202eb").isEmpty) // bidi override (RLO)
+    assert(saslPrep("­").isEmpty)             // maps to empty
+    // accented passwords survive prep (the common non-ASCII case)
+    assert(saslPrep("café") == Some("café"))
+    // and the prepped form feeds Hi: two clients whose passwords differ
+    // only by a mapped-away char produce the SAME proof
+    val a = new graft.sources.ScramClient("pa­ss", "n0nce")
+    val b = new graft.sources.ScramClient("pass", "n0nce")
+    a.clientFirstMessage(); b.clientFirstMessage()
+    val sf = "r=n0nceEXT,s=" + java.util.Base64.getEncoder
+      .encodeToString("salt".getBytes(UTF_8)) + ",i=4096"
+    assert(a.clientFinalMessage(sf) == b.clientFinalMessage(sf))
+  }
+
   test("rejects a forged server signature and surfaces e= errors") {
     val c = new ScramClient("pw", "abc")
     c.clientFirstMessage()
