@@ -1864,16 +1864,56 @@ object PipelineQueries {
         |             (acc, x) -> (xor(acc, x) * 1099511628211)
         |                         % CAST(18446744073709551616 AS HUGEINT))
         |           END AS BIGINT))) AS mh
-        |  FROM toks WHERE len(t) > 0)
-        |SELECT doc_id,
+        |  FROM toks WHERE len(t) > 0),
+        |cb AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)],
+        |      list_filter(range(8, length(text) + 1), i ->
+        |        list_reduce(
+        |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |            list_transform(
+        |              list_filter(string_split(substring(text, CAST(i AS INT) - 7, 8),
+        |                                       ''), c -> c <> ''),
+        |              c -> CAST(ascii(c) AS HUGEINT))),
+        |          (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                      % CAST(18446744073709551616 AS HUGEINT))
+        |        % 32 = 0)),
+        |      [CAST(length(text) AS BIGINT)]) AS bs
+        |  FROM corpus WHERE doc_id >= 9000000),
+        |cd AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(range(1, len(bs)), j ->
+        |      substring(text, CAST(bs[j] AS INT) + 1,
+        |                CAST(bs[j+1] - bs[j] AS INT))), c -> c <> '') AS chunks
+        |  FROM cb),
+        |ci AS (
+        |  SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+        |    CAST(CASE WHEN ch >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN ch - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE ch END AS BIGINT) AS chunks_fnv
+        |  FROM (
+        |    SELECT doc_id, chunks,
+        |      list_reduce(
+        |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(
+        |            list_filter(string_split(array_to_string(chunks, '|'), ''),
+        |                        c -> c <> ''),
+        |            c -> CAST(ascii(c) AS HUGEINT))),
+        |        (acc, x) -> (xor(acc, x) * 1099511628211)
+        |                    % CAST(18446744073709551616 AS HUGEINT)) AS ch
+        |    FROM cd))
+        |SELECT f.doc_id AS doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(len(t) AS BIGINT) AS n_tokens,
         |       CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
         |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
         |                 ELSE h END AS BIGINT) AS fnv_cp,
-        |       mh AS minhash0
-        |FROM f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+        |       mh AS minhash0,
+        |       coalesce(ci.n_chunks, CAST(-1 AS BIGINT)) AS n_chunks,
+        |       coalesce(ci.chunks_fnv, CAST(0 AS BIGINT)) AS chunks_fnv
+        |FROM f LEFT JOIN ci ON f.doc_id = ci.doc_id
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val lits = Seq(
         9000001L -> "数据 管道 在 大规模 训练 中 去重 数据",
@@ -1882,17 +1922,31 @@ object PipelineQueries {
         9000004L -> "данные конвейер дедупликация",
         9000005L -> "mixed ASCII 与 中文 and émojis 🎯",
         9000006L -> "بيانات معالجة تدفق").toDF("doc_id", "text")
+      // ChunkSplit over the literal rows only: the content-defined chunker
+      // is codepoint-indexed (DuckDB replays substring/ascii per
+      // CHARACTER), and these rows are the first multi-byte text the gate
+      // pushes through its boundary scan
+      val litChunks = lits
+        .select(col("doc_id"),
+          filter(graft.ops.expr.ChunkSplit.column(col("text")),
+            c => c =!= "").as("chunks"))
+        .select(col("doc_id"), big(size(col("chunks"))).as("n_chunks"),
+          graft.ops.expr.Fnv1a64.columnCodePoints(
+            array_join(col("chunks"), "|")).as("chunks_fnv"))
       tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(lits)
         .select(col("doc_id"), col("text"),
           DedupOps.tokenSet(col("text")).as("t"))
         .filter(size(col("t")) > 0)
+        .join(litChunks, Seq("doc_id"), "left")
         .select(col("doc_id"),
           big(length(col("text"))).as("n_chars"),
           big(octet_length(col("text"))).as("n_bytes"),
           big(size(col("t"))).as("n_tokens"),
           graft.ops.expr.Fnv1a64.columnCodePoints(lower(col("text"))).as("fnv_cp"),
-          element_at(DedupOps.minhashSignatureFnv(col("t"), 1), 1).as("minhash0"))
+          element_at(DedupOps.minhashSignatureFnv(col("t"), 1), 1).as("minhash0"),
+          coalesce(col("n_chunks"), big(lit(-1))).as("n_chunks"),
+          coalesce(col("chunks_fnv"), lit(0L)).as("chunks_fnv"))
         .orderBy("doc_id")
     },
 
