@@ -175,7 +175,11 @@ object GroupM {
     // (windows partitioned by query). The corpus is touched only by the
     // q_cosine_topk broadcast scan; rel/cos are the quantized-integer
     // cosine contract rounded to 6, so both engines compare identical
-    // doubles, ties to the smaller candidate id.
+    // doubles, ties to the smaller candidate id. The MMR score rounds the
+    // DIFFERENCE (which lies exactly on the 6-decimal grid — no half-way
+    // case) and THEN halves (IEEE-exact): round((rel-cos)/2, 6) instead
+    // would hit x.xxxxx5 half-way ties where Spark (HALF_UP) and DuckDB
+    // (half-even) disagree — observed once at sf0.1.
     Q("q_mmr_diversify", {
       val qn = Q.quantNormsCte()
       s"""WITH $qn,
@@ -204,7 +208,7 @@ object GroupM {
          |    FROM top) WHERE rn = 1),
          |m2 AS (
          |  SELECT t.query_id, t.cand_id,
-         |         round((t.rel - p.cos) / 2, 6) AS mmr
+         |         round(t.rel - p.cos, 6) / 2 AS mmr
          |  FROM top t
          |  JOIN s1 ON s1.query_id = t.query_id AND t.cand_id <> s1.s1
          |  JOIN pc p ON p.query_id = t.query_id AND p.a_id = t.cand_id
@@ -217,7 +221,7 @@ object GroupM {
          |    FROM m2) WHERE rn = 1),
          |m3 AS (
          |  SELECT t.query_id, t.cand_id,
-         |         round((t.rel - greatest(p1.cos, p2.cos)) / 2, 6) AS mmr
+         |         round(t.rel - greatest(p1.cos, p2.cos), 6) / 2 AS mmr
          |  FROM top t
          |  JOIN s1 ON s1.query_id = t.query_id
          |  JOIN s2 ON s2.query_id = t.query_id
@@ -278,7 +282,7 @@ object GroupM {
         .filter(col("cand_id") =!= col("s1"))
         .join(pc.select(col("query_id"), col("a_id").as("cand_id"),
           col("b_id").as("s1"), col("cos")), Seq("query_id", "cand_id", "s1"))
-        .withColumn("mmr", round((col("rel") - col("cos")) / 2, 6))
+        .withColumn("mmr", round(col("rel") - col("cos"), 6) / 2)
       val s2 = m2.withColumn("rn", row_number().over(byMmr))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id").as("s2"), col("mmr").as("score2"))
@@ -291,7 +295,7 @@ object GroupM {
           col("b_id").as("s2"), col("cos").as("cos2")),
           Seq("query_id", "cand_id", "s2"))
         .withColumn("mmr",
-          round((col("rel") - greatest(col("cos1"), col("cos2"))) / 2, 6))
+          round(col("rel") - greatest(col("cos1"), col("cos2")), 6) / 2)
       val s3 = m3.withColumn("rn", row_number().over(byMmr))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id").as("s3"), col("mmr").as("score3"))
