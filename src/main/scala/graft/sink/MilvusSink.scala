@@ -15,8 +15,12 @@ final class MilvusSink(baseUrl: String, collection: String,
                        requestBatchSize: Int = 128,
                        metric: String = "IP") extends Serializable {
 
+  // one client per sink instance (per partition in the distributed paths):
+  // a JDK HttpClient owns a selector thread + connection pool, so a fresh
+  // client per request churns threads/FDs and defeats connection reuse
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
   private def post(path: String, body: String): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(s"$baseUrl$path"))
       .header("Content-Type", "application/json")
@@ -25,6 +29,13 @@ final class MilvusSink(baseUrl: String, collection: String,
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"milvus $path failed: HTTP ${resp.statusCode()}")
+    // Milvus REST v2 reports most LOGICAL failures as HTTP 200 with a
+    // non-zero body code (dim mismatch, collection not loaded, schema
+    // errors) — treating any 200 as success silently drops the batch
+    val code = MilvusSink.parseCode(resp.body())
+    if (code != 0)
+      throw new java.io.IOException(
+        s"milvus $path failed: code $code ${MilvusSink.parseMessage(resp.body())}")
     resp.body()
   }
 
@@ -45,10 +56,18 @@ final class MilvusSink(baseUrl: String, collection: String,
     val has = MilvusSink.parseHas(
       post("/v2/vectordb/collections/has", MilvusSink.collectionBody(collection)))
     if (!has) {
-      post("/v2/vectordb/collections/create",
-        MilvusSink.createCollectionBody(collection, dim))
-      post("/v2/vectordb/indexes/create",
-        MilvusSink.createIndexBody(collection, metric))
+      // two executors can race has→create; the loser's error is the
+      // success condition (the QdrantSink conflict-tolerance contract)
+      def tolerateExists(f: => String): Unit =
+        try { f; () } catch {
+          case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("exist") => ()
+        }
+      tolerateExists(post("/v2/vectordb/collections/create",
+        MilvusSink.createCollectionBody(collection, dim)))
+      tolerateExists(post("/v2/vectordb/indexes/create",
+        MilvusSink.createIndexBody(collection, metric)))
     } else {
       val existing = MilvusSink.parseDim(
         post("/v2/vectordb/collections/describe", MilvusSink.collectionBody(collection)))
@@ -74,7 +93,11 @@ final class MilvusSink(baseUrl: String, collection: String,
         .limit(1).collect()
         .headOption.foreach(r => ensureCollection(r.getInt(0)))
     val (url, coll, bs) = (baseUrl, collection, requestBatchSize)
-    points.select("id", "vector", "metadata").foreachPartition {
+    // skip null vectors the way the probe does — building an upsert body
+    // from one would NPE the whole task (upstream pipelines pre-filter,
+    // but the sink is public API)
+    points.filter(org.apache.spark.sql.functions.col("vector").isNotNull)
+      .select("id", "vector", "metadata").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val sink = new MilvusSink(url, coll, bs)
         rows.grouped(bs).foreach { group =>
@@ -120,6 +143,19 @@ object MilvusSink {
     s"""{"collectionName":"${esc(collection)}","indexParams":[""" +
       s"""{"fieldName":"vector","indexName":"vector","metricType":"${esc(metric)}",""" +
       """"params":{"index_type":"HNSW","M":16,"efConstruction":200}}]}"""
+
+  /** Body `code` field (0 = success); missing/unparsable counts as 0 so a
+    * proxy or old server that omits the envelope is not rejected. */
+  def parseCode(respJson: String): Int =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(respJson).path("code").asInt(0)
+    catch { case _: Exception => 0 }
+
+  /** Body `message` field for error reporting (empty when absent). */
+  def parseMessage(respJson: String): String =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(respJson).path("message").asText("")
+    catch { case _: Exception => "" }
 
   /** `{"data":{"has":bool}}` from the has-collection response. */
   def parseHas(respJson: String): Boolean =

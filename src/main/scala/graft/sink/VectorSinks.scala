@@ -14,10 +14,25 @@ import org.apache.spark.sql.functions._
   */
 final class ParquetVectorStore(path: String) extends Serializable {
 
+  /** Crash recovery for [[compact]]'s write-then-swap: a crash between
+    * "move live aside" and "install compacted" leaves the only complete
+    * log at `path + ".old"` — restore it before any append or read, or a
+    * restarted stream would silently recreate `path` with post-crash
+    * batches only and the next compaction's cleanup would destroy the
+    * sole surviving copy. */
+  private def recover(spark: SparkSession): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"compact: could not recover $old")
+  }
+
   /** Append one micro-batch of upserts and deletes. Re-delivery of the same
     * batchId is harmless: rows are identical and [[current]] dedupes. */
   def write(upserts: DataFrame, deletes: DataFrame, batchId: Long): Unit = {
     val spark = upserts.sparkSession
+    recover(spark)
     import spark.implicits._
     val up = upserts.select(col("id"), col("vector"), col("metadata"),
       lit("upsert").as("op"), lit(batchId).as("batch_id"))
@@ -30,6 +45,7 @@ final class ParquetVectorStore(path: String) extends Serializable {
 
   /** Latest state per external id (deletes drop the id). */
   def current(spark: SparkSession): DataFrame = {
+    recover(spark)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("batch_id").desc, col("op")) // same-batch dup rows identical
     spark.read.parquet(path)
@@ -145,7 +161,11 @@ final class QdrantSink(rawBaseUrl: String, collection: String,
         .headOption.foreach(r => ensureCollection(r.getInt(0)))
     val url = s"$baseUrl/collections/$collection/points"
     val bs = requestBatchSize
-    points.select("id", "vector", "metadata").foreachPartition {
+    // skip null vectors the way the probe does — upsertBody would NPE on
+    // one and fail the whole task (the sink is public API; only
+    // VectorPipeline happens to pre-filter)
+    points.filter(col("vector").isNotNull)
+      .select("id", "vector", "metadata").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val client = java.net.http.HttpClient.newHttpClient()
         rows.grouped(bs).foreach { group =>

@@ -64,10 +64,17 @@ object CentroidMonitor {
     val prevCentroid = prior.map { case (pn, ps) => centroidOf(pn, ps) }
     var any = false
     rows.foreach { v =>
-      any = true
-      sums = if (sums.isEmpty) v.q
-             else sums.zip(v.q).map { case (s, x) => s + x }
-      n += 1
+      // dimension guard: zip silently truncates to the SHORTER vector, so
+      // one empty/short embedding would permanently collapse the label's
+      // sums (and pin drift at the 1.0 sentinel, masking real drift).
+      // Mismatched vectors are skipped — they cannot belong to the same
+      // embedding space as the established state.
+      if (v.q.nonEmpty && (sums.isEmpty || v.q.length == sums.length)) {
+        any = true
+        sums = if (sums.isEmpty) v.q
+               else sums.zip(v.q).map { case (s, x) => s + x }
+        n += 1
+      }
     }
     if (!any) (None, (n, sums))
     else {

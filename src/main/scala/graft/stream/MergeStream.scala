@@ -29,19 +29,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * snapshot. On a real cluster both sides would be bucketed by pk so the
   * join is co-located; the snapshot rewrite is O(state), not O(history).
   */
-final class ParquetTableStore(path: String) extends Serializable {
+final class ParquetTableStore(path: String,
+                              table: String = "public.documents",
+                              attrCols: Seq[String] =
+                                Seq("title", "content", "created_at", "author"))
+  extends Serializable {
 
-  private val attrs = Seq("title", "content", "created_at", "author")
+  private val attrs = attrCols
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(spark: SparkSession): Boolean =
+  def exists(spark: SparkSession): Boolean = {
+    recover(spark)
     fs(spark).exists(new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Crash recovery for the write-then-swap install: a crash between
+    * "move live aside" and "install new" leaves the only complete state
+    * at `path + ".old"` — restore it BEFORE any read or the next merge
+    * would silently rebuild from one micro-batch and the old-file cleanup
+    * would then destroy the sole surviving copy. */
+  private def recover(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!f.exists(dst) && f.exists(old) && !f.rename(old, dst))
+      throw new java.io.IOException(s"merge: could not recover $old")
+  }
 
   /** Full snapshot including tombstones: pk, lsn, deleted, attrs. */
-  def snapshot(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  def snapshot(spark: SparkSession): DataFrame = {
+    recover(spark)
+    spark.read.parquet(path)
+  }
 
   /** Live rows (tombstones filtered). */
   def current(spark: SparkSession): DataFrame =
@@ -55,7 +77,7 @@ final class ParquetTableStore(path: String) extends Serializable {
   private def compactBatch(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("pk")).orderBy(col("lsn").desc)
     changes
-      .filter(concat(col("schema"), lit("."), col("table")) === "public.documents" &&
+      .filter(concat(col("schema"), lit("."), col("table")) === table &&
         (col("op") === "d" || col("after").isNotNull) &&
         col("primary_key") =!= "")
       .select(Seq(col("primary_key").as("pk"), col("lsn").cast("long").as("lsn"),
@@ -115,8 +137,11 @@ final class ParquetTableStore(path: String) extends Serializable {
 object MergeStream {
 
   def run(spark: SparkSession, sourceDir: String, storeDir: String,
-          checkpointDir: String, flushIntervalMs: Long = 500): StreamingQuery = {
-    val store = new ParquetTableStore(storeDir)
+          checkpointDir: String, flushIntervalMs: Long = 500,
+          table: String = "public.documents",
+          attrCols: Seq[String] =
+            Seq("title", "content", "created_at", "author")): StreamingQuery = {
+    val store = new ParquetTableStore(storeDir, table, attrCols)
     CdcStream.readEnvelopes(spark, sourceDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(flushIntervalMs))

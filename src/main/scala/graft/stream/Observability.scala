@@ -52,9 +52,10 @@ final class Health extends StreamingQueryListener {
       s""""batch_size":${s.batchRows},"timestamp":"${s.timestamp}"}"""
   }
 
-  private def escape(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+  // the one escape implementation every codec uses (graft.util.Json) —
+  // a local re-implementation missed control chars below 0x20, which
+  // would make statusJson invalid JSON for exotic offsets
+  private def escape(s: String): String = "\"" + graft.util.Json.escape(s) + "\""
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
     last.set(Status("running", "", 0L, e.timestamp))

@@ -29,6 +29,14 @@ final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   * batch window formulation on the same events, and that a session
   * spanning micro-batches stays open until the watermark passes its gap.
   *
+  * Out-of-order limits: arrivals are sorted WITHIN a micro-batch, and a
+  * cross-batch late event more than a gap BEFORE the open session's start
+  * closes as its own one-event session (it can never merge). A late event
+  * landing inside the open session's span extends it (start = min); full
+  * batch equivalence under arbitrary cross-batch disorder would need an
+  * event buffer drained at the watermark — by design this operator keeps
+  * O(1) state per key and accepts that narrow divergence.
+  *
   * Requires the RocksDB state-store provider (the only backend
   * implementing transformWithState's typed-state + timer surface).
   */
@@ -64,7 +72,15 @@ object SessionMaterializer {
               // no timer needed for this one
               out ::= ClosedSession(user, s, l, n)
               cur = (e.us, e.us, 1L)
-            } else cur = (s, math.max(l, e.us), n + 1)
+            } else if (s - e.us > gapUs) {
+              // CROSS-BATCH late arrival from a disjoint EARLIER session
+              // (within the watermark, more than a gap before the open
+              // session's start): it can never merge with the open
+              // session, so emit it as its own closed session instead of
+              // silently folding it in — which would inflate n_events and
+              // fabricate a session span the batch rule never produces
+              out ::= ClosedSession(user, e.us, e.us, 1L)
+            } else cur = (math.min(s, e.us), math.max(l, e.us), n + 1)
         }
       }
       // one timer per key: re-arm at the open session's horizon

@@ -91,4 +91,32 @@ class MergeStreamSpec extends SparkSpec {
     store.merge(change("u", "1", 20, "v2"))
     assert(store.current(spark).count() == 0)
   }
+
+  test("crash between install renames recovers from the .old copy") {
+    // the write-then-swap install's worst window: live moved aside, new
+    // copy not yet installed. A restart must restore the .old snapshot —
+    // otherwise the next merge silently rebuilds from one micro-batch and
+    // the cleanup deletes the only surviving state.
+    val dir = tmp()
+    val store = new ParquetTableStore(s"$dir/table")
+    def change(op: String, pk: String, lsn: Long, c: String): DataFrame =
+      Seq((op, "public", "documents", pk, lsn.toString, c)).toDF(
+        "op", "schema", "table", "primary_key", "lsn", "c")
+        .select(col("op"), col("schema"), col("table"), col("primary_key"),
+          col("lsn"),
+          when(col("op") =!= "d", map(lit("content"), col("c"))).as("after"))
+    store.merge(change("c", "1", 10, "v1"))
+    store.merge(change("c", "2", 20, "v2"))
+    // simulate the crash window: dst moved aside, install never happened
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/table")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/table"),
+      new org.apache.hadoop.fs.Path(s"$dir/table.old")))
+    // reads and merges recover the full prior state first
+    assert(store.current(spark).count() == 2, "snapshot not recovered from .old")
+    store.merge(change("c", "3", 30, "v3"))
+    assert(store.current(spark).select("pk").as[String].collect()
+      .sorted.toSeq == Seq("1", "2", "3"),
+      "post-recovery merge lost pre-crash rows")
+  }
 }

@@ -17,14 +17,15 @@ class TwsSessionSpec extends SparkSpec {
 
   /** Run a list of micro-batches of (user, event-second) through the
     * materializer with a zero-delay watermark; returns closed sessions. */
-  private def run(name: String, batches: Seq[Seq[(Long, Long)]]): Seq[ClosedSession] = {
+  private def run(name: String, batches: Seq[Seq[(Long, Long)]],
+                  watermarkDelay: String = "0 seconds"): Seq[ClosedSession] = {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
       val mem = MemoryStream[(Long, Long)](spark)
       val events = mem.toDF().toDF("user_id", "sec")
         .withColumn("ts", timestamp_seconds(col("sec")))
-        .withWatermark("ts", "0 seconds")
+        .withWatermark("ts", watermarkDelay)
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
         .as[SessionEvent]
       val q = SessionMaterializer.sessions(events)
@@ -56,6 +57,26 @@ class TwsSessionSpec extends SparkSpec {
       (1L, 5000L, 5000L, 1L),
       (1L, 9000L, 9000L, 1L))
     assert(got == want, s"closed sessions diverged: $got")
+  }
+
+  test("cross-batch late arrivals: disjoint-earlier closes standalone, in-span extends") {
+    // generous watermark delay so late events reach the operator instead
+    // of being dropped at the watermark filter
+    val closed = run("tws_late", Seq(
+      Seq((1L, 10000L), (4L, 20000L)),  // two open sessions
+      // u1: 9000s BEFORE its open session's start (gap is 1800s) — a
+      // disjoint earlier session, must close standalone, NOT inflate the
+      // open one; u4: 1000s before start — inside the span, extends it
+      Seq((1L, 1000L), (4L, 19000L)),
+      Seq((9L, 2000000L))               // sentinel closes everything open
+    ), watermarkDelay = "4 hours")
+    val got = closed.map(c =>
+      (c.user_id, c.start_us / 1000000, c.end_us / 1000000, c.n_events)).toSet
+    val want = Set(
+      (1L, 1000L, 1000L, 1L),      // the late disjoint session, standalone
+      (1L, 10000L, 10000L, 1L),    // the open session, NOT inflated
+      (4L, 19000L, 20000L, 2L))    // extended downward to the late event
+    assert(got == want, s"late-arrival handling diverged: $got")
   }
 
   test("closed-session stream equals the batch q_sessionize rule on fixture events") {
