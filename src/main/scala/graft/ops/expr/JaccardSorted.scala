@@ -53,7 +53,11 @@ case class JaccardSorted(left: Expression, right: Expression)
 
 object JaccardSorted {
 
-  /** Runtime kernel shared by interpreted eval and generated code. */
+  /** Runtime kernel shared by interpreted eval and generated code.
+    * Null elements sort LAST (array_sort's ordering) and are treated as
+    * equal to each other — the production inputs (sortedTokenSet) never
+    * contain them, but the function is SQL-registered, so a null element
+    * must not NPE the task. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -61,7 +65,13 @@ object JaccardSorted {
     var j = 0
     var inter = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(j)
+      val cmp =
+        if (an && bn) 0
+        else if (an) 1
+        else if (bn) -1
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp < 0) i += 1
       else if (cmp > 0) j += 1
       else { inter += 1; i += 1; j += 1 }

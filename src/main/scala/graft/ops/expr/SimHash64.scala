@@ -104,6 +104,11 @@ object SimHash64 {
     fold(counts)
   }
 
+  /** FNV hash of the empty string = the offset basis — the null-token
+    * value, hoisted so the hot loop's null branch is a constant load
+    * instead of an allocation + fold per null token. */
+  private val EmptyFnv: Long = Fnv1a64.hash(UTF8String.fromString(""))
+
   /** [[SimHashFnv64]]'s kernel: identical counting, FNV-1a token hash. */
   def hashFnv(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -111,7 +116,7 @@ object SimHash64 {
     var i = 0
     while (i < n) {
       val h =
-        if (arr.isNullAt(i)) Fnv1a64.hash(UTF8String.fromString(""))
+        if (arr.isNullAt(i)) EmptyFnv
         else Fnv1a64.hashCodePoints(arr.getUTF8String(i))
       accumulate(counts, h)
       i += 1

@@ -22,6 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenSetMask(child: Expression, vocab: Map[String, Int], words: Int)
   extends UnaryExpression {
 
+  // fail fast on the DRIVER at plan-build time: an out-of-range vocabulary
+  // index would otherwise ArrayIndexOutOfBounds per row on executors,
+  // mid-job, after the expensive candidate join already ran
+  require(vocab.values.forall(i => i >= 0 && i < words * 64),
+    s"vocab indices must be in [0, ${words * 64}); got " +
+      vocab.values.filterNot(i => i >= 0 && i < words * 64).take(3).toSeq)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes() = child.dataType match {

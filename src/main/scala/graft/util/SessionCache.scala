@@ -56,29 +56,44 @@ object SessionCache {
     }
   }
 
-  private val cache =
-    new java.util.IdentityHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Memo]]()
+  /** Per-session memo map plus a retirement flag: an invalidate() that
+    * races a concurrent getOrMaterialize could otherwise sweep the map
+    * while the get installs a FRESH memo into it — that materialization
+    * would stay persisted forever (no later invalidate can reach the
+    * orphaned map). The getter re-checks `retired` AFTER its memo call
+    * and kills the late install itself. */
+  private final class Holder {
+    val memos = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+    @volatile var retired = false
+  }
+
+  private val cache = new java.util.IdentityHashMap[SparkSession, Holder]()
 
   /** The artifact for `key`, materialized (persisted) on first request per
     * session. */
   def getOrMaterialize(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
-        cache.put(spark, m)
-      }
-      m
+    val holder = cache.synchronized {
+      var h = cache.get(spark)
+      if (h == null) { h = new Holder; cache.put(spark, h) }
+      h
     }
-    perSession.computeIfAbsent(key, _ => new Memo(() => build)).get
+    val memo = holder.memos.computeIfAbsent(key, _ => new Memo(() => build))
+    val df = memo.get
+    // late install into a map invalidate() already retired: unpersist it
+    // ourselves (kill is idempotent; the returned frame stays valid,
+    // merely uncached — the same contract as building after a kill)
+    if (holder.retired) memo.kill()
+    df
   }
 
   /** Drop (and unpersist) everything cached for `spark` — call when a
     * session ends or its source data is rewritten in place. */
   def invalidate(spark: SparkSession): Unit = {
     val removed = cache.synchronized(cache.remove(spark))
-    if (removed != null) removed.values().forEach(_.kill())
+    if (removed != null) {
+      removed.retired = true // installs from here on self-kill in the getter
+      removed.memos.values().forEach(_.kill())
+    }
   }
 }
