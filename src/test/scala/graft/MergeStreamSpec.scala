@@ -92,31 +92,128 @@ class MergeStreamSpec extends SparkSpec {
     assert(store.current(spark).count() == 0)
   }
 
-  test("crash between install renames recovers from the .old copy") {
-    // the write-then-swap install's worst window: live moved aside, new
-    // copy not yet installed. A restart must restore the .old snapshot —
-    // otherwise the next merge silently rebuilds from one micro-batch and
-    // the cleanup deletes the only surviving state.
-    val dir = tmp()
-    val store = new ParquetTableStore(s"$dir/table")
-    def change(op: String, pk: String, lsn: Long, c: String): DataFrame =
-      Seq((op, "public", "documents", pk, lsn.toString, c)).toDF(
-        "op", "schema", "table", "primary_key", "lsn", "c")
-        .select(col("op"), col("schema"), col("table"), col("primary_key"),
-          col("lsn"),
-          when(col("op") =!= "d", map(lit("content"), col("c"))).as("after"))
+  private def change(op: String, pk: String, lsn: Long, c: String): DataFrame =
+    Seq((op, "public", "documents", pk, lsn.toString, c)).toDF(
+      "op", "schema", "table", "primary_key", "lsn", "c")
+      .select(col("op"), col("schema"), col("table"), col("primary_key"),
+        col("lsn"),
+        when(col("op") =!= "d", map(lit("content"), col("c"))).as("after"))
+
+  /** (relative path → (length, md5)) for every data file under the store. */
+  private def dataFiles(dir: String): Map[String, (Long, String)] = {
+    val root = java.nio.file.Paths.get(dir, "data")
+    if (!java.nio.file.Files.exists(root)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          root.relativize(p).toString -> (bytes.length.toLong, md5.map("%02x".format(_)).mkString)
+        }.toMap
+      finally walk.close()
+    }
+  }
+
+  test("a merge rewrites only touched buckets: untouched buckets' files " +
+    "stay byte-identical") {
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir, numBuckets = 4)
+    // find two pks landing in different buckets under pmod(hash(pk), 4)
+    val bucketOf = (1 to 16).map(_.toString).map { pk =>
+      pk -> Seq(pk).toDF("pk")
+        .select(pmod(hash(col("pk")), lit(4)).as("b")).head().getInt(0)
+    }.toMap
+    val (pkA, bA) = bucketOf.head
+    val (pkB, bB) = bucketOf.find(_._2 != bA).get
+    store.merge(change("c", pkA, 10, "a1"))
+    store.merge(change("c", pkB, 20, "b1"))
+    val before = dataFiles(dir)
+    assert(before.keys.exists(_.contains(s"bucket=$bB")), "fixture broken")
+    // touch ONLY pkA's bucket
+    store.merge(change("u", pkA, 30, "a2"))
+    val after = dataFiles(dir)
+    // every pkB-bucket file survives the merge byte-for-byte — the O(state)
+    // full-rewrite path would have rewritten (and re-encoded) all of them
+    val untouched = before.filter(_._1.contains(s"bucket=$bB"))
+    untouched.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig),
+        s"untouched-bucket file $p was rewritten or dropped by the merge")
+    }
+    assert(store.current(spark).select("pk", "content").as[(String, String)]
+      .collect().toSet == Set((pkA, "a2"), (pkB, "b1")))
+  }
+
+  test("delta accumulation is bounded: per-bucket compaction + vacuum keep " +
+    "file count flat over many merges") {
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir, numBuckets = 1,
+      maxDeltasPerBucket = 2, keepManifests = 2)
+    (1 to 12).foreach(i => store.merge(change("c", i.toString, i * 10L, s"v$i")))
+    assert(store.current(spark).count() == 12)
+    // live dirs for the single bucket: one base + ≤ maxDeltas deltas; plus
+    // at most one manifest-retention generation of superseded dirs
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "data"))
+    val n = try dirs.count() finally dirs.close()
+    assert(n <= 8, s"vacuum/compaction failed to bound data dirs: $n on disk")
+    val manifests = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val mN = try manifests.filter(_.getFileName.toString.startsWith("manifest-")).count()
+    finally manifests.close()
+    assert(mN <= 2, s"manifest retention failed: $mN manifests on disk")
+  }
+
+  test("GC drops tombstones at the replay horizon; a pre-horizon " +
+    "re-delivered upsert still cannot resurrect") {
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir)
     store.merge(change("c", "1", 10, "v1"))
+    store.merge(change("d", "1", 30, null))
+    assert(store.snapshot(spark).count() == 1) // the tombstone row
+    // the source guarantees nothing at or below 50 will be re-delivered
+    store.gc(spark, 50)
+    assert(store.gcHorizon(spark) == 50)
+    assert(store.snapshot(spark).count() == 0, "tombstone not GC'd")
+    // contract-violating re-delivery of the pre-delete upsert: the horizon
+    // filter must refuse it — without the filter, the dropped tombstone
+    // would let it resurrect the deleted row
+    store.merge(change("u", "1", 20, "v2"))
+    assert(store.current(spark).count() == 0, "GC'd delete was resurrected")
+    // post-horizon changes flow normally
+    store.merge(change("c", "1", 60, "v3"))
+    assert(store.current(spark).select("content").as[String].collect().toSeq
+      == Seq("v3"))
+    // a lower horizon later must not regress the recorded one
+    store.gc(spark, 40)
+    assert(store.gcHorizon(spark) == 50)
+  }
+
+  test("orphan delta dir from a crash before manifest commit is " +
+    "overwritten by the replayed batch") {
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir)
+    store.merge(change("c", "1", 10, "v1")) // commits manifest seq 1
+    // crash window: the NEXT merge wrote its delta dir but died before the
+    // manifest commit — fabricate the orphan with junk content
+    val orphan = java.nio.file.Paths.get(dir, "data", "delta-00000002")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk"), "not parquet".getBytes)
+    // the streaming checkpoint replays that batch: same seq, overwrite wins
     store.merge(change("c", "2", 20, "v2"))
-    // simulate the crash window: dst moved aside, install never happened
-    val fs = new org.apache.hadoop.fs.Path(s"$dir/table")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/table"),
-      new org.apache.hadoop.fs.Path(s"$dir/table.old")))
-    // reads and merges recover the full prior state first
-    assert(store.current(spark).count() == 2, "snapshot not recovered from .old")
-    store.merge(change("c", "3", 30, "v3"))
-    assert(store.current(spark).select("pk").as[String].collect()
-      .sorted.toSeq == Seq("1", "2", "3"),
-      "post-recovery merge lost pre-crash rows")
+    assert(store.current(spark).select("pk", "content").as[(String, String)]
+      .collect().toSet == Set(("1", "v1"), ("2", "v2")),
+      "orphan delta corrupted the replayed merge")
+    assert(!java.nio.file.Files.exists(orphan.resolve("junk")),
+      "junk file survived the overwrite")
+  }
+
+  test("bucket-count drift under an existing store is refused") {
+    val dir = tmp() + "/table"
+    new ParquetTableStore(dir, numBuckets = 4).merge(change("c", "1", 10, "v"))
+    val err = intercept[IllegalArgumentException] {
+      new ParquetTableStore(dir, numBuckets = 8).current(spark).count()
+    }
+    assert(err.getMessage.contains("bucket"), err.getMessage)
   }
 }
