@@ -58,11 +58,13 @@ final class MilvusSink(baseUrl: String, collection: String,
     if (!has) {
       // two executors can race has→create; the loser's error is the
       // success condition (the QdrantSink conflict-tolerance contract)
+      // narrowed to "already exist": the bare substring "exist" would
+      // also swallow genuine failures like "database not exist"
       def tolerateExists(f: => String): Unit =
         try { f; () } catch {
           case e: java.io.IOException
             if e.getMessage != null &&
-              e.getMessage.toLowerCase.contains("exist") => ()
+              e.getMessage.toLowerCase.contains("already exist") => ()
         }
       tolerateExists(post("/v2/vectordb/collections/create",
         MilvusSink.createCollectionBody(collection, dim)))

@@ -29,13 +29,16 @@ final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   * batch window formulation on the same events, and that a session
   * spanning micro-batches stays open until the watermark passes its gap.
   *
-  * Out-of-order limits: arrivals are sorted WITHIN a micro-batch, and a
-  * cross-batch late event more than a gap BEFORE the open session's start
-  * closes as its own one-event session (it can never merge). A late event
-  * landing inside the open session's span extends it (start = min); full
-  * batch equivalence under arbitrary cross-batch disorder would need an
-  * event buffer drained at the watermark — by design this operator keeps
-  * O(1) state per key and accepts that narrow divergence.
+  * Out-of-order limits: arrivals are sorted WITHIN a micro-batch, and
+  * cross-batch late events more than a gap BEFORE the open session's
+  * start can never merge with it — consecutive such late events within a
+  * gap of EACH OTHER are accumulated into one pending late session
+  * (exactly the batch sessionization of that run) and closed when the
+  * run breaks. A late event landing inside the open session's span
+  * extends it (start = min); full batch equivalence under arbitrary
+  * cross-batch disorder (e.g. a late run split ACROSS micro-batches)
+  * would need an event buffer drained at the watermark — by design this
+  * operator keeps O(1) state per key and accepts that narrow divergence.
   *
   * Requires the RocksDB state-store provider (the only backend
   * implementing transformWithState's typed-state + timer surface).
@@ -63,26 +66,44 @@ object SessionMaterializer {
       // gap still splits sessions exactly like the batch rule
       val sorted = rows.toSeq.sortBy(_.us)
       var cur = if (sess.exists()) sess.get() else null
+      // CROSS-BATCH late arrivals (within the watermark, more than a gap
+      // BEFORE the open session's start) can never merge with the open
+      // session — but consecutive late events within a gap of EACH OTHER
+      // must merge with each other, exactly as the batch rule would have
+      // sessionized them; `late` accumulates that pending late session
+      var late: Sess = null
+      def flushLate(): Unit = if (late != null) {
+        out ::= ClosedSession(user, late._1, late._2, late._3); late = null
+      }
       sorted.foreach { e =>
         cur match {
           case null => cur = (e.us, e.us, 1L)
           case (s, l, n) =>
-            if (e.us - l > gapUs) {
-              // the in-batch successor proves the gap — close immediately,
-              // no timer needed for this one
-              out ::= ClosedSession(user, s, l, n)
-              cur = (e.us, e.us, 1L)
-            } else if (s - e.us > gapUs) {
-              // CROSS-BATCH late arrival from a disjoint EARLIER session
-              // (within the watermark, more than a gap before the open
-              // session's start): it can never merge with the open
-              // session, so emit it as its own closed session instead of
-              // silently folding it in — which would inflate n_events and
-              // fabricate a session span the batch rule never produces
-              out ::= ClosedSession(user, e.us, e.us, 1L)
-            } else cur = (math.min(s, e.us), math.max(l, e.us), n + 1)
+            if (s - e.us > gapUs) {
+              // late event: accumulate into the pending late session
+              // (sorted order guarantees e.us >= late's last event)
+              late match {
+                case null => late = (e.us, e.us, 1L)
+                case (ls, ll, ln) =>
+                  if (e.us - ll > gapUs) {
+                    out ::= ClosedSession(user, ls, ll, ln)
+                    late = (e.us, e.us, 1L)
+                  } else late = (ls, e.us, ln + 1)
+              }
+            } else {
+              // sorted order: once events reach the open session's range
+              // no later event in this batch can be late again
+              flushLate()
+              if (e.us - l > gapUs) {
+                // the in-batch successor proves the gap — close
+                // immediately, no timer needed for this one
+                out ::= ClosedSession(user, s, l, n)
+                cur = (e.us, e.us, 1L)
+              } else cur = (math.min(s, e.us), math.max(l, e.us), n + 1)
+            }
         }
       }
+      flushLate()
       // one timer per key: re-arm at the open session's horizon
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (cur != null) {

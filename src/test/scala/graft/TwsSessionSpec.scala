@@ -79,6 +79,25 @@ class TwsSessionSpec extends SparkSpec {
     assert(got == want, s"late-arrival handling diverged: $got")
   }
 
+  test("co-batch late events within a gap of each other merge into one late session") {
+    val closed = run("tws_late_merge", Seq(
+      Seq((1L, 50000L)),                           // open session at 50000s
+      // three late events (well over a gap before 50000): the first two
+      // are 600s apart (< 1800s gap) and must MERGE into one closed
+      // session — the batch rule on that run; the third is 3000s later,
+      // a separate late session
+      Seq((1L, 1000L), (1L, 1600L), (1L, 4600L)),
+      Seq((9L, 2000000L))                          // sentinel closes the rest
+    ), watermarkDelay = "20 hours")
+    val got = closed.map(c =>
+      (c.user_id, c.start_us / 1000000, c.end_us / 1000000, c.n_events)).toSet
+    val want = Set(
+      (1L, 1000L, 1600L, 2L),       // the merged late run — NOT two singles
+      (1L, 4600L, 4600L, 1L),       // the disjoint later late event
+      (1L, 50000L, 50000L, 1L))     // the open session, untouched
+    assert(got == want, s"co-batch late merge diverged: $got")
+  }
+
   test("closed-session stream equals the batch q_sessionize rule on fixture events") {
     val ev = graft.queries.Q.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
