@@ -110,20 +110,52 @@ object Main {
           "but that environment variable is not set")))
     val tap = new graft.sources.WalSegmentTap(java.nio.file.Paths.get(walDir))
     val t = new Thread(() => {
-      while (true) {
+      // transient socket loss retries with exponential backoff (5s..80s,
+      // reset on a successful connect); permanently-fatal errors — bad
+      // credentials (SCRAM SecurityException) or broken config (missing
+      // publication/slot privileges, PgServerException) — stop the thread
+      // loudly instead of hammering server auth throttling forever while
+      // the pipeline looks healthy with zero input
+      var backoffMs = 5000L
+      var run = true
+      while (run) {
         try {
           val (sock, loop) = graft.sources.LiveWal.connect(
             cfg.pgHost, cfg.pgPort, cfg.pgUser, cfg.pgDatabase,
             cfg.pgSlot, cfg.pgPublication, cfg.pgStartLsn, password,
-            cfg.pgCreatePublication, cfg.pgCreateSlot)
+            cfg.pgCreatePublication, cfg.pgCreateSlot, cfg.pgSslMode)
+          backoffMs = 5000L // the handshake succeeded: outage is over
           try new graft.sources.LiveWalRunner(loop, tap, cfg.batchSize).run()
           finally sock.close()
         } catch {
+          // 28***: invalid authorization; 3D000: unknown database; 42704:
+          // undefined object (missing publication); 42501: privilege —
+          // none heals by reconnecting with the same credentials/config
+          case e @ (_: SecurityException | _: IllegalStateException) =>
+            System.err.println("[graft] wal receiver: FATAL " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}; not retrying " +
+              "(fix credentials/replication config and restart)")
+            run = false
+          case e: graft.sources.PgReplicationHandshake.BackendError
+            if e.sqlState.startsWith("28") ||
+              Set("3D000", "42704", "42501").contains(e.sqlState) =>
+            System.err.println("[graft] wal receiver: FATAL server error " +
+              s"${e.getMessage}; not retrying " +
+              "(fix credentials/replication config and restart)")
+            run = false
           case e: Throwable =>
-            System.err.println(s"[graft] wal receiver: ${e.getMessage}; " +
-              "reconnecting in 5s")
+            System.err.println("[graft] wal receiver: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}; " +
+              s"reconnecting in ${backoffMs / 1000}s")
         }
-        Thread.sleep(5000L)
+        if (run)
+          try Thread.sleep(backoffMs) catch {
+            case _: InterruptedException =>
+              System.err.println("[graft] wal receiver: interrupted; exiting")
+              Thread.currentThread().interrupt()
+              run = false
+          }
+        backoffMs = math.min(backoffMs * 2, 80000L)
       }
     }, "graft-wal-receiver")
     t.setDaemon(true)

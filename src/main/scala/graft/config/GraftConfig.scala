@@ -18,6 +18,7 @@ final case class GraftConfig(
     pgUser: String = "postgres",
     pgDatabase: String = "postgres",
     pgPasswordEnv: String = "",                  // env var holding the password
+    pgSslMode: String = "disable",               // disable | require | verify-full
     pgSlot: String = "graft",
     pgPublication: String = "graft_pub",
     pgStartLsn: Long = 0L,
@@ -86,6 +87,7 @@ object GraftConfig {
       // password via env indirection — credentials never live in YAML
       // (the reference embeds them in its DSN string, config.go:17)
       pgPasswordEnv = str(pg, "password_env"),
+      pgSslMode = str(pg, "ssl_mode", "disable"),
       pgSlot = str(pg, "slot", "graft"),
       pgPublication = str(pg, "publication", "graft_pub"),
       pgStartLsn = {

@@ -46,8 +46,14 @@ object LiveWal {
               startLsn: Long = 0L,
               password: Option[String] = None,
               createPublication: Boolean = true,
-              createSlot: Boolean = true): (Socket, WalReceiveLoop) = {
-    val sock = new Socket(host, port)
+              createSlot: Boolean = true,
+              sslMode: String = PgTls.ModeDisable,
+              sslContext: Option[javax.net.ssl.SSLContext] = None)
+    : (Socket, WalReceiveLoop) = {
+    val raw = new Socket(host, port)
+    // TLS upgrade happens BEFORE the StartupMessage (SSLRequest preamble);
+    // everything after — SCRAM included — rides the negotiated streams
+    val sock = PgTls.negotiate(raw, host, sslMode, sslContext)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val hs = new PgReplicationHandshake(in, out, password)
@@ -96,18 +102,44 @@ final class WalSegmentTap(dir: Path) {
     } finally listing.close()
   }
 
-  /** Write one segment if there is anything to write; returns its path. */
+  /** Write one segment if there is anything to write; returns its path.
+    *
+    * Durability contract: the flush-aware ack ([[LiveWalRunner]]) reports
+    * this segment's LSNs as flushed, after which the slot will never
+    * re-deliver them — so the bytes must survive an OS/power crash, not
+    * just a process crash. Hence force(true) on the file channel before
+    * the atomic rename, and an fsync of the directory after it (a rename
+    * is only durable once the directory entry is). */
   def write(frames: Seq[(Long, Array[Byte])]): Option[Path] =
     if (frames.isEmpty) None
     else {
       val name = f"segment-$n%08d.bin"
       val tmp = dir.resolve(s".$name.tmp")
-      Files.write(tmp, PgOutputWire.frame(frames))
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val buf = java.nio.ByteBuffer.wrap(PgOutputWire.frame(frames))
+        while (buf.hasRemaining) ch.write(buf)
+        ch.force(true)
+      } finally ch.close()
       val p = dir.resolve(name)
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      fsyncDir()
       n += 1
       Some(p)
     }
+
+  /** fsync the segment directory so the rename's entry is durable; some
+    * filesystems refuse read-channel force on directories — then the move
+    * itself is the best available barrier, so a refusal is tolerated. */
+  private def fsyncDir(): Unit =
+    try {
+      val dch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Drain the loop's buffer into the next segment file. */
   def tap(loop: WalReceiveLoop): Option[Path] = write(loop.drainFrames())

@@ -98,6 +98,16 @@ final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream,
     }
   }
 
+  /** Execute one simple-query command and return its text-format rows —
+    * a `replication=database` session accepts plain SQL, which the gated
+    * live-server smoke harness (`LivePostgresSpec`) uses for DDL and seed
+    * data. Throws [[BackendError]] on any server error. */
+  def exec(sql: String): Seq[IndexedSeq[String]] = {
+    require(ready, "startup() first")
+    query(sql)
+    drainRows()
+  }
+
   /** `START_REPLICATION SLOT ... LOGICAL lsn (proto_version '1',
     * publication_names '...')` — returns once the backend answers
     * CopyBothResponse; the streams then belong to [[WalReceiveLoop]]

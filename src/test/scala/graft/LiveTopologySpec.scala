@@ -79,11 +79,15 @@ class LiveTopologySpec extends SparkSpec {
     * loop, then `log` streamed as one transaction per change (relations
     * sent once at stream start — real pgoutput behavior), then CopyDone. */
   private def walsender(server: ServerSocket, log: Seq[Chg],
-                        failure: java.util.concurrent.atomic.AtomicReference[String])
+                        failure: java.util.concurrent.atomic.AtomicReference[String],
+                        tls: Boolean = false)
   : Thread = {
     val t = new Thread(() => {
-      val s = server.accept()
+      val raw = server.accept()
       try {
+        // TLS variant: SSLRequest preamble + upgrade, then the identical
+        // walsender protocol rides the encrypted channel
+        val s = if (tls) TlsTestMaterial.acceptTls(raw) else raw
         val sin = new DataInputStream(s.getInputStream)
         val sout = new DataOutputStream(s.getOutputStream)
         // startup (untagged) → trust ok
@@ -146,7 +150,7 @@ class LiveTopologySpec extends SparkSpec {
         sout.write(Array[Byte]('c'.toByte, 0, 0, 0, 4)) // CopyDone
         sout.flush()
       } catch { case e: Throwable => failure.set(s"mock walsender: $e") }
-      finally s.close()
+      finally raw.close()
     })
     t.start()
     t
@@ -198,6 +202,33 @@ class LiveTopologySpec extends SparkSpec {
     assert(got == want,
       s"merged table diverges from q_latest_by_pk: " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("TLS dial: handshake + runner + segments carry the identical change " +
+    "stream over sslmode=require") {
+    // the full-chain content assertion lives in the plaintext test above;
+    // this variant proves the SAME protocol stack — SSLRequest upgrade,
+    // SCRAM-capable startup, runner, commit-aligned segments — over an
+    // encrypted channel, byte-identical at the decoded-change level
+    val log = fullLog.take(200)
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t = walsender(server, log, failure, tls = true)
+    val (sock, loop) = LiveWal.connect(
+      "localhost", server.getLocalPort,
+      "rep", "postgres", "graft_e2e", "graft_pub",
+      sslMode = graft.sources.PgTls.ModeRequire)
+    val segDir = java.nio.file.Files.createTempDirectory("tls_segs")
+    try {
+      val segs = new LiveWalRunner(loop, new WalSegmentTap(segDir),
+        minFramesPerSegment = 32).run()
+      assert(segs.nonEmpty)
+      val decoded = segs.flatMap(p => PgOutputWire.decodeSegment(
+        java.nio.file.Files.readAllBytes(p), _ => "id"))
+      assert(decoded.map(c => (c.op, c.lsn)) == log.map(c => (c.op, c.lsn)),
+        "decoded changes over TLS diverge from the served log")
+    } finally { sock.close(); t.join(10000); server.close() }
+    assert(failure.get() == null, s"server saw: ${failure.get()}")
   }
 
   test("outage + overlapping re-delivery + checkpoint restart converges to the same table") {

@@ -1,0 +1,187 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.KeyStore
+import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLSocket,
+  TrustManagerFactory}
+
+import graft.sources.{PgReplicationHandshake, PgTls}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Self-signed TLS material for the mock walsender specs: the committed
+  * PKCS12 keystore (CN=localhost, SAN dns:localhost + ip:127.0.0.1) acts
+  * as the server's identity and the client's trust anchor. */
+object TlsTestMaterial {
+  private val Password = "graft-test".toCharArray
+
+  private def keyStore: KeyStore = {
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = getClass.getResourceAsStream("/graft/tls-test.p12")
+    require(in != null, "missing test resource graft/tls-test.p12")
+    try ks.load(in, Password) finally in.close()
+    ks
+  }
+
+  /** Server-side context: holds the self-signed key pair. */
+  def serverContext: SSLContext = {
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, Password)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Client-side context trusting exactly the self-signed certificate —
+    * the injected-trust path a deployment with a private CA uses. */
+  def clientContext: SSLContext = {
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(keyStore)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** Server half of the SSLRequest dance: read the 8-byte preamble off
+    * `raw`, assert its shape, answer 'S', and hand back the TLS layer. */
+  def acceptTls(raw: Socket): Socket = {
+    val in = new DataInputStream(raw.getInputStream)
+    val len = in.readInt()
+    val code = in.readInt()
+    require(len == 8 && code == 80877103, s"bad SSLRequest: len=$len code=$code")
+    raw.getOutputStream.write('S')
+    raw.getOutputStream.flush()
+    val ssl = serverContext.getSocketFactory
+      .createSocket(raw, null, raw.getPort, true).asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(false)
+    ssl
+  }
+}
+
+/** TLS on the replication dial: SSLRequest preamble bytes, 'S'/'N'
+  * handling, sslmode semantics (require = encrypt-only, verify-full =
+  * authenticate + hostname), and a full startup handshake running over
+  * the negotiated channel. */
+class TlsSpec extends AnyFunSuite {
+
+  private def msg(tag: Char, body: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(5 + body.length)
+    b.put(tag.toByte).putInt(4 + body.length).put(body)
+    b.array()
+  }
+  private def authOk = msg('R', ByteBuffer.allocate(4).putInt(0).array())
+  private def readyForQuery = msg('Z', Array('I'.toByte))
+
+  test("sslmode=disable sends no preamble and returns the raw socket") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      assert(PgTls.negotiate(sock, "localhost", PgTls.ModeDisable) eq sock)
+    } finally { sock.close(); server.close() }
+  }
+
+  test("sslmode=require fails hard when the server answers 'N'") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = server.accept()
+      try {
+        val in = new DataInputStream(s.getInputStream)
+        assert(in.readInt() == 8 && in.readInt() == 80877103)
+        s.getOutputStream.write('N'); s.getOutputStream.flush()
+      } finally s.close()
+    })
+    t.start()
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val e = intercept[IllegalStateException](
+        PgTls.negotiate(sock, "localhost", PgTls.ModeRequire))
+      assert(e.getMessage.contains("refused TLS"))
+    } finally { sock.close(); t.join(5000); server.close() }
+  }
+
+  test("unknown sslmode is rejected before any bytes flow") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try intercept[IllegalArgumentException](
+      PgTls.negotiate(sock, "localhost", "prefer-ish"))
+    finally { sock.close(); server.close() }
+  }
+
+  /** Mock backend that upgrades to TLS then runs a trust-auth startup. */
+  private def tlsBackend(server: ServerSocket,
+                         failure: java.util.concurrent.atomic.AtomicReference[String])
+  : Thread = {
+    val t = new Thread(() => {
+      val raw = server.accept()
+      try {
+        val s = TlsTestMaterial.acceptTls(raw)
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        // StartupMessage arrives ENCRYPTED — prove it by parsing it here,
+        // beyond the TLS layer
+        val slen = sin.readInt() - 4
+        val sp = new Array[Byte](slen)
+        sin.readFully(sp)
+        val params = new String(sp, 4, slen - 5, UTF_8)
+          .split('\u0000').grouped(2).collect { case Array(k, v) => k -> v }.toMap
+        if (params.get("replication") != Some("database"))
+          failure.set(s"startup over TLS lost replication=database: $params")
+        sout.write(authOk); sout.write(readyForQuery); sout.flush()
+      } catch { case e: Throwable => failure.set(s"tls backend: $e") }
+      finally raw.close()
+    })
+    t.start()
+    t
+  }
+
+  test("sslmode=require: full startup handshake rides the TLS channel " +
+    "(self-signed accepted, encrypt-only semantics)") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t = tlsBackend(server, failure)
+    val raw = new Socket("localhost", server.getLocalPort)
+    try {
+      val sock = PgTls.negotiate(raw, "localhost", PgTls.ModeRequire)
+      assert(sock.isInstanceOf[SSLSocket], "require must yield a TLS layer")
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream))
+      hs.startup("rep", "postgres") // throws unless ReadyForQuery arrives
+      t.join(5000)
+      assert(failure.get() == null, s"backend saw: ${failure.get()}")
+    } finally { raw.close(); server.close() }
+  }
+
+  test("sslmode=verify-full succeeds against the trusted cert with a " +
+    "matching hostname") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t = tlsBackend(server, failure)
+    val raw = new Socket("localhost", server.getLocalPort)
+    try {
+      val sock = PgTls.negotiate(raw, "localhost", PgTls.ModeVerifyFull,
+        Some(TlsTestMaterial.clientContext))
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream))
+      hs.startup("rep", "postgres")
+      t.join(5000)
+      assert(failure.get() == null, s"backend saw: ${failure.get()}")
+    } finally { raw.close(); server.close() }
+  }
+
+  test("sslmode=verify-full rejects an untrusted (self-signed) certificate " +
+    "under the default trust store") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t = tlsBackend(server, failure)
+    val raw = new Socket("localhost", server.getLocalPort)
+    try {
+      intercept[javax.net.ssl.SSLException](
+        PgTls.negotiate(raw, "localhost", PgTls.ModeVerifyFull))
+      // backend sees its own handshake failure — that's the point
+    } finally { raw.close(); t.join(5000); server.close() }
+  }
+}
