@@ -72,11 +72,19 @@ object GraphOps {
     * the minimum-(degree, id) vertex of its triangle, NOT the minimum id —
     * callers that aggregate per-vertex membership (union of x/y/z) are
     * unaffected. */
-  def triangles(pairs: DataFrame): DataFrame = {
-    // eager checkpoint: the wedge self-join reads the oriented list TWICE
-    // (both sides) — without materialization the orientation's two degree
-    // joins run twice, and the measured cost doubles at sf0.1
-    val o = orientByDegree(pairs).localCheckpoint(true)
+  def triangles(pairs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    // eager materialization: the wedge self-join reads the oriented list
+    // TWICE (both sides) — without it the orientation's two degree joins
+    // run twice, and the measured cost doubles at sf0.1. With a cacheKey
+    // the artifact goes through SessionCache (persist, lineage intact —
+    // an executor loss recomputes the partitions); the localCheckpoint
+    // fallback for anonymous inputs truncates lineage and would fail the
+    // job on a lost executor, acceptable only off the production paths.
+    val o = cacheKey match {
+      case Some(k) => graft.util.SessionCache
+        .getOrMaterialize(pairs.sparkSession, k)(orientByDegree(pairs))
+      case None => orientByDegree(pairs).localCheckpoint(true)
+    }
     o.select(col("src"), col("dst").as("v"))
       .join(o.select(col("src"), col("dst").as("w")), Seq("src"))
       .filter(col("v") < col("w"))

@@ -600,24 +600,21 @@ object PipelineQueries {
         |            / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE), 6)
         |      >= 0.95
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val expd = tbl(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          array_sort(DedupOps.tokens(col("text"))).as("t"))
-        .filter(size(col("t")) > 0)
-        .select(col("doc_id"), col("lang"),
-          array_sort(filter(
-            transform(sequence(lit(1), size(col("t"))), i => {
-              val occ = i.cast("long") -
-                array_position(col("t"), element_at(col("t"), i)) + 1L
-              when(occ <= 4L,
-                concat(element_at(col("t"), i), lit("~"), occ.cast("string")))
-            }),
-            e => e.isNotNull)).as("toks"))
-        // eager checkpoint: nearDupPairs reads the corpus from FIVE plans
-        // (vocab probe, two banding sides, two verify sides) — without
-        // materialization each re-runs the expansion HOFs (measured 94 s
-        // vs 3.6 s at sf0.1)
-        .localCheckpoint(true)
+      // the expansion runs in the weighted_expand native kernel — one
+      // hash-map pass per document instead of the HOF form's O(len²)
+      // array_position scans (WeightedExpandSpec pins kernel ≡ HOF).
+      // SessionCache persists the artifact (nearDupPairs reads it from
+      // FIVE plans: vocab probe, two banding sides, two verify sides)
+      // with lineage intact — an executor loss recomputes partitions
+      // instead of failing the job as the previous localCheckpoint did.
+      val expd = graft.util.SessionCache.getOrMaterialize(spark, s"wexpand:$dir") {
+        tbl(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            DedupOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), col("lang"),
+            graft.ops.expr.WeightedExpand.column(col("t"), 4).as("toks"))
+      }
       DedupOps.nearDupPairs(expd)
         .select(col("a_id"), col("b_id"), col("jac").as("wjac"))
         .orderBy("a_id", "b_id")
@@ -2642,7 +2639,8 @@ object PipelineQueries {
         |FROM deg LEFT JOIN tcnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
-      val tri = graft.ops.GraphOps.triangles(pairs).localCheckpoint(true)
+      val tri = graft.util.SessionCache.getOrMaterialize(spark, s"tri:$dir")(
+        graft.ops.GraphOps.triangles(pairs, Some(s"tri_oriented:$dir")))
       val tcnt = tri.select(col("x").as("doc_id"))
         .unionByName(tri.select(col("y").as("doc_id")))
         .unionByName(tri.select(col("z").as("doc_id")))
