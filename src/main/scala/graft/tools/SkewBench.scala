@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical skew/hub evidence at scale — the measurement behind the
+  * 100 TB claims the hub-capped graph plans and salted aggregation make
+  * (unit-scale fixtures pin CORRECTNESS in GraphSaturationSpec /
+  * AqeSkewSpec; this tool pins the GROWTH LAW on multi-million-edge
+  * graphs).
+  *
+  * The generated graph models a near-dup graph over a growing corpus: a
+  * random background (constant average degree — |E| grows linearly with
+  * the corpus) plus one template-cluster hub whose membership grows WITH
+  * the corpus (boilerplate clusters do). Wedge volume through the
+  * mid-vertex join is then:
+  *   - uncapped: Σ deg(mid)² ≥ hub² — grows QUADRATICALLY in scale;
+  *   - hub-capped (mids with deg ≤ cap): background-only — linear.
+  *
+  * `SkewScaleSpec` asserts the growth law on deterministic volumes at
+  * unit scale; this main measures volumes AND wall-clock at s ∈ {1,2,4}
+  * with ~1M·s background edges and a 5000·s-member hub, plus the salted
+  * vs direct hot-key aggregation, and prints one JSON line (committed as
+  * `tools/skewbench_r7.json`).
+  */
+object SkewBench {
+
+  /** Deterministic hub-shaped symmetric edge list (`src`, `dst`):
+    * `eBase·s` background edges over `eBase·s/2` nodes (avg degree ~4)
+    * plus a star of `hubBase·s` members around one hub node. */
+  def hubGraph(spark: SparkSession, s: Int, eBase: Long, hubBase: Long): DataFrame = {
+    val nNodes = math.max(eBase * s / 2, 4L)
+    val bg = spark.range(eBase * s).select(
+      pmod(xxhash64(lit("sb_a"), col("id")), lit(nNodes)).as("a"),
+      pmod(xxhash64(lit("sb_b"), col("id")), lit(nNodes)).as("b"))
+      .filter(col("a") =!= col("b"))
+    // hub node and members live above the background id space
+    val hub = spark.range(hubBase * s).select(
+      lit(nNodes).as("a"), (col("id") + nNodes + 1L).as("b"))
+    val canon = bg.unionByName(hub)
+      .select(least(col("a"), col("b")).as("a_id"),
+        greatest(col("a"), col("b")).as("b_id"))
+      .distinct()
+    canon.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(canon.select(col("b_id").as("src"), col("a_id").as("dst")))
+  }
+
+  /** Raw wedge-join volume through mid-vertices (the row count the
+    * common-neighbor/k-hop self-join streams through the shuffle before
+    * any aggregation — the quantity the hub cap bounds). */
+  def wedgeVolume(h1: DataFrame, cap: Option[Int]): Long = {
+    val ends = h1.select(col("dst").as("mid"), col("src").as("x"))
+    val mids = cap match {
+      case Some(c) =>
+        val ok = h1.groupBy(col("src").as("mid"))
+          .agg(count(lit(1)).as("mdeg")).filter(col("mdeg") <= c).select("mid")
+        ends.join(ok, Seq("mid"), "left_semi")
+      case None => ends
+    }
+    mids.join(mids.withColumnRenamed("x", "y"), Seq("mid"))
+      .filter(col("x") < col("y"))
+      .count()
+  }
+
+  /** Clone-cluster banding volume: candidate pairs a banded self-join
+    * feeds verification, with and without identical-signature compaction.
+    * A clone cluster of m members shares ONE signature: compacted = the
+    * distinct-signature join (cluster contributes O(1) bucket rows),
+    * naive = per-bucket member pairs (m²). Both computed as counts over
+    * the same deterministic signature table. */
+  def bandVolumes(spark: SparkSession, s: Int, docsBase: Long,
+                  cloneBase: Long): (Long, Long) = {
+    // background docs: unique signatures; clone cluster: one shared sig
+    val docs = spark.range(docsBase * s).select(col("id"),
+      when(col("id") < cloneBase * s, lit(-1L))
+        .otherwise(xxhash64(lit("sig"), col("id"))).as("sig"))
+    // full-width band-bucket key (the production banding uses xxhash64 of
+    // the band rows — saturation is birthday-rare, not modulus-forced)
+    val bucket = docs.withColumn("bh", xxhash64(col("sig")))
+    val naive = bucket.select(col("bh"), col("id").as("a"))
+      .join(bucket.select(col("bh"), col("id").as("b")), Seq("bh"))
+      .filter(col("a") < col("b")).count()
+    val compacted = {
+      val sigs = bucket.select("bh", "sig").distinct()
+      sigs.select(col("bh"), col("sig").as("sa"))
+        .join(sigs.select(col("bh"), col("sig").as("sb")), Seq("bh"))
+        .filter(col("sa") <= col("sb")).count()
+    }
+    (compacted, naive)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-skewbench")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val eBase = sys.env.getOrElse("SKEWBENCH_EDGES", "1000000").toLong
+    val hubBase = sys.env.getOrElse("SKEWBENCH_HUB", "5000").toLong
+    val scales = Seq(1, 2, 4)
+
+    val graphRows = scales.map { s =>
+      val h1 = hubGraph(spark, s, eBase, hubBase).persist()
+      val edges = h1.count() / 2
+      val (cw, ct) = timed(wedgeVolume(h1, Some(graft.ops.GraphOps.HubCap)))
+      val (uw, ut) = timed(wedgeVolume(h1, None))
+      h1.unpersist()
+      (s, edges, cw, ct, uw, ut)
+    }
+
+    val bandRows = scales.map { s =>
+      val ((c, n), t) = timed(bandVolumes(spark, s, 200000L, 2000L))
+      (s, c, n, t)
+    }
+
+    // hot-key aggregation: one key owns half the rows
+    val aggRows = scales.map { s =>
+      val rows = spark.range(eBase * s).select(
+        when(pmod(col("id"), lit(2L)) === 0L, lit(0L))
+          .otherwise(pmod(xxhash64(lit("k"), col("id")), lit(100000L)))
+          .as("key"),
+        col("id").as("v")).persist()
+      rows.count()
+      val (_, st) = timed(
+        graft.ops.Skew.saltedSum(rows, "v", Seq("key"), 32).count())
+      val (_, dt) = timed(
+        rows.groupBy("key").agg(sum(col("v"))).count())
+      rows.unpersist()
+      (s, st, dt)
+    }
+
+    def arr[A](xs: Seq[A]): String = xs.mkString("[", ",", "]")
+    println(
+      s"""{"metric":"skewbench","edges_base":$eBase,"hub_base":$hubBase,""" +
+        s""""scales":${arr(scales)},""" +
+        s""""edges":${arr(graphRows.map(_._2))},""" +
+        s""""capped_wedges":${arr(graphRows.map(_._3))},""" +
+        s""""capped_sec":${arr(graphRows.map(r => f"${r._4}%.2f"))},""" +
+        s""""uncapped_wedges":${arr(graphRows.map(_._5))},""" +
+        s""""uncapped_sec":${arr(graphRows.map(r => f"${r._6}%.2f"))},""" +
+        s""""band_compacted":${arr(bandRows.map(_._2))},""" +
+        s""""band_naive":${arr(bandRows.map(_._3))},""" +
+        s""""salted_sec":${arr(aggRows.map(r => f"${r._2}%.2f"))},""" +
+        s""""direct_sec":${arr(aggRows.map(r => f"${r._3}%.2f"))}}""")
+    spark.stop()
+  }
+}
