@@ -89,10 +89,16 @@ object SkewBench {
     (compacted, naive)
   }
 
+  /** min-of-two timing (the Bench convention): the first pass absorbs
+    * JVM/codegen warm-up and page-cache misses on a shared box. */
   private def timed[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
+    def once(): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val a = once(); val b = once()
+    (b._1, math.min(a._2, b._2))
   }
 
   def main(args: Array[String]): Unit = {

@@ -208,6 +208,37 @@ class MergeStreamSpec extends SparkSpec {
       "junk file survived the overwrite")
   }
 
+  test("retention window: a reader that resolved an older manifest still " +
+    "finds every dir it references after later merges") {
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir, numBuckets = 2,
+      maxDeltasPerBucket = 2, keepManifests = 3)
+    store.merge(change("c", "1", 10, "v1"))
+    store.merge(change("c", "2", 20, "v2"))
+    // a slow reader resolves NOW (manifest seq 2) ...
+    val resolvedDirs = {
+      val m = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val latest = try m.filter(_.getFileName.toString.startsWith("manifest-"))
+        .sorted(java.util.Comparator.naturalOrder()).reduce((_, b) => b).get()
+      finally m.close()
+      new String(java.nio.file.Files.readAllBytes(latest)).split('\n')
+        .filter(_.startsWith("bucket ")).flatMap { l =>
+          val p = l.split(' ')
+          (Seq(p(2)) ++ p(3).split(',')).filter(_ != "-")
+        }.toSet
+    }
+    assert(resolvedDirs.nonEmpty)
+    // ... while the writer commits two more generations (within the
+    // retention window of 3 manifests)
+    store.merge(change("c", "3", 30, "v3"))
+    store.merge(change("c", "4", 40, "v4"))
+    resolvedDirs.foreach { d =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "data", d)),
+        s"dir $d referenced by a retained manifest was vacuumed early")
+    }
+    assert(store.current(spark).count() == 4)
+  }
+
   test("bucket-count drift under an existing store is refused") {
     val dir = tmp() + "/table"
     new ParquetTableStore(dir, numBuckets = 4).merge(change("c", "1", 10, "v"))
