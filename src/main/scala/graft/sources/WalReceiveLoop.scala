@@ -43,6 +43,12 @@ final class WalReceiveLoop(in: DataInputStream, out: DataOutputStream,
   def markFlushed(lsn: Long): Unit =
     flushedWal = math.max(math.max(flushedWal, 0L), lsn)
 
+  /** The durably-acked position (0 before any [[markFlushed]]): everything
+    * at or below it has been reported flushed to the server, which will
+    * therefore never re-deliver it — the replay horizon a downstream
+    * store's tombstone GC may safely use. */
+  def flushedLsn: Long = math.max(flushedWal, 0L)
+
   /** Consume protocol messages until CopyDone / error / EOF. */
   def run(): Unit = {
     var go = true

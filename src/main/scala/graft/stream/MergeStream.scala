@@ -346,16 +346,36 @@ final class ParquetTableStore(path: String,
   * [[CdcStream.run]] (which maintains the vector store). */
 object MergeStream {
 
+  /** `gcHorizon`, when given, turns tombstone GC into an operated loop:
+    * every `gcEveryBatches` micro-batches the store GCs up to the
+    * provider's current value — for the live topology that is the receive
+    * loop's durably-acked position (`WalReceiveLoop.flushedLsn`), below
+    * which the slot never re-delivers. The provider may regress or lag
+    * freely: [[ParquetTableStore.gc]] is monotonic. */
   def run(spark: SparkSession, sourceDir: String, storeDir: String,
           checkpointDir: String, flushIntervalMs: Long = 500,
           table: String = "public.documents",
           attrCols: Seq[String] =
-            Seq("title", "content", "created_at", "author")): StreamingQuery = {
+            Seq("title", "content", "created_at", "author"),
+          gcHorizon: Option[() => Long] = None,
+          gcEveryBatches: Int = 64): StreamingQuery = {
+    require(gcEveryBatches > 0)
     val store = new ParquetTableStore(storeDir, table, attrCols)
+    var sinceGc = 0
     CdcStream.readEnvelopes(spark, sourceDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(flushIntervalMs))
-      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.merge(batch)
+        gcHorizon.foreach { h =>
+          sinceGc += 1
+          if (sinceGc >= gcEveryBatches) {
+            sinceGc = 0
+            val horizon = h()
+            if (horizon > store.gcHorizon(spark)) store.gc(spark, horizon)
+          }
+        }
+      }
       .start()
   }
 }

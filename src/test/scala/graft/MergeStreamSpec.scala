@@ -239,6 +239,34 @@ class MergeStreamSpec extends SparkSpec {
     assert(store.current(spark).count() == 4)
   }
 
+  test("operated GC: the runner GCs up to the acked-horizon provider and " +
+    "the state still converges across chunks") {
+    val env = Changelog.envelopes(spark, sfDir).cache()
+    val lsnOf = get_json_object($"value", "$.lsn").cast("long")
+    val median = env.select(lsnOf.as("l")).stat.approxQuantile("l", Array(0.5), 0).head
+    val src = tmp()
+    env.filter(lsnOf <= median).coalesce(1).write.mode("overwrite").text(src)
+
+    val storeDir = tmp() + "/state"; val ckpt = tmp() + "/ckpt"
+    // the provider models the receive loop's flushedLsn: chunk 1 is acked
+    val q1 = MergeStream.run(spark, src, storeDir, ckpt,
+      gcHorizon = Some(() => median.toLong), gcEveryBatches = 1)
+    q1.processAllAvailable(); q1.stop()
+    val store = new ParquetTableStore(storeDir)
+    assert(store.gcHorizon(spark) == median.toLong, "GC did not run")
+    assert(store.snapshot(spark)
+      .filter(col("deleted") && col("lsn") <= median.toLong).count() == 0,
+      "pre-horizon tombstones survived the operated GC")
+
+    // chunk 2 (> horizon) arrives after the GC: state must still converge
+    env.filter(lsnOf > median).coalesce(1).write.mode("append").text(src)
+    val q2 = MergeStream.run(spark, src, storeDir, ckpt,
+      gcHorizon = Some(() => median.toLong), gcEveryBatches = 1)
+    q2.processAllAvailable(); q2.stop()
+    assert(currentState(new ParquetTableStore(storeDir)) == batchState(),
+      "operated GC broke cross-chunk convergence")
+  }
+
   test("bucket-count drift under an existing store is refused") {
     val dir = tmp() + "/table"
     new ParquetTableStore(dir, numBuckets = 4).merge(change("c", "1", 10, "v"))
