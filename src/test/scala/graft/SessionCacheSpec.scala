@@ -45,6 +45,29 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.invalidate(spark)
   }
 
+  test("a storage-level drop of the cached artifact is survivable: " +
+    "consumers recompute through the intact lineage") {
+    // The failure mode this cache exists to avoid: the hot-path artifacts
+    // (near-dup pair tables, the weighted expansion, oriented edge lists)
+    // were previously localCheckpoint(true)'d — lineage TRUNCATED — so
+    // losing an executor's storage mid-query failed the job
+    // unrecoverably. SessionCache persists with lineage intact: simulate
+    // total loss of the cached blocks and assert a consumer still
+    // produces the artifact (recomputed, not errored).
+    val df = SessionCache.getOrMaterialize(spark, "scs-drop") {
+      spark.range(100).toDF("n").withColumn("sq", org.apache.spark.sql.functions.expr("n * n"))
+    }
+    assert(df.storageLevel != StorageLevel.NONE)
+    // simulated storage-level drop: every cached block of the artifact
+    // vanishes (the strongest form of executor-storage loss)
+    df.unpersist(blocking = true)
+    assert(df.storageLevel == StorageLevel.NONE)
+    val sum = df.agg(org.apache.spark.sql.functions.sum("sq")).head().getLong(0)
+    assert(sum == (0 until 100).map(i => i.toLong * i).sum,
+      "consumer failed to recompute the dropped artifact")
+    SessionCache.invalidate(spark)
+  }
+
   test("invalidate racing an in-flight build waits and unpersists it") {
     val started = new CountDownLatch(1)
     val release = new CountDownLatch(1)
