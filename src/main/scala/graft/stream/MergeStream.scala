@@ -291,8 +291,12 @@ final class ParquetTableStore(path: String,
       val deltaName = f"delta-$seq%08d"
       // mode=overwrite clobbers an orphan of the same seq left by a crash
       // between delta write and manifest commit (that batch is replaying
-      // through this very call)
-      batch.write.partitionBy("bucket").mode("overwrite")
+      // through this very call). repartition co-locates each bucket into
+      // one task first: a dynamic-partition write otherwise emits a file
+      // per (task × bucket) — the small-file explosion — where this emits
+      // exactly one file per touched bucket per delta.
+      batch.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$dataDir/$deltaName")
       val touched = batch.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSet // ≤ numBuckets values
@@ -319,6 +323,7 @@ final class ParquetTableStore(path: String,
     collapse(unionLive(spark, scoped))
       .filter(!col("deleted") || col("lsn") > lit(m.gc))
       .withColumn("bucket", pmod(hash(col("pk")), lit(numBuckets)))
+      .repartition(col("bucket")) // one file per compacted bucket
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dataDir/$baseName")
     Manifest(m.seq, m.gc,
