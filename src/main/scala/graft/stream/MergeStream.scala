@@ -253,6 +253,17 @@ final class ParquetTableStore(path: String,
   def gcHorizon(spark: SparkSession): Long =
     loadManifest(spark).map(_.gc).getOrElse(-1L)
 
+  /** Operational stats from the manifest alone (no data reads): one row
+    * per bucket with data — (bucket, has_base, n_deltas) — the numbers an
+    * operator watches for compaction pressure and read fan-in. */
+  def stats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val m = loadManifest(spark).getOrElse(Manifest(0, -1L, Map.empty, Map.empty))
+    (m.base.keySet ++ m.deltas.keySet).toSeq.sorted
+      .map(k => (k, m.base.contains(k), m.deltas.getOrElse(k, Nil).size))
+      .toDF("bucket", "has_base", "n_deltas")
+  }
+
   // ---- write path -------------------------------------------------------
 
   /** Collapse one micro-batch of raw change envelopes (RowChange columns)

@@ -153,6 +153,10 @@ class MergeStreamSpec extends SparkSpec {
       maxDeltasPerBucket = 2, keepManifests = 2)
     (1 to 12).foreach(i => store.merge(change("c", i.toString, i * 10L, s"v$i")))
     assert(store.current(spark).count() == 12)
+    // the manifest-level stats view agrees with the compaction bound
+    val st = store.stats(spark).as[(Int, Boolean, Int)].collect()
+    assert(st.length == 1 && st.head._2 && st.head._3 <= 2,
+      s"stats diverged from the compaction contract: ${st.toSeq}")
     // live dirs for the single bucket: one base + ≤ maxDeltas deltas; plus
     // at most one manifest-retention generation of superseded dirs
     val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "data"))
