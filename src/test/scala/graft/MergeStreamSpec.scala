@@ -117,6 +117,20 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("seeded random chunking + shuffled order + duplicated chunk still " +
+    "converges to the batch state") {
+    // beyond the two-chunk ordered/reversed scenarios: 6 hash-random
+    // chunks applied in a seeded shuffle with one chunk delivered twice —
+    // the LSN-monotonic contract must make ANY such schedule converge
+    val store = new ParquetTableStore(tmp() + "/state")
+    val parsed = Changelog.changes(spark, sfDir)
+      .withColumn("chunk", pmod(xxhash64(lit("interleave"), col("lsn")), lit(6)))
+    val order = new scala.util.Random(42).shuffle((0 until 6).toList) :+ 2
+    order.foreach(c => store.merge(parsed.filter(col("chunk") === c).drop("chunk")))
+    assert(currentState(store) == batchState(),
+      s"random schedule $order diverged from the batch state")
+  }
+
   test("a merge rewrites only touched buckets: untouched buckets' files " +
     "stay byte-identical") {
     val dir = tmp() + "/table"
