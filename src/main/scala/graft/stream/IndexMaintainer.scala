@@ -45,13 +45,43 @@ final class IvfIndexMaintainer(centroidPath: String, storePath: String)
   val store = new ParquetTableStore(storePath, table = "graft.ivf_index",
     attrCols = Seq("cluster"))
 
+  // The quantizer artifact is loaded ONCE per maintainer and reused for
+  // every micro-batch: re-reading per trigger wastes I/O, and silently
+  // picking up a mid-stream artifact swap would split one run's
+  // assignments across two generations. After an offline retrain installs
+  // a new artifact, call [[reloadCentroids]] (or start a fresh maintainer
+  // for the rebuild store).
+  @transient private var cachedCentroids: DataFrame = _
+
+  /** Drop the memoized quantizer so the next batch loads the newly
+    * installed artifact. The old frame must be UNPERSISTED, not merely
+    * dereferenced: Spark's cache manager matches relations by canonical
+    * plan, so a fresh read of the same path would silently serve the old
+    * generation's cached buffers. */
+  def reloadCentroids(): Unit = synchronized {
+    if (cachedCentroids != null) {
+      try cachedCentroids.unpersist(blocking = true)
+      catch { case _: Exception => () }
+      cachedCentroids = null
+    }
+  }
+
+  private def centroids(spark: SparkSession): DataFrame = synchronized {
+    if (cachedCentroids == null) {
+      cachedCentroids = IndexStore.loadIvfDf(spark, centroidPath)
+        .persist()
+      cachedCentroids.count() // store eagerly (tiny: k×dim)
+    }
+    cachedCentroids
+  }
+
   /** Apply one micro-batch of vector changes. Expected columns:
     * `id` (long/string), `vec` (array<double>), `lsn` (long),
     * `deleted` (boolean). Upserts are assigned to their nearest persisted
     * cell; deletes carry no vector and tombstone the id. */
   def applyBatch(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
-    val centroids = IndexStore.loadIvfDf(spark, centroidPath)
+    val centroids = this.centroids(spark)
     val ups = batch.filter(!col("deleted"))
       .select(col("id"), col("lsn"), col("vec"))
     val assigned = Ivf.assignByJoin(

@@ -60,6 +60,39 @@ class IndexMaintainerSpec extends SparkSpec {
       "pre-delete upsert resurrected a deleted vector")
   }
 
+  test("the quantizer is generation-stable: a mid-stream artifact swap is " +
+    "picked up only after an explicit reload") {
+    val e = graft.queries.Q.tbl(spark, sfDir, "embeddings")
+    val centroids = Ivf.train(e, "vec_id", "embedding", k = 16, exact = true)
+    val cpath = tmp() + "/ivf_centroids"
+    IndexStore.saveIvf(spark, cpath, centroids)
+    val m = new IvfIndexMaintainer(cpath, tmp() + "/assign")
+    def batchOf(ids: Seq[Long], lsnBase: Long) =
+      e.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").cast("string").as("id"), col("embedding").as("vec"),
+          (col("vec_id") + lsnBase).cast("long").as("lsn"), lit(false).as("deleted"))
+    m.applyBatch(batchOf(Seq(0L, 1L, 2L, 3L), 100L))
+    assert(m.assignments(spark).select("cluster").distinct().count() >= 1)
+    // offline retrain installs a DEGENERATE single-cell artifact...
+    IndexStore.saveIvf(spark, cpath, Seq(0 -> centroids.head._2))
+    // ...but the running maintainer keeps its generation until reload
+    m.applyBatch(batchOf(Seq(4L, 5L), 200L))
+    val beforeReload = m.assignments(spark)
+      .filter(col("id").isin("4", "5")).select("cluster")
+      .as[Int].collect().toSet
+    val want45 = Ivf.index(e.filter(col("vec_id").isin(4L, 5L)),
+      "vec_id", "embedding", centroids, exact = true)
+      .select("cluster").as[Int].collect().toSet
+    assert(beforeReload == want45,
+      "maintainer silently adopted a mid-stream artifact swap")
+    m.reloadCentroids()
+    m.applyBatch(batchOf(Seq(6L, 7L), 300L))
+    val after = m.assignments(spark)
+      .filter(col("id").isin("6", "7")).select("cluster")
+      .as[Int].collect().toSet
+    assert(after == Set(0), s"post-reload batch ignored the new artifact: $after")
+  }
+
   test("retrain advice over streamed transitions equals the batch twin") {
     val arrivals: Seq[PkChange] =
       graft.cdc.Changelog.changes(spark, sfDir)
