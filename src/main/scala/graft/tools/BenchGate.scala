@@ -28,8 +28,10 @@ object BenchGate {
   val DefaultTotalRatio = 1.5
   val FloorSec = 0.15
 
-  private val entry: Regex = "\"(q_[A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
-  private val totalRe: Regex = "\"value\":([0-9.eE+-]+)".r
+  // whitespace-tolerant: pretty-printed JSON ("key": 1.0) must parse the
+  // same as the bench's compact output ("key":1.0)
+  private val entry: Regex = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+  private val totalRe: Regex = "\"value\"\\s*:\\s*([0-9.eE+-]+)".r
 
   def parseQueries(json: String): Map[String, Double] =
     entry.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -44,6 +46,13 @@ object BenchGate {
                  floorSec: Double = FloorSec): Seq[String] = {
     val b = parseQueries(budget)
     val f = parseQueries(fresh)
+    // an unparseable/empty side must FAIL the gate, not pass it vacuously
+    // (a reformatted budget file once parsed to zero entries and the gate
+    // reported OK over nothing)
+    val degenerate =
+      (if (b.isEmpty) Seq("EMPTY budget: no q_* entries parsed") else Nil) ++
+        (if (f.isEmpty) Seq("EMPTY fresh run: no q_* entries parsed") else Nil)
+    if (degenerate.nonEmpty) return degenerate
     val perQuery = b.toSeq.sortBy(_._1).flatMap { case (name, bt) =>
       f.get(name) match {
         case None => Some(s"MISSING $name (budget ${fmt(bt)}s)")

@@ -16,6 +16,22 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.violations(budget, budget).isEmpty)
   }
 
+  test("pretty-printed JSON (spaces after colons) parses identically") {
+    val pretty =
+      """{"metric": "total", "value": 100.0, "queries": {
+        |  "q_fast": 0.05, "q_mid": 0.50, "q_slow": 2.00}}""".stripMargin
+    assert(BenchGate.violations(pretty, budget).isEmpty)
+    assert(BenchGate.violations(budget, pretty).isEmpty)
+    assert(BenchGate.parseQueries(pretty).size == 3)
+  }
+
+  test("an empty/unparseable budget or fresh run FAILS, never passes " +
+    "vacuously") {
+    assert(BenchGate.violations("{}", budget).exists(_.contains("EMPTY budget")))
+    assert(BenchGate.violations(budget, "not json at all")
+      .exists(_.contains("EMPTY fresh")))
+  }
+
   test("trips on a >2x per-query regression above the noise floor") {
     val fresh =
       """{"metric":"total","value":101.0,"queries":{
