@@ -54,9 +54,22 @@ object LiveWal {
     // TLS upgrade happens BEFORE the StartupMessage (SSLRequest preamble);
     // everything after — SCRAM included — rides the negotiated streams
     val sock = PgTls.negotiate(raw, host, sslMode, sslContext)
+    // channel binding from the negotiated session: enables the
+    // SCRAM-SHA-256-PLUS variant when the server offers it (a MITM that
+    // terminated TLS with its own certificate then fails authentication)
+    val binding = sock match {
+      case ssl: javax.net.ssl.SSLSocket =>
+        try ssl.getSession.getPeerCertificates.headOption.collect {
+          case c: java.security.cert.X509Certificate =>
+            ScramAuth.tlsServerEndPoint(c)
+        }
+        catch { case _: javax.net.ssl.SSLPeerUnverifiedException => None }
+      case _ => None
+    }
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-    val hs = new PgReplicationHandshake(in, out, password)
+    val hs = new PgReplicationHandshake(in, out, password,
+      channelBinding = binding)
     hs.startup(user, database)
     hs.identifySystem() // walsender sanity + timeline visibility
     if (createPublication)

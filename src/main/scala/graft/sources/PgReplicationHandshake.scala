@@ -32,10 +32,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   *                  challenge then fails with a descriptive error)
   * @param nonceGen  client-nonce source — injectable so specs drive the
   *                  exchange deterministically; defaults to SecureRandom
+  * @param channelBinding  the TLS channel's `tls-server-end-point` data
+  *                  ([[ScramAuth.tlsServerEndPoint]] of the peer
+  *                  certificate); when present AND the server offers
+  *                  SCRAM-SHA-256-PLUS, the bound variant runs — a
+  *                  TLS-terminating MITM then corrupts the binding and
+  *                  authentication fails
   */
 final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream,
                                    password: Option[String] = None,
-                                   nonceGen: () => String = ScramAuth.randomNonce) {
+                                   nonceGen: () => String = ScramAuth.randomNonce,
+                                   channelBinding: Option[Array[Byte]] = None) {
 
   import PgReplicationHandshake._
 
@@ -165,18 +172,26 @@ final class PgReplicationHandshake(in: DataInputStream, out: DataOutputStream,
             case 10 => // AuthenticationSASL: cstring mechanism list
               val mechanisms = Iterator
                 .continually(readCString(b)).takeWhile(_.nonEmpty).toSeq
-              if (!mechanisms.contains(ScramAuth.Mechanism))
-                throw new IllegalStateException(
+              // prefer the channel-bound variant whenever both sides can:
+              // binding data exists (TLS dial) and the server offers -PLUS
+              val usePlus = channelBinding.isDefined &&
+                mechanisms.contains(ScramAuth.MechanismPlus)
+              val mech =
+                if (usePlus) ScramAuth.MechanismPlus
+                else if (mechanisms.contains(ScramAuth.Mechanism))
+                  ScramAuth.Mechanism
+                else throw new IllegalStateException(
                   s"server offers ${mechanisms.mkString(",")}; only " +
-                    s"${ScramAuth.Mechanism} is supported (channel-binding " +
-                    "-PLUS variants need TLS, which this connection is not)")
+                    s"${ScramAuth.Mechanism} (and ${ScramAuth.MechanismPlus} " +
+                    "over TLS) are supported")
               val pw = password.getOrElse(throw new IllegalStateException(
                 "server demands SCRAM authentication but no password was " +
                   "configured — pass one to PgReplicationHandshake"))
-              scram = new ScramClient(pw, nonceGen())
+              scram = new ScramClient(pw, nonceGen(),
+                if (usePlus) channelBinding else None)
               val first = scram.clientFirstMessage().getBytes(UTF_8)
               // SASLInitialResponse: cstr(mechanism), int32 len, response
-              val body = cstr(ScramAuth.Mechanism) ++
+              val body = cstr(mech) ++
                 intBytes(first.length) ++ first.toSeq
               send('p', body)
             case 11 => // AuthenticationSASLContinue: server-first-message

@@ -7,22 +7,30 @@ import java.util.Base64
 import javax.crypto.Mac
 import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
-/** SCRAM-SHA-256 client (RFC 5802 mechanics, RFC 7677 hash parameters) —
-  * the SASL exchange PostgreSQL wraps in AuthenticationSASL /
+/** SCRAM-SHA-256 / SCRAM-SHA-256-PLUS client (RFC 5802 mechanics,
+  * RFC 7677 hash parameters, RFC 5929 `tls-server-end-point` channel
+  * binding) — the SASL exchange PostgreSQL wraps in AuthenticationSASL /
   * SASLInitialResponse / AuthenticationSASLContinue / SASLResponse /
   * AuthenticationSASLFinal messages (the reference authenticates through
   * its driver's DSN: internal/cdc/postgres/postgres.go:97-113; this is
   * the same exchange implemented directly, JDK crypto only).
   *
-  * Channel binding is not offered (`n,,` gs2 header — the plain
-  * SCRAM-SHA-256 mechanism, not -PLUS), and the username in the SCRAM
-  * message is empty: PostgreSQL ignores it in favor of the startup-message
-  * user, which is what libpq sends. The exchange is pure (nonce injected),
-  * so `ScramSpec` pins it byte-for-byte to the RFC 7677 test vector and
-  * `HandshakeSpec` drives it against an in-process mock backend that
-  * independently verifies the proof.
+  * With `channelBinding` (the server certificate's tls-server-end-point
+  * hash, available once the dial upgraded through [[PgTls]]) the client
+  * runs the -PLUS variant: gs2 header `p=tls-server-end-point,,` and the
+  * c= attribute carries the header plus the binding data, so a MITM that
+  * terminates TLS with its own certificate corrupts the authenticated
+  * channel-binding bytes and the proof fails. Without it the plain
+  * mechanism runs (`n,,` — libpq's behavior when the server does not
+  * offer -PLUS). The username in the SCRAM message is empty: PostgreSQL
+  * ignores it in favor of the startup-message user, which is what libpq
+  * sends. The exchange is pure (nonce injected), so `ScramSpec` pins it
+  * byte-for-byte to the RFC 7677 test vector and `HandshakeSpec`/`TlsSpec`
+  * drive both variants against in-process mock backends that
+  * independently verify proof AND binding.
   */
-final class ScramClient(password: String, clientNonce: String) {
+final class ScramClient(password: String, clientNonce: String,
+                        channelBinding: Option[Array[Byte]] = None) {
 
   import ScramAuth._
 
@@ -32,7 +40,8 @@ final class ScramClient(password: String, clientNonce: String) {
   private val preppedPassword: String =
     saslPrep(password).getOrElse(password)
 
-  private val gs2Header = "n,,"
+  private val gs2Header =
+    if (channelBinding.isDefined) "p=tls-server-end-point,," else "n,,"
   private var clientFirstBare: String = _
   private var serverSignatureB64: String = _
 
@@ -62,8 +71,11 @@ final class ScramClient(password: String, clientNonce: String) {
     val saltedPassword = hi(preppedPassword, salt, iterations)
     val clientKey = hmac(saltedPassword, "Client Key")
     val storedKey = h(clientKey)
-    val channelBinding = Base64.getEncoder.encodeToString(gs2Header.getBytes(UTF_8))
-    val withoutProof = s"c=$channelBinding,r=$combinedNonce"
+    // c = base64(gs2-header || cb-data): with binding, the certificate
+    // hash itself is folded into the signed auth message
+    val cAttr = Base64.getEncoder.encodeToString(
+      gs2Header.getBytes(UTF_8) ++ channelBinding.getOrElse(Array.emptyByteArray))
+    val withoutProof = s"c=$cAttr,r=$combinedNonce"
     val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
     val clientSignature = hmac(storedKey, authMessage)
     val proof = xor(clientKey, clientSignature)
@@ -92,6 +104,20 @@ final class ScramClient(password: String, clientNonce: String) {
 object ScramAuth {
 
   val Mechanism = "SCRAM-SHA-256"
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
+
+  /** RFC 5929 `tls-server-end-point` channel-binding data: a hash of the
+    * server certificate's DER encoding, using the certificate signature's
+    * hash function with MD5/SHA-1 upgraded to SHA-256 (§4.1) — the one
+    * binding type PostgreSQL supports. */
+  def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val alg = cert.getSigAlgName.toUpperCase
+    val hash =
+      if (alg.contains("384")) "SHA-384"
+      else if (alg.contains("512")) "SHA-512"
+      else "SHA-256" // incl. the MD5/SHA-1 upgrade rule
+    MessageDigest.getInstance(hash).digest(cert.getEncoded)
+  }
 
   /** SASLprep (RFC 4013 profile of stringprep) for the password, matching
     * PostgreSQL's client behavior (libpq's pg_saslprep): map non-ASCII

@@ -25,6 +25,11 @@ object TlsTestMaterial {
     ks
   }
 
+  /** The self-signed certificate itself (for channel-binding checks). */
+  def certificate: java.security.cert.X509Certificate =
+    keyStore.getCertificate("graft-test")
+      .asInstanceOf[java.security.cert.X509Certificate]
+
   /** Server-side context: holds the self-signed key pair. */
   def serverContext: SSLContext = {
     val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
@@ -170,6 +175,138 @@ class TlsSpec extends AnyFunSuite {
       t.join(5000)
       assert(failure.get() == null, s"backend saw: ${failure.get()}")
     } finally { raw.close(); server.close() }
+  }
+
+  test("SCRAM-SHA-256-PLUS: channel binding from the TLS session is " +
+    "negotiated, carried in c=, and the bound proof verifies") {
+    import java.util.Base64
+    import graft.sources.ScramAuth
+    val password = "bound+s3cret"
+    val salt = "plus-variant-salt".getBytes(UTF_8)
+    val iterations = 4096
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val raw = server.accept()
+      try {
+        val s = TlsTestMaterial.acceptTls(raw)
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        val slen = sin.readInt() - 4
+        sin.readFully(new Array[Byte](slen)) // StartupMessage
+        // offer BOTH mechanisms: the bound client must pick -PLUS
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()
+          ++ ("SCRAM-SHA-256-PLUS".getBytes(UTF_8) :+ 0.toByte)
+          ++ ("SCRAM-SHA-256".getBytes(UTF_8) :+ 0.toByte) :+ 0.toByte))
+        sout.flush()
+        // SASLInitialResponse
+        val t1 = sin.readByte().toChar
+        val l1 = sin.readInt() - 4
+        val p1 = new Array[Byte](l1); sin.readFully(p1)
+        if (t1 != 'p') failure.set(s"expected SASLInitialResponse, got $t1")
+        val b1 = ByteBuffer.wrap(p1)
+        val mech = new StringBuilder
+        var c = b1.get(); while (c != 0) { mech.append(c.toChar); c = b1.get() }
+        if (mech.toString != "SCRAM-SHA-256-PLUS")
+          failure.set(s"client did not pick -PLUS: ${mech.toString}")
+        val len = b1.getInt
+        val fb = new Array[Byte](len); b1.get(fb)
+        val clientFirst = new String(fb, UTF_8)
+        if (!clientFirst.startsWith("p=tls-server-end-point,,"))
+          failure.set(s"gs2 header not bound: $clientFirst")
+        val bare = clientFirst.stripPrefix("p=tls-server-end-point,,")
+        val nonce = ScramAuth.parseAttrs(bare)("r")
+        val combined = nonce + "SrvExt"
+        val serverFirst = s"r=$combined," +
+          s"s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(11).array()
+          ++ serverFirst.getBytes(UTF_8))); sout.flush()
+        // client-final: c= must be base64(gs2 || OUR cert's cb data), and
+        // the proof must verify against the auth message containing it
+        val t2 = sin.readByte().toChar
+        val l2 = sin.readInt() - 4
+        val p2 = new Array[Byte](l2); sin.readFully(p2)
+        if (t2 != 'p') failure.set(s"expected SASLResponse, got $t2")
+        val clientFinal = new String(p2, UTF_8)
+        val attrs = ScramAuth.parseAttrs(clientFinal)
+        val cb = ScramAuth.tlsServerEndPoint(TlsTestMaterial.certificate)
+        val wantC = Base64.getEncoder.encodeToString(
+          "p=tls-server-end-point,,".getBytes(UTF_8) ++ cb)
+        if (attrs("c") != wantC)
+          failure.set(s"c= does not carry the certificate binding")
+        val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+        val authMessage = s"$bare,$serverFirst,$withoutProof"
+        val salted = ScramAuth.hi(password, salt, iterations)
+        val clientKey = ScramAuth.hmac(salted, "Client Key")
+        val wantProof = Base64.getEncoder.encodeToString(ScramAuth.xor(
+          clientKey, ScramAuth.hmac(ScramAuth.h(clientKey), authMessage)))
+        if (attrs("p") != wantProof) failure.set("bound client proof REJECTED")
+        val serverSig = Base64.getEncoder.encodeToString(ScramAuth.hmac(
+          ScramAuth.hmac(salted, "Server Key"), authMessage))
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(12).array()
+          ++ s"v=$serverSig".getBytes(UTF_8)))
+        sout.write(authOk); sout.write(readyForQuery); sout.flush()
+      } catch { case e: Throwable => failure.set(s"plus backend: $e") }
+      finally raw.close()
+    })
+    t.start()
+    val raw = new Socket("localhost", server.getLocalPort)
+    try {
+      val sock = PgTls.negotiate(raw, "localhost", PgTls.ModeRequire)
+      val binding = sock.asInstanceOf[SSLSocket].getSession
+        .getPeerCertificates.head match {
+        case c: java.security.cert.X509Certificate =>
+          graft.sources.ScramAuth.tlsServerEndPoint(c)
+      }
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream),
+        password = Some(password), channelBinding = Some(binding))
+      hs.startup("rep", "postgres") // throws on any SCRAM/binding failure
+      t.join(5000)
+      assert(failure.get() == null, s"backend saw: ${failure.get()}")
+    } finally { raw.close(); server.close() }
+  }
+
+  test("without TLS the client never selects -PLUS even if offered") {
+    import graft.sources.ScramAuth
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = server.accept()
+      try {
+        val sin = new DataInputStream(s.getInputStream)
+        val sout = new DataOutputStream(s.getOutputStream)
+        val slen = sin.readInt() - 4
+        sin.readFully(new Array[Byte](slen))
+        sout.write(msg('R', ByteBuffer.allocate(4).putInt(10).array()
+          ++ ("SCRAM-SHA-256-PLUS".getBytes(UTF_8) :+ 0.toByte)
+          ++ ("SCRAM-SHA-256".getBytes(UTF_8) :+ 0.toByte) :+ 0.toByte))
+        sout.flush()
+        val tag = sin.readByte().toChar
+        val l = sin.readInt() - 4
+        val p = new Array[Byte](l); sin.readFully(p)
+        val b = ByteBuffer.wrap(p)
+        val mech = new StringBuilder
+        var c = b.get(); while (c != 0) { mech.append(c.toChar); c = b.get() }
+        if (tag != 'p' || mech.toString != ScramAuth.Mechanism)
+          failure.set(s"plaintext client picked ${mech.toString}")
+      } catch { case e: Throwable => failure.set(s"backend: $e") }
+      finally s.close()
+    })
+    t.start()
+    val sock = new Socket(InetAddress.getLoopbackAddress, server.getLocalPort)
+    try {
+      val hs = new PgReplicationHandshake(
+        new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream),
+        password = Some("pw")) // no channelBinding: plaintext dial
+      // the backend closes after the initial response; EOF here is fine —
+      // the assertion is the mechanism choice the backend observed
+      intercept[Exception](hs.startup("rep", "postgres"))
+      t.join(5000)
+      assert(failure.get() == null, s"backend saw: ${failure.get()}")
+    } finally { sock.close(); server.close() }
   }
 
   test("sslmode=verify-full rejects an untrusted (self-signed) certificate " +
