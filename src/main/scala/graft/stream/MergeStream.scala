@@ -1,6 +1,8 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.VectorOps
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -25,18 +27,21 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * == Storage layout: bucketed deltas under an atomic manifest ==
   *
-  * The earlier design rewrote the full snapshot every micro-batch — at
-  * 100 TB table state with a 500 ms trigger that is O(state)/trigger write
-  * amplification, the classic streaming-sink scale killer. This store
-  * writes O(micro-batch) per trigger instead:
+  * The store writes O(micro-batch) per trigger:
   *
   *   path/manifest-SEQ.txt     commit log head (atomic rename install)
   *   path/data/delta-SEQ/      one per merge: the compacted batch,
-  *                             partitionBy(bucket = pmod(hash(pk), B))
+  *                             partitionBy(bucket = pmod(fnv1a64(pk), B))
   *   path/data/base-SEQ/       per-bucket compactions (also bucket-
   *                             partitioned); a bucket's state = its base
   *                             file (if any) + its live deltas, collapsed
   *                             last-writer-wins at read time (merge-on-read)
+  *
+  * The bucket hash is the repo's native codegen'd FNV-1a ([[VectorOps
+  * .fnv1a64]]) rather than Spark's Murmur3 so the registered audit
+  * `q_merge_amplification` (queries/GroupX.scala) replays the store's REAL
+  * bucket ids in DuckDB — an operator debugging a hot bucket sees the
+  * actual layout, not a statistical proxy.
   *
   * A merge (1) writes the batch as one new bucket-partitioned delta dir,
   * (2) compacts any bucket whose live-delta count exceeds
@@ -49,16 +54,44 @@ import java.nio.charset.StandardCharsets.UTF_8
   * buckets' files are never rewritten (MergeStreamSpec pins this
   * byte-for-byte).
   *
-  * == Tombstones and GC ==
+  * == Tombstones and GC (O(manifest), not O(state)) ==
   *
   * Tombstones are retained (with the delete's LSN) so a late re-delivered
   * upsert that PRECEDED the delete cannot resurrect the row. [[gc]] takes
   * the source's replay horizon — the slot's confirmed_flush, below which
-  * the server never re-delivers — records it in the manifest, and drops
-  * tombstones at or below it during a full compaction. Safety is enforced
-  * belt-and-braces: [[merge]] also FILTERS OUT any arriving change with
-  * lsn ≤ the recorded horizon, so even a contract-violating re-delivery of
-  * a pre-horizon upsert cannot resurrect a GC'd delete (spec-pinned).
+  * the server never re-delivers — clamps it to the store's APPLIED
+  * watermark (the max LSN any merge has committed; a receive loop's
+  * flushed-LSN runs ahead of what the streaming query has merged, and an
+  * unclamped horizon would make the merge-time refusal filter drop
+  * first-time deliveries of already-acked-but-not-yet-merged segments),
+  * and records the clamped value in the next manifest — touching ZERO data
+  * files. Pre-horizon tombstones are dropped lazily by each bucket's next
+  * threshold compaction (or an explicit [[compactAll]] maintenance pass);
+  * resurrection stays impossible meanwhile because [[merge]] FILTERS OUT
+  * any arriving change with lsn ≤ the recorded horizon, so even a
+  * contract-violating re-delivery of a pre-horizon upsert cannot revive a
+  * GC'd delete (spec-pinned). A scheduled full-table compaction per
+  * horizon advance would be O(state) write amplification on a timer — the
+  * exact failure mode the bucketed-delta layout exists to avoid.
+  *
+  * == Bucket scaling: manifest-versioned doubling ==
+  *
+  * `numBuckets` seeds a NEW store; once a manifest exists the store's
+  * bucket count is authoritative from the manifest and may be any
+  * power-of-two multiple of the configured seed (anything else is refused
+  * as drift). [[split]] doubles the count as a MANIFEST-ONLY commit: each
+  * bucket k's dirs become live for buckets k and k+B (consistent-hash
+  * doubling — pmod(h, B) = pmod(pmod(h, 2B), B), so a dir written at
+  * modulus B physically holds exactly the pks of new buckets k and k+B).
+  * Every dir records the modulus it was written under; readers prune old
+  * dirs by physical partition (new-bucket id mod dir-modulus) and, for
+  * dirs older than the current modulus, re-derive the current bucket from
+  * the pk so scoping stays exact. Old-modulus dirs disappear as their
+  * buckets compact (compaction always rewrites under the current modulus),
+  * so the re-derivation cost is transient. At 100 TB this is what keeps a
+  * bucket's compaction unit bounded: when a bucket's base outgrows
+  * `splitThresholdBytes`, the next merge doubles the bucket count without
+  * rewriting a byte.
   *
   * Scale shape: per trigger one shuffle sized by the micro-batch (the
   * within-batch pk compaction) and one bucket-partitioned O(batch) write;
@@ -73,10 +106,12 @@ final class ParquetTableStore(path: String,
                                 Seq("title", "content", "created_at", "author"),
                               numBuckets: Int = 32,
                               maxDeltasPerBucket: Int = 4,
-                              keepManifests: Int = 4)
+                              keepManifests: Int = 4,
+                              splitThresholdBytes: Long = Long.MaxValue)
   extends Serializable {
 
-  require(numBuckets > 0 && maxDeltasPerBucket > 0 && keepManifests > 0)
+  require(numBuckets > 0 && maxDeltasPerBucket > 0 && keepManifests > 0 &&
+    splitThresholdBytes > 0)
 
   private val attrs = attrCols
   private def dataDir = s"$path/data"
@@ -89,21 +124,33 @@ final class ParquetTableStore(path: String,
       attrs.map(StructField(_, StringType)) :+
       StructField("bucket", IntegerType))
 
+  /** The store's bucket function — pmod of the native FNV-1a 64 over the
+    * pk, exactly what `q_merge_amplification` replays in the oracle. */
+  private def bucketCol(b: Int): Column =
+    pmod(VectorOps.fnv1a64(col("pk")), lit(b.toLong)).cast("int")
+
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // ---- manifest: the store's atomically-installed commit head ----------
 
-  /** `base`/`deltas` name dirs under `data/`; a bucket's live state is
-    * base (oldest) then deltas in commit order. `gc` is the replay
-    * horizon: changes at or below it are refused, tombstones at or below
-    * it are dropped at compaction. */
-  private case class Manifest(seq: Int, gc: Long,
+  /** `base`/`deltas` name dirs under `data/`, keyed by CURRENT bucket id;
+    * a bucket's live state is base (oldest) then deltas in commit order.
+    * `buckets` is the current count (doubles under [[split]]); `mods`
+    * records the modulus each live dir was written under. `gc` is the
+    * replay horizon: changes at or below it are refused, tombstones at or
+    * below it drop at compaction. `applied` is the max LSN any committed
+    * merge has carried — the clamp for [[gc]]. */
+  private case class Manifest(seq: Int, buckets: Int, gc: Long, applied: Long,
+                              mods: Map[String, Int],
                               base: Map[Int, String],
                               deltas: Map[Int, List[String]]) {
     def liveDirs: Set[String] = base.values.toSet ++ deltas.values.flatten
   }
+
+  private def emptyManifest =
+    Manifest(0, numBuckets, -1L, -1L, Map.empty, Map.empty, Map.empty)
 
   private def manifestPath(seq: Int) =
     new org.apache.hadoop.fs.Path(f"$path/manifest-$seq%08d.txt")
@@ -121,8 +168,14 @@ final class ParquetTableStore(path: String,
 
   private def render(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"buckets $numBuckets\n")
+    sb.append(s"buckets ${m.buckets}\n")
+    sb.append("hashfn fnv1a64\n")
     sb.append(s"gc ${m.gc}\n")
+    sb.append(s"applied ${m.applied}\n")
+    val live = m.liveDirs
+    m.mods.filter(kv => live(kv._1)).toSeq.sorted.foreach { case (d, b) =>
+      sb.append(s"dir $d $b\n")
+    }
     val ks = (m.base.keySet ++ m.deltas.keySet).toSeq.sorted
     ks.foreach { k =>
       val b = m.base.getOrElse(k, "-")
@@ -135,17 +188,34 @@ final class ParquetTableStore(path: String,
   }
 
   private def parse(seq: Int, text: String): Manifest = {
+    var buckets = numBuckets
     var gc = -1L
+    var applied = -1L
+    var sawHashFn = false
+    var mods = Map.empty[String, Int]
     var base = Map.empty[Int, String]
     var deltas = Map.empty[Int, List[String]]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split(' ') match {
         case Array("buckets", b) =>
-          require(b.toInt == numBuckets,
-            s"store at $path was written with ${b.toInt} buckets; " +
-              s"this instance is configured with $numBuckets — the bucket " +
-              "function must not change under an existing store")
+          buckets = b.toInt
+          // a split store legitimately reports numBuckets·2^m; anything
+          // else means the bucket function changed under the data
+          var cur = numBuckets
+          while (cur < buckets) cur *= 2
+          require(cur == buckets,
+            s"store at $path was written with $buckets buckets; this " +
+              s"instance is configured with $numBuckets — the bucket count " +
+              "may only grow by doubling (split), never change otherwise")
+        case Array("hashfn", h) =>
+          sawHashFn = true
+          require(h == "fnv1a64",
+            s"store at $path was written with bucket hash '$h'; this build " +
+              "buckets with fnv1a64 — the bucket function must not change " +
+              "under an existing store")
         case Array("gc", g) => gc = g.toLong
+        case Array("applied", a) => applied = a.toLong
+        case Array("dir", d, b) => mods += d -> b.toInt
         case Array("bucket", k, b, d) =>
           val kk = k.toInt
           if (b != "-") base += kk -> b
@@ -153,20 +223,29 @@ final class ParquetTableStore(path: String,
         case other => sys.error(s"bad manifest line: ${other.mkString(" ")}")
       }
     }
-    Manifest(seq, gc, base, deltas)
+    require(sawHashFn,
+      s"store at $path predates the fnv1a64 bucket layout (legacy murmur3 " +
+        "bucketing); rebuild the store from the changelog — the bucket " +
+        "function must not change under existing data")
+    val m = Manifest(seq, buckets, gc, applied, mods, base, deltas)
+    // legacy tolerance within this layout: a dir with no `dir` line was
+    // written under the manifest's own bucket count
+    m.copy(mods = m.liveDirs.map(d => d -> m.mods.getOrElse(d, buckets)).toMap)
+  }
+
+  private def readManifest(f: org.apache.hadoop.fs.FileSystem, seq: Int): Manifest = {
+    val in = f.open(manifestPath(seq))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, UTF_8)
+    } finally in.close()
+    parse(seq, text)
   }
 
   private def loadManifest(spark: SparkSession): Option[Manifest] = {
     val f = fs(spark)
-    listManifestSeqs(f).lastOption.map { seq =>
-      val in = f.open(manifestPath(seq))
-      val text = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-        new String(bytes.toByteArray, UTF_8)
-      } finally in.close()
-      parse(seq, text)
-    }
+    listManifestSeqs(f).lastOption.map(readManifest(f, _))
   }
 
   /** Atomic commit: write `.tmp`, rename into place. A reader lists
@@ -189,16 +268,8 @@ final class ParquetTableStore(path: String,
     val f = fs(spark)
     val seqs = listManifestSeqs(f)
     seqs.dropRight(keepManifests).foreach(s => f.delete(manifestPath(s), false))
-    val kept = listManifestSeqs(f)
-    val referenced = kept.flatMap { seq =>
-      val in = f.open(manifestPath(seq))
-      val text = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-        new String(bytes.toByteArray, UTF_8)
-      } finally in.close()
-      parse(seq, text).liveDirs
-    }.toSet
+    val referenced = listManifestSeqs(f)
+      .flatMap(readManifest(f, _).liveDirs).toSet
     val dd = new org.apache.hadoop.fs.Path(dataDir)
     if (f.exists(dd))
       f.listStatus(dd).foreach { st =>
@@ -212,17 +283,24 @@ final class ParquetTableStore(path: String,
   def exists(spark: SparkSession): Boolean =
     listManifestSeqs(fs(spark)).nonEmpty
 
-  /** Union of every live dir, pruned to the buckets each dir is live FOR
-    * (a delta stays on disk until all its buckets compact away; partition
-    * pruning keeps dead bucket partitions unread). */
+  /** Union of every live dir, pruned to the buckets each dir is live FOR.
+    * Physical pruning maps current bucket ids through the dir's write-time
+    * modulus (partition pruning keeps dead partitions unread); dirs older
+    * than the current modulus additionally re-derive the current bucket
+    * from the pk, because one old physical partition holds several current
+    * buckets and only some may still be live for this dir. */
   private def unionLive(spark: SparkSession, m: Manifest): DataFrame = {
     val byDir = scala.collection.mutable.Map.empty[String, Set[Int]]
     m.base.foreach { case (k, d) => byDir(d) = byDir.getOrElse(d, Set.empty) + k }
     m.deltas.foreach { case (k, ds) =>
       ds.foreach(d => byDir(d) = byDir.getOrElse(d, Set.empty) + k) }
     val parts = byDir.toSeq.sortBy(_._1).map { case (d, ks) =>
-      spark.read.schema(rowSchema).parquet(s"$dataDir/$d")
-        .filter(col("bucket").isInCollection(ks))
+      val mod = m.mods.getOrElse(d, m.buckets)
+      val physical = ks.map(k => k % mod)
+      val scan = spark.read.schema(rowSchema).parquet(s"$dataDir/$d")
+        .filter(col("bucket").isInCollection(physical))
+      if (mod == m.buckets) scan
+      else scan.filter(bucketCol(m.buckets).isInCollection(ks))
     }
     parts.reduceOption(_.unionByName(_))
       .getOrElse(spark.createDataFrame(
@@ -240,10 +318,7 @@ final class ParquetTableStore(path: String,
 
   /** Full snapshot including tombstones: pk, lsn, deleted, attrs. */
   def snapshot(spark: SparkSession): DataFrame =
-    loadManifest(spark) match {
-      case Some(m) => collapse(unionLive(spark, m))
-      case None => collapse(unionLive(spark, Manifest(0, -1L, Map.empty, Map.empty)))
-    }
+    collapse(unionLive(spark, loadManifest(spark).getOrElse(emptyManifest)))
 
   /** Live rows (tombstones filtered). */
   def current(spark: SparkSession): DataFrame =
@@ -253,12 +328,21 @@ final class ParquetTableStore(path: String,
   def gcHorizon(spark: SparkSession): Long =
     loadManifest(spark).map(_.gc).getOrElse(-1L)
 
+  /** The applied watermark: max LSN any committed merge carried (−1 for an
+    * empty store). [[gc]] never records a horizon above this. */
+  def appliedLsn(spark: SparkSession): Long =
+    loadManifest(spark).map(_.applied).getOrElse(-1L)
+
+  /** The store's current bucket count (doubles under [[split]]). */
+  def currentBuckets(spark: SparkSession): Int =
+    loadManifest(spark).map(_.buckets).getOrElse(numBuckets)
+
   /** Operational stats from the manifest alone (no data reads): one row
     * per bucket with data — (bucket, has_base, n_deltas) — the numbers an
     * operator watches for compaction pressure and read fan-in. */
   def stats(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val m = loadManifest(spark).getOrElse(Manifest(0, -1L, Map.empty, Map.empty))
+    val m = loadManifest(spark).getOrElse(emptyManifest)
     (m.base.keySet ++ m.deltas.keySet).toSeq.sorted
       .map(k => (k, m.base.contains(k), m.deltas.getOrElse(k, Nil).size))
       .toDF("bucket", "has_base", "n_deltas")
@@ -290,10 +374,10 @@ final class ParquetTableStore(path: String,
     * at or below the GC horizon are refused outright. */
   def merge(changes: DataFrame): Unit = {
     val spark = changes.sparkSession
-    val m = loadManifest(spark).getOrElse(Manifest(0, -1L, Map.empty, Map.empty))
+    val m = loadManifest(spark).getOrElse(emptyManifest)
     val batch = compactBatch(changes)
       .filter(col("lsn") > lit(m.gc))
-      .withColumn("bucket", pmod(hash(col("pk")), lit(numBuckets)))
+      .withColumn("bucket", bucketCol(m.buckets))
       .persist()
     try {
       // empty triggers (timer fired, no data) must not commit a manifest
@@ -309,9 +393,13 @@ final class ParquetTableStore(path: String,
       batch.repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$dataDir/$deltaName")
-      val touched = batch.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet // ≤ numBuckets values
+      val agg = batch.agg(
+        collect_set(col("bucket")), max(col("lsn"))).head()
+      val touched = agg.getSeq[Int](0).toSet // ≤ numBuckets values
+      val batchMax = agg.getLong(1)
       var next = m.copy(seq = seq,
+        applied = math.max(m.applied, batchMax),
+        mods = m.mods + (deltaName -> m.buckets),
         deltas = touched.foldLeft(m.deltas)((d, k) =>
           d.updated(k, d.getOrElse(k, Nil) :+ deltaName)))
       val over = touched.filter(k =>
@@ -319,41 +407,97 @@ final class ParquetTableStore(path: String,
       if (over.nonEmpty) next = compactBuckets(spark, next, over)
       commitManifest(spark, next)
       vacuum(spark)
+      maybeSplit(spark, next, touched)
     } finally batch.unpersist()
   }
 
   /** Rewrite `buckets` as one base dir: their live dirs collapsed LWW,
     * tombstones at or below the GC horizon dropped (no pre-horizon change
     * can arrive to need blocking — [[merge]] refuses them). Other
-    * buckets' files are untouched by construction. */
+    * buckets' files are untouched by construction. The rewrite always
+    * lands under the CURRENT modulus, which is what retires old-modulus
+    * dirs after a [[split]]. */
   private def compactBuckets(spark: SparkSession, m: Manifest,
                              buckets: Set[Int]): Manifest = {
-    val scoped = Manifest(m.seq, m.gc,
-      m.base.filter(kv => buckets(kv._1)), m.deltas.filter(kv => buckets(kv._1)))
+    val scoped = m.copy(
+      base = m.base.filter(kv => buckets(kv._1)),
+      deltas = m.deltas.filter(kv => buckets(kv._1)))
     val baseName = f"base-${m.seq}%08d"
     collapse(unionLive(spark, scoped))
       .filter(!col("deleted") || col("lsn") > lit(m.gc))
-      .withColumn("bucket", pmod(hash(col("pk")), lit(numBuckets)))
+      .withColumn("bucket", bucketCol(m.buckets))
       .repartition(col("bucket")) // one file per compacted bucket
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dataDir/$baseName")
-    Manifest(m.seq, m.gc,
-      buckets.foldLeft(m.base)((b, k) => b.updated(k, baseName)),
-      m.deltas -- buckets)
+    m.copy(
+      mods = m.mods + (baseName -> m.buckets),
+      base = buckets.foldLeft(m.base)((b, k) => b.updated(k, baseName)),
+      deltas = m.deltas -- buckets)
   }
 
-  /** Record the source's replay horizon (slot confirmed_flush: nothing at
-    * or below it will ever be delivered again) and compact EVERY bucket,
-    * dropping tombstones at or below it — the periodic maintenance pass.
-    * Monotonic: a lower horizon than the recorded one is a no-op raise. */
+  /** Record the source's replay horizon — slot confirmed_flush: nothing at
+    * or below it will ever be delivered again — clamped to the APPLIED
+    * watermark (a receive loop acks segments ahead of what the streaming
+    * query has merged; recording the unclamped value would make [[merge]]
+    * refuse those segments' first delivery as if it were a replay —
+    * permanent row loss). This is an O(manifest) commit: NO data files are
+    * touched; pre-horizon tombstones drop at each bucket's next threshold
+    * compaction or an explicit [[compactAll]]. Monotonic: a lower horizon
+    * than the recorded one is a no-op. */
   def gc(spark: SparkSession, horizon: Long): Unit = {
-    val m = loadManifest(spark).getOrElse(Manifest(0, -1L, Map.empty, Map.empty))
-    val h = math.max(m.gc, horizon)
+    val m = loadManifest(spark).getOrElse(emptyManifest)
+    val h = math.max(m.gc, math.min(horizon, m.applied))
+    if (h == m.gc) return
+    commitManifest(spark, m.copy(seq = m.seq + 1, gc = h))
+    vacuum(spark)
+  }
+
+  /** Offline maintenance: compact every bucket that has data — drops all
+    * tombstones at or below the recorded horizon and retires old-modulus
+    * dirs after a [[split]]. The O(state) pass an operator schedules
+    * deliberately (off-peak), never something the streaming loop runs on
+    * a timer. */
+  def compactAll(spark: SparkSession): Unit = {
+    val m = loadManifest(spark).getOrElse(emptyManifest)
     val all = m.base.keySet ++ m.deltas.keySet
-    var next = m.copy(seq = m.seq + 1, gc = h)
-    if (all.nonEmpty) next = compactBuckets(spark, next, all)
+    if (all.isEmpty) return
+    commitManifest(spark, compactBuckets(spark, m.copy(seq = m.seq + 1), all))
+    vacuum(spark)
+  }
+
+  /** Double the bucket count — a MANIFEST-ONLY commit, zero data writes.
+    * Each bucket k's dirs become live for k and k+B: a dir written at
+    * modulus B holds exactly the pks of new buckets k and k+B (pmod(h, B)
+    * = pmod(pmod(h, 2B), B)), so old data stays addressable; readers
+    * re-derive the current bucket for old-modulus dirs and compaction
+    * migrates them to the new modulus lazily. */
+  def split(spark: SparkSession): Unit = {
+    val m = loadManifest(spark).getOrElse(emptyManifest)
+    val b = m.buckets
+    val next = m.copy(seq = m.seq + 1, buckets = b * 2,
+      base = m.base ++ m.base.map { case (k, d) => (k + b, d) },
+      deltas = m.deltas ++ m.deltas.map { case (k, ds) => (k + b, ds) })
     commitManifest(spark, next)
     vacuum(spark)
+  }
+
+  /** Auto-split check after a merge: if any touched bucket's base
+    * partition outgrew `splitThresholdBytes`, double the bucket count so
+    * the NEXT compactions write smaller units. Checks only touched
+    * buckets' base dirs — an fs metadata call per touched bucket, no data
+    * reads. */
+  private def maybeSplit(spark: SparkSession, m: Manifest,
+                         touched: Set[Int]): Unit = {
+    if (splitThresholdBytes == Long.MaxValue) return
+    val f = fs(spark)
+    val oversized = touched.exists { k =>
+      m.base.get(k).exists { d =>
+        val mod = m.mods.getOrElse(d, m.buckets)
+        val p = new org.apache.hadoop.fs.Path(s"$dataDir/$d/bucket=${k % mod}")
+        f.exists(p) && f.getContentSummary(p).getLength > splitThresholdBytes
+      }
+    }
+    if (oversized) split(spark)
   }
 }
 
@@ -363,11 +507,15 @@ final class ParquetTableStore(path: String,
 object MergeStream {
 
   /** `gcHorizon`, when given, turns tombstone GC into an operated loop:
-    * every `gcEveryBatches` micro-batches the store GCs up to the
-    * provider's current value — for the live topology that is the receive
-    * loop's durably-acked position (`WalReceiveLoop.flushedLsn`), below
-    * which the slot never re-delivers. The provider may regress or lag
-    * freely: [[ParquetTableStore.gc]] is monotonic. */
+    * every `gcEveryBatches` micro-batches the store records the provider's
+    * current value as the replay horizon — for the live topology that is
+    * the receive loop's durably-acked position (`WalReceiveLoop
+    * .flushedLsn`), below which the slot never re-delivers. The provider
+    * may regress, lag, or RUN AHEAD of the streaming query freely:
+    * [[ParquetTableStore.gc]] is monotonic and clamps to the store's own
+    * applied watermark, so acked-but-not-yet-merged segments are never
+    * refused as replays. The gc call itself is an O(manifest) commit —
+    * no data rewrite happens on this timer. */
   def run(spark: SparkSession, sourceDir: String, storeDir: String,
           checkpointDir: String, flushIntervalMs: Long = 500,
           table: String = "public.documents",

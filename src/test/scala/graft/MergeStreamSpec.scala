@@ -135,10 +135,11 @@ class MergeStreamSpec extends SparkSpec {
     "stay byte-identical") {
     val dir = tmp() + "/table"
     val store = new ParquetTableStore(dir, numBuckets = 4)
-    // find two pks landing in different buckets under pmod(hash(pk), 4)
+    // find two pks landing in different buckets under pmod(fnv1a64(pk), 4)
     val bucketOf = (1 to 16).map(_.toString).map { pk =>
       pk -> Seq(pk).toDF("pk")
-        .select(pmod(hash(col("pk")), lit(4)).as("b")).head().getInt(0)
+        .select(pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(4L))
+          .cast("int").as("b")).head().getInt(0)
     }.toMap
     val (pkA, bA) = bucketOf.head
     val (pkB, bB) = bucketOf.find(_._2 != bA).get
@@ -182,17 +183,27 @@ class MergeStreamSpec extends SparkSpec {
     assert(mN <= 2, s"manifest retention failed: $mN manifests on disk")
   }
 
-  test("GC drops tombstones at the replay horizon; a pre-horizon " +
-    "re-delivered upsert still cannot resurrect") {
+  test("GC is O(manifest): records the horizon clamped to the applied " +
+    "watermark, touches zero data files; tombstones drop at the next " +
+    "compaction; pre-horizon re-delivery still cannot resurrect") {
     val dir = tmp() + "/table"
     val store = new ParquetTableStore(dir)
     store.merge(change("c", "1", 10, "v1"))
     store.merge(change("d", "1", 30, null))
     assert(store.snapshot(spark).count() == 1) // the tombstone row
-    // the source guarantees nothing at or below 50 will be re-delivered
+    // the receive loop acked up to 50, but the stream only MERGED up to 30
+    // (applied watermark): the recorded horizon must clamp to 30, and the
+    // gc commit must be manifest-only — no data file rewritten or dropped
+    val before = dataFiles(dir)
     store.gc(spark, 50)
-    assert(store.gcHorizon(spark) == 50)
-    assert(store.snapshot(spark).count() == 0, "tombstone not GC'd")
+    assert(store.gcHorizon(spark) == 30,
+      "horizon not clamped to the applied watermark")
+    assert(dataFiles(dir) == before, "gc touched data files (must be O(manifest))")
+    // the tombstone SURVIVES until compaction (lazy drop) ...
+    assert(store.snapshot(spark).count() == 1)
+    // ... and drops at the next compaction pass
+    store.compactAll(spark)
+    assert(store.snapshot(spark).count() == 0, "tombstone not dropped at compaction")
     // contract-violating re-delivery of the pre-delete upsert: the horizon
     // filter must refuse it — without the filter, the dropped tombstone
     // would let it resurrect the deleted row
@@ -203,8 +214,25 @@ class MergeStreamSpec extends SparkSpec {
     assert(store.current(spark).select("content").as[String].collect().toSeq
       == Seq("v3"))
     // a lower horizon later must not regress the recorded one
-    store.gc(spark, 40)
-    assert(store.gcHorizon(spark) == 50)
+    store.gc(spark, 20)
+    assert(store.gcHorizon(spark) == 30)
+  }
+
+  test("GC horizon running AHEAD of the merge stream does not drop " +
+    "first-time deliveries of acked-but-unmerged segments") {
+    // the race: WalReceiveLoop.flushedLsn tracks what the segment tap has
+    // durably WRITTEN, which runs ahead of what the streaming query has
+    // MERGED. An unclamped gc at the tap's horizon would make merge's
+    // refusal filter discard those segments' changes as replays.
+    val store = new ParquetTableStore(tmp() + "/table")
+    store.merge(change("c", "1", 10, "v1")) // applied = 10
+    // tap has acked through 1000; segments 20/30 are written but not merged
+    store.gc(spark, 1000)
+    assert(store.gcHorizon(spark) == 10, "horizon must clamp to applied=10")
+    // first-time delivery of the acked-but-unmerged segment must APPLY
+    store.merge(change("u", "1", 20, "v2"))
+    assert(store.current(spark).select("content").as[String].collect().toSeq
+      == Seq("v2"), "first-time delivery was refused as a replay — row loss")
   }
 
   test("orphan delta dir from a crash before manifest commit is " +
@@ -272,9 +300,12 @@ class MergeStreamSpec extends SparkSpec {
     q1.processAllAvailable(); q1.stop()
     val store = new ParquetTableStore(storeDir)
     assert(store.gcHorizon(spark) == median.toLong, "GC did not run")
+    // GC only records the horizon; the maintenance compaction drops the
+    // pre-horizon tombstones
+    store.compactAll(spark)
     assert(store.snapshot(spark)
       .filter(col("deleted") && col("lsn") <= median.toLong).count() == 0,
-      "pre-horizon tombstones survived the operated GC")
+      "pre-horizon tombstones survived GC + compaction")
 
     // chunk 2 (> horizon) arrives after the GC: state must still converge
     env.filter(lsnOf > median).coalesce(1).write.mode("append").text(src)
@@ -292,5 +323,81 @@ class MergeStreamSpec extends SparkSpec {
       new ParquetTableStore(dir, numBuckets = 8).current(spark).count()
     }
     assert(err.getMessage.contains("bucket"), err.getMessage)
+  }
+
+  test("the store's physical buckets equal the registered audit's " +
+    "fnv1a64 bucket function") {
+    // q_merge_amplification (queries/GroupX.scala) reports
+    // pmod(fnv1a64(pk), 32) as the store's bucket — since round 8 that IS
+    // the store's layout, so the audit's touched-bucket ids must match the
+    // partition dirs the store actually writes
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir) // default 32 buckets
+    val pks = (1 to 40).map(_.toString)
+    pks.zipWithIndex.foreach { case (pk, i) =>
+      store.merge(change("c", pk, (i + 1) * 10L, s"v$pk")) }
+    val auditBuckets = pks.toDF("pk")
+      .select(pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(32L))
+        .cast("int").as("b"))
+      .as[Int].collect().toSet
+    val physical = dataFiles(dir).keys
+      .flatMap(_.split('/').find(_.startsWith("bucket=")))
+      .map(_.stripPrefix("bucket=").toInt).toSet
+    assert(physical == auditBuckets,
+      s"store layout $physical != audit bucket function $auditBuckets")
+  }
+
+  test("split doubles the bucket count manifest-only: zero data writes, " +
+    "state identical to an unsplit store, old data stays addressable") {
+    val dirA = tmp() + "/split"; val dirB = tmp() + "/plain"
+    val a = new ParquetTableStore(dirA, numBuckets = 4, maxDeltasPerBucket = 2)
+    val b = new ParquetTableStore(dirB, numBuckets = 4, maxDeltasPerBucket = 2)
+    val pks = (1 to 24).map(_.toString)
+    // first half into both stores
+    pks.take(12).zipWithIndex.foreach { case (pk, i) =>
+      a.merge(change("c", pk, (i + 1) * 10L, s"v$pk"))
+      b.merge(change("c", pk, (i + 1) * 10L, s"v$pk")) }
+    val before = dataFiles(dirA)
+    a.split(spark)
+    assert(a.currentBuckets(spark) == 8)
+    // a split is a manifest commit only: every data file byte-stable
+    assert(dataFiles(dirA) == before, "split rewrote data files")
+    // reads against the split store see the identical state
+    def state(s: ParquetTableStore) =
+      s.current(spark).select("pk", "content").as[(String, String)].collect().toSet
+    assert(state(a) == state(b))
+    // post-split writes (new modulus) + updates to OLD rows + deletes
+    // still converge with the unsplit twin — old-modulus dirs remain
+    // addressable and compaction migrates them to the new modulus
+    pks.drop(12).zipWithIndex.foreach { case (pk, i) =>
+      a.merge(change("c", pk, 200L + i * 10L, s"w$pk"))
+      b.merge(change("c", pk, 200L + i * 10L, s"w$pk")) }
+    a.merge(change("u", "3", 500L, "upd")); b.merge(change("u", "3", 500L, "upd"))
+    a.merge(change("d", "5", 510L, null)); b.merge(change("d", "5", 510L, null))
+    assert(state(a) == state(b), "split store diverged from the unsplit twin")
+    // a full compaction retires every old-modulus dir; state is preserved
+    a.compactAll(spark)
+    assert(state(a) == state(b), "compaction after split corrupted state")
+    // reopening the split store with the ORIGINAL seed count works (the
+    // manifest's doubled count is authoritative) ...
+    val reopened = new ParquetTableStore(dirA, numBuckets = 4)
+    assert(reopened.currentBuckets(spark) == 8)
+    assert(state(reopened) == state(b))
+    // ... while a count the doubling can never reach is refused
+    val err = intercept[IllegalArgumentException] {
+      new ParquetTableStore(dirA, numBuckets = 3).current(spark).count()
+    }
+    assert(err.getMessage.contains("bucket"), err.getMessage)
+  }
+
+  test("auto-split: a bucket's base outgrowing the threshold doubles the " +
+    "bucket count on the next merge") {
+    val dir = tmp() + "/table"
+    // 1-byte threshold: ANY base triggers; maxDeltas=1 forces compaction
+    val store = new ParquetTableStore(dir, numBuckets = 2,
+      maxDeltasPerBucket = 1, splitThresholdBytes = 1L)
+    (1 to 8).foreach(i => store.merge(change("c", i.toString, i * 10L, s"v$i")))
+    assert(store.currentBuckets(spark) > 2, "auto-split never fired")
+    assert(store.current(spark).count() == 8)
   }
 }
