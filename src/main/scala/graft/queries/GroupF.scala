@@ -285,10 +285,18 @@ object GroupF {
     // derived as the minimum witnessed line revenue in integer cents per
     // (partkey, suppkey) — one hash agg over the fact. The Europe supplier
     // slice (supplier⋈nation⋈region, region-filtered) collapses to one
-    // broadcast. The classic min-per-part-then-join-back shape would scan
-    // and aggregate the fact TWICE (Spark does not reuse the exchange
-    // across the self-join); instead the per-part minimum is a window over
-    // the already-aggregated candidate relation — one fact scan, one extra
+    // broadcast — BOUND: ~20% of supplier at 4 narrow columns, and TPC-H
+    // fixes supplier:lineitem at 1:6000, so the broadcast is ~60–100 MB at
+    // sf10k while the fact side is tens of TB; if supplier ever outgrows
+    // executor memory the fallback is the q7 convention (drop the hint,
+    // shuffle on s_suppkey). The LARGE slice of part gets NO hint: a type
+    // slice of a growing dimension is not a dim (the q14/q19 convention),
+    // and the window output is already hash-partitioned by l_partkey, so
+    // the shuffle join reuses that exchange — only part itself shuffles.
+    // The classic min-per-part-then-join-back shape would scan and
+    // aggregate the fact TWICE (Spark does not reuse the exchange across
+    // the self-join); instead the per-part minimum is a window over the
+    // already-aggregated candidate relation — one fact scan, one extra
     // shuffle on l_partkey, and min-cost ties surface exactly as Q2
     // requires (rows equal to their partition min), engine-independently.
     Q("q_tpch_q2",
@@ -332,9 +340,9 @@ object GroupF {
         .withColumn("min_c",
           min(col("cost_c")).over(Window.partitionBy(col("l_partkey"))))
         .filter(col("cost_c") === col("min_c"))
-        .join(broadcast(tbl(spark, dir, "part")
+        .join(tbl(spark, dir, "part")
           .filter(col("p_type") === "LARGE")
-          .select("p_partkey", "p_brand")),
+          .select("p_partkey", "p_brand"),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),

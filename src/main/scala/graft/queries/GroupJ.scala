@@ -85,9 +85,14 @@ object GroupJ {
       // identical-signature compaction: banding runs over DISTINCT
       // signatures; clone cliques contribute intra pairs (agree = 16) by
       // member expansion, never through the join
-      val groups = sigs.groupBy("sig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-        .localCheckpoint(true) // consumed by intra pairs AND the band join
+      // SessionCache, not localCheckpoint: corpus-sized and consumed by
+      // intra pairs AND the band join — persisted WITH lineage so a lost
+      // executor recomputes instead of killing the query
+      val groups = graft.util.SessionCache
+        .getOrMaterialize(spark, s"mh_calib_groups:$dir") {
+          sigs.groupBy("sig")
+            .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        }
       val nm = size(col("members"))
       val intra = groups.filter(nm > 1)
         .select(explode(flatten(transform(

@@ -79,9 +79,12 @@ object GroupK {
 
     // Market-basket pair mining: parts co-ordered in the same order, with
     // support ≥ 2 and integer-exact lift (10⁶·n_orders·support over the
-    // product of the parts' order frequencies). The self-join explodes
-    // only WITHIN an order (≲ order width² per order — bounded by basket
-    // size at any corpus scale, never corpus-quadratic), pair counts
+    // product of the parts' order frequencies). Pairs expand WITHIN each
+    // basket from ONE hash agg (groupBy order → sorted part array → array
+    // pair expansion, ≲ basket width² per order — bounded by basket size
+    // at any corpus scale, never corpus-quadratic); the self-join
+    // formulation would shuffle the (order, part) stream TWICE and pay a
+    // corpus-sized hash join for the same in-basket volume. Pair counts
     // shuffle on the (a, b) key, and the per-part frequency dimension
     // broadcasts back. The classic association-rule first stage.
     Q("q_basket_pairs",
@@ -102,15 +105,25 @@ object GroupK {
         |JOIN pf fb ON fb.l_partkey = p.pb
         |WHERE p.support >= 2
         |ORDER BY pa, pb""".stripMargin) { (spark, dir) =>
-      val lp = tbl(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint(true) // pairs + frequencies + order count all read it
+      // SessionCache (persisted WITH lineage), not localCheckpoint: lp is
+      // corpus-sized, and pairs + frequencies + order count all read it
+      val lp = graft.util.SessionCache
+        .getOrMaterialize(spark, s"basket_lp:$dir") {
+          tbl(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")).distinct()
+        }
       val pf = lp.groupBy("l_partkey").agg(count(lit(1)).as("c"))
       val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
-      val pairs = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(lp.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
+      val nb = size(col("parts"))
+      val pairs = lp.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(nb > 1)
+        .select(explode(flatten(transform(
+          sequence(lit(1), nb - 1),
+          i => transform(slice(col("parts"), i + 1, nb - i),
+            b => struct(element_at(col("parts"), i.cast("int")).as("pa"),
+              b.as("pb")))))).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
       pairs
@@ -146,9 +159,13 @@ object GroupK {
         |       CAST(t.n_keys AS BIGINT) AS n_keys
         |FROM r, tot t WHERE r.rn <= 20
         |ORDER BY c DESC, key""".stripMargin) { (spark, dir) =>
-      val kc = tbl(spark, dir, "lineitem")
-        .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // totals + top-k both read it
+      // SessionCache, not localCheckpoint: kc is |part|-sized (grows with
+      // the corpus) and totals + top-k both read it
+      val kc = graft.util.SessionCache
+        .getOrMaterialize(spark, s"skewadv_kc:$dir") {
+          tbl(spark, dir, "lineitem")
+            .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("c"))
+        }
       val tot = kc.agg(sum(col("c") * col("c")).as("total_c2"),
         count(lit(1)).as("n_keys"))
       // top-k via TakeOrderedAndProject (orderBy+limit) — no global

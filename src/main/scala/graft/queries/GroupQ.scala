@@ -54,24 +54,31 @@ object GroupQ {
         |       t.top_val AS top_val, CAST(p.max_cnt AS BIGINT) AS top_freq
         |FROM nn JOIN prof p ON p.col = nn.col JOIN top t ON t.col = nn.col
         |ORDER BY col""".stripMargin) { (spark, dir) =>
-      val longF = tbl(spark, dir, "orders")
-        .select(explode(array(
-          struct(lit("o_orderkey").as("col"),
-            col("o_orderkey").cast("string").as("val")),
-          struct(lit("o_custkey").as("col"),
-            col("o_custkey").cast("string").as("val")),
-          struct(lit("o_orderstatus").as("col"),
-            col("o_orderstatus").as("val")),
-          struct(lit("o_orderpriority").as("col"),
-            col("o_orderpriority").as("val")),
-          struct(lit("o_orderdate").as("col"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("val"))))
-          .as("u"))
-        .select(col("u.col").as("col"), col("u.val").as("val"))
-        .localCheckpoint(true) // value counts + null counts both read it
-      val vc = longF.filter(col("val").isNotNull)
-        .groupBy("col", "val").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // profile + modal-value passes share it
+      // SessionCache, not localCheckpoint: both frames are corpus-sized,
+      // and a lineage-truncated checkpoint dies with a lost executor where
+      // a persisted-with-lineage frame recomputes
+      val longF = graft.util.SessionCache
+        .getOrMaterialize(spark, s"colprofile_long:$dir") {
+          tbl(spark, dir, "orders")
+            .select(explode(array(
+              struct(lit("o_orderkey").as("col"),
+                col("o_orderkey").cast("string").as("val")),
+              struct(lit("o_custkey").as("col"),
+                col("o_custkey").cast("string").as("val")),
+              struct(lit("o_orderstatus").as("col"),
+                col("o_orderstatus").as("val")),
+              struct(lit("o_orderpriority").as("col"),
+                col("o_orderpriority").as("val")),
+              struct(lit("o_orderdate").as("col"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("val"))))
+              .as("u"))
+            .select(col("u.col").as("col"), col("u.val").as("val"))
+        } // value counts + null counts both read it
+      val vc = graft.util.SessionCache
+        .getOrMaterialize(spark, s"colprofile_vc:$dir") {
+          longF.filter(col("val").isNotNull)
+            .groupBy("col", "val").agg(count(lit(1)).as("cnt"))
+        } // profile + modal-value passes share it
       val prof = vc.groupBy("col")
         .agg(count(lit(1)).as("n_distinct"), max("cnt").as("max_cnt"))
       val top = vc.join(broadcast(prof), Seq("col"))
@@ -191,17 +198,22 @@ object GroupQ {
         |  SELECT 'priority_format', CAST(n AS BIGINT), CAST(c_format AS BIGINT),
         |         CAST(1000000 * c_format // n AS BIGINT) FROM s)
         |ORDER BY rule""".stripMargin) { (spark, dir) =>
-      val s = tbl(spark, dir, "orders")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L))
-            .as("c_complete"),
-          sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("c_positive"),
-          sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
-            .as("c_enum"),
-          sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L)
-            .otherwise(0L)).as("c_format"),
-          countDistinct("o_orderkey").as("n_distinct"))
-        .localCheckpoint(true) // five rule rows project from one scan
+      // persisted WITH lineage (SessionCache), not localCheckpoint: the
+      // one-row aggregate survives a lost executor by recomputing
+      val s = graft.util.SessionCache
+        .getOrMaterialize(spark, s"constraint_agg:$dir") {
+          tbl(spark, dir, "orders")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L))
+                .as("c_complete"),
+              sum(when(col("o_totalprice") > 0, 1L).otherwise(0L))
+                .as("c_positive"),
+              sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+                .otherwise(0L)).as("c_enum"),
+              sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L)
+                .otherwise(0L)).as("c_format"),
+              countDistinct("o_orderkey").as("n_distinct"))
+        } // five rule rows project from one scan
       def rule(name: String, passCol: String): DataFrame =
         s.select(lit(name).as("rule"), big(col("n")).as("n_rows"),
           big(col(passCol)).as("n_pass"),

@@ -65,14 +65,18 @@ object GroupX {
     // in lsn-contiguous slices), how many of the store's 32 pk-buckets
     // the batch touches — i.e. the fraction of the table the bucketed
     // store rewrites where the old design rewrote ALL of it (1e6 ppm,
-    // every batch). The bucket function is EXACTLY the store's
+    // every batch). The bucket function is the store's
     // pmod(fnv1a64(pk), B) (ParquetTableStore.bucketCol — the store
     // buckets with the native FNV-1a since round 8, so the audit's
     // touched-bucket ids are the real partition dirs, not a proxy;
-    // MergeStreamSpec pins store-bucket ≡ audit-bucket). 32 divides 2^64,
-    // so DuckDB's unsigned-HUGEINT `% 32` equals Spark's pmod of the
-    // signed value with no sign fix-up. Shape: one FNV per DISTINCT pk,
-    // one hash agg by batch.
+    // MergeStreamSpec pins store-bucket ≡ audit-bucket). Replay scope:
+    // the DuckDB CTE folds per CHARACTER codepoint (ascii/substr are
+    // char-based) while the store folds UTF-8 BYTES — identical for
+    // ASCII pks, divergent beyond; the fixture's pks are ASCII doc ids
+    // and MergeStreamSpec guards that precondition explicitly. 32
+    // divides 2^64, so DuckDB's unsigned-HUGEINT `% 32` equals Spark's
+    // pmod of the signed value with no sign fix-up. Shape: one FNV per
+    // DISTINCT pk, one hash agg by batch.
     Q("q_merge_amplification",
       s"""${Changelog.cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |eff AS (

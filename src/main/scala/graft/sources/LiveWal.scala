@@ -93,7 +93,7 @@ object LiveWal {
   * atomically (tmp + move) so a concurrently-polling streaming source
   * never reads a half-written segment, and names are zero-padded so the
   * source's name-ordered consumption matches arrival order. */
-final class WalSegmentTap(dir: Path) {
+class WalSegmentTap(dir: Path) {
   Files.createDirectories(dir)
   // resume numbering after existing segments: a restarted process must
   // APPEND to the store, not overwrite segment-00000000.bin (the
@@ -144,15 +144,40 @@ final class WalSegmentTap(dir: Path) {
       Some(p)
     }
 
+  /** The directory-entry force itself — overridable in specs to model a
+    * filesystem that refuses read-channel force on directories. */
+  protected def forceDir(): Unit = {
+    val dch = java.nio.channels.FileChannel.open(dir,
+      java.nio.file.StandardOpenOption.READ)
+    try dch.force(true) finally dch.close()
+  }
+
+  /** The degraded-durability operator warning (single emission point so
+    * specs can observe it). */
+  protected def warnRenameOnly(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+
+  @volatile private var warnedFsyncDir = false
+
   /** fsync the segment directory so the rename's entry is durable; some
     * filesystems refuse read-channel force on directories — then the move
-    * itself is the best available barrier, so a refusal is tolerated. */
+    * itself is the best available barrier, so a refusal is tolerated. It
+    * is WARNED once (not silent): on such a filesystem segment-ack
+    * durability is rename-only, and the operator deciding whether that is
+    * acceptable needs to know it happened. */
   private def fsyncDir(): Unit =
-    try {
-      val dch = java.nio.channels.FileChannel.open(dir,
-        java.nio.file.StandardOpenOption.READ)
-      try dch.force(true) finally dch.close()
-    } catch { case _: java.io.IOException => () }
+    try forceDir()
+    catch {
+      case e: java.io.IOException =>
+        if (!warnedFsyncDir) {
+          warnedFsyncDir = true
+          warnRenameOnly(s"directory fsync refused on $dir " +
+            s"(${e.getMessage}): segment-ack durability is rename-only on " +
+            "this filesystem — an OS crash between rename and ack may lose " +
+            "the segment's directory entry while the slot no longer " +
+            "re-delivers it")
+        }
+    }
 
   /** Drain the loop's buffer into the next segment file. */
   def tap(loop: WalReceiveLoop): Option[Path] = write(loop.drainFrames())

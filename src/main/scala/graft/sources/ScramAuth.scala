@@ -109,9 +109,26 @@ object ScramAuth {
   /** RFC 5929 `tls-server-end-point` channel-binding data: a hash of the
     * server certificate's DER encoding, using the certificate signature's
     * hash function with MD5/SHA-1 upgraded to SHA-256 (§4.1) — the one
-    * binding type PostgreSQL supports. */
+    * binding type PostgreSQL supports.
+    *
+    * RSASSA-PSS certificates name no hash in the algorithm identifier —
+    * the digest lives in the signature's AlgorithmParameters
+    * (PSSParameterSpec), so it is read from there; a bare "RSASSA-PSS"
+    * name falling through to the SHA-256 default would compute a binding
+    * the server (which follows RFC 5929 §4.1) disagrees with, failing
+    * SCRAM-SHA-256-PLUS closed against every PSS-cert server. */
   def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
-    val alg = cert.getSigAlgName.toUpperCase
+    val alg = cert.getSigAlgName.toUpperCase match {
+      case pss if pss.contains("RSASSA-PSS") =>
+        Option(cert.getSigAlgParams).map { der =>
+          val params = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+          params.init(der)
+          params.getParameterSpec(
+            classOf[java.security.spec.PSSParameterSpec])
+            .getDigestAlgorithm.toUpperCase
+        }.getOrElse(pss) // parameter-less PSS: RFC default is SHA-1 → upgrade
+      case named => named
+    }
     val hash =
       if (alg.contains("384")) "SHA-384"
       else if (alg.contains("512")) "SHA-512"

@@ -65,7 +65,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * unclamped horizon would make the merge-time refusal filter drop
   * first-time deliveries of already-acked-but-not-yet-merged segments),
   * and records the clamped value in the next manifest — touching ZERO data
-  * files. Pre-horizon tombstones are dropped lazily by each bucket's next
+  * files. Because `applied` is a MAX (not contiguous) watermark, the
+  * operated loop uses [[gcTwoPhase]] instead: the horizon is promoted one
+  * gc cycle AFTER capture, by which point every segment the provider had
+  * covered has been offered to [[merge]] — closing the out-of-order
+  * first-delivery window the clamp alone only narrows. Pre-horizon tombstones are dropped lazily by each bucket's next
   * threshold compaction (or an explicit [[compactAll]] maintenance pass);
   * resurrection stays impossible meanwhile because [[merge]] FILTERS OUT
   * any arriving change with lsn ≤ the recorded horizon, so even a
@@ -141,8 +145,11 @@ final class ParquetTableStore(path: String,
     * records the modulus each live dir was written under. `gc` is the
     * replay horizon: changes at or below it are refused, tombstones at or
     * below it drop at compaction. `applied` is the max LSN any committed
-    * merge has carried — the clamp for [[gc]]. */
+    * merge has carried — the clamp for [[gc]]. `pending` is the two-phase
+    * GC candidate recorded by [[gcTwoPhase]] one cycle before it becomes
+    * the horizon. */
   private case class Manifest(seq: Int, buckets: Int, gc: Long, applied: Long,
+                              pending: Long,
                               mods: Map[String, Int],
                               base: Map[Int, String],
                               deltas: Map[Int, List[String]]) {
@@ -150,7 +157,7 @@ final class ParquetTableStore(path: String,
   }
 
   private def emptyManifest =
-    Manifest(0, numBuckets, -1L, -1L, Map.empty, Map.empty, Map.empty)
+    Manifest(0, numBuckets, -1L, -1L, -1L, Map.empty, Map.empty, Map.empty)
 
   private def manifestPath(seq: Int) =
     new org.apache.hadoop.fs.Path(f"$path/manifest-$seq%08d.txt")
@@ -172,6 +179,7 @@ final class ParquetTableStore(path: String,
     sb.append("hashfn fnv1a64\n")
     sb.append(s"gc ${m.gc}\n")
     sb.append(s"applied ${m.applied}\n")
+    sb.append(s"pending ${m.pending}\n")
     val live = m.liveDirs
     m.mods.filter(kv => live(kv._1)).toSeq.sorted.foreach { case (d, b) =>
       sb.append(s"dir $d $b\n")
@@ -191,6 +199,7 @@ final class ParquetTableStore(path: String,
     var buckets = numBuckets
     var gc = -1L
     var applied = -1L
+    var pending = -1L
     var sawHashFn = false
     var mods = Map.empty[String, Int]
     var base = Map.empty[Int, String]
@@ -201,8 +210,11 @@ final class ParquetTableStore(path: String,
           buckets = b.toInt
           // a split store legitimately reports numBuckets·2^m; anything
           // else means the bucket function changed under the data
+          // cur > 0 guards Int overflow on a corrupt/hostile bucket count
+          // (2^30 → -2^31 → 0 would otherwise spin forever); overflow falls
+          // through to the require failure instead of hanging the reader
           var cur = numBuckets
-          while (cur < buckets) cur *= 2
+          while (cur > 0 && cur < buckets) cur *= 2
           require(cur == buckets,
             s"store at $path was written with $buckets buckets; this " +
               s"instance is configured with $numBuckets — the bucket count " +
@@ -215,6 +227,8 @@ final class ParquetTableStore(path: String,
               "under an existing store")
         case Array("gc", g) => gc = g.toLong
         case Array("applied", a) => applied = a.toLong
+        // absent in pre-two-phase manifests of this layout: default -1
+        case Array("pending", p) => pending = p.toLong
         case Array("dir", d, b) => mods += d -> b.toInt
         case Array("bucket", k, b, d) =>
           val kk = k.toInt
@@ -227,7 +241,7 @@ final class ParquetTableStore(path: String,
       s"store at $path predates the fnv1a64 bucket layout (legacy murmur3 " +
         "bucketing); rebuild the store from the changelog — the bucket " +
         "function must not change under existing data")
-    val m = Manifest(seq, buckets, gc, applied, mods, base, deltas)
+    val m = Manifest(seq, buckets, gc, applied, pending, mods, base, deltas)
     // legacy tolerance within this layout: a dir with no `dir` line was
     // written under the manifest's own bucket count
     m.copy(mods = m.liveDirs.map(d => d -> m.mods.getOrElse(d, buckets)).toMap)
@@ -404,7 +418,17 @@ final class ParquetTableStore(path: String,
           d.updated(k, d.getOrElse(k, Nil) :+ deltaName)))
       val over = touched.filter(k =>
         next.deltas.getOrElse(k, Nil).size > maxDeltasPerBucket)
-      if (over.nonEmpty) next = compactBuckets(spark, next, over)
+      // post-split drain: migrate ONE stale bucket per merge (lowest id
+      // whose live dirs include an old-modulus dir) so old-modulus dirs
+      // retire deterministically instead of readers paying the pk
+      // re-derivation filter forever on a bucket that never compacts.
+      // One extra bucket compaction per merge, folded into the same commit.
+      val stale = (next.base.keySet ++ next.deltas.keySet).filter { k =>
+        (next.base.get(k).toList ::: next.deltas.getOrElse(k, Nil))
+          .exists(d => next.mods.getOrElse(d, next.buckets) != next.buckets)
+      } -- over
+      val toCompact = over ++ stale.toSeq.sorted.headOption
+      if (toCompact.nonEmpty) next = compactBuckets(spark, next, toCompact)
       commitManifest(spark, next)
       vacuum(spark)
       maybeSplit(spark, next, touched)
@@ -443,7 +467,18 @@ final class ParquetTableStore(path: String,
     * permanent row loss). This is an O(manifest) commit: NO data files are
     * touched; pre-horizon tombstones drop at each bucket's next threshold
     * compaction or an explicit [[compactAll]]. Monotonic: a lower horizon
-    * than the recorded one is a no-op. */
+    * than the recorded one is a no-op.
+    *
+    * CONTRACT: the applied clamp is defense-in-depth, NOT a full guarantee
+    * under out-of-order chunk delivery. `applied` is the MAX merged LSN;
+    * if the source can deliver chunks out of LSN order, a later-LSN chunk
+    * merging first lifts `applied` above an earlier not-yet-merged chunk,
+    * and a horizon recorded in that window silently refuses the earlier
+    * chunk's FIRST delivery. Call this directly only when every chunk at
+    * or below `horizon` is known already merged (in-order delivery, or an
+    * operator checkpointing after a drain); otherwise use [[gcTwoPhase]],
+    * which defers the horizon one gc cycle so intervening merges close
+    * exactly that window. */
   def gc(spark: SparkSession, horizon: Long): Unit = {
     val m = loadManifest(spark).getOrElse(emptyManifest)
     val h = math.max(m.gc, math.min(horizon, m.applied))
@@ -451,6 +486,38 @@ final class ParquetTableStore(path: String,
     commitManifest(spark, m.copy(seq = m.seq + 1, gc = h))
     vacuum(spark)
   }
+
+  /** Two-phase GC for an operated loop: records `horizon` as the PENDING
+    * candidate and promotes the candidate recorded by the PREVIOUS call
+    * (clamped to the applied watermark, monotonic) to the live horizon —
+    * one O(manifest) commit, no data reads.
+    *
+    * Why deferral closes the out-of-order race [[gc]] alone cannot: the
+    * provider (the receive loop's flushed LSN) only returns X after every
+    * segment at or below X is durably in the source directory, and the
+    * file source plans each micro-batch over ALL files visible at planning
+    * time. The pending value was captured inside an earlier micro-batch's
+    * commit; every micro-batch since (there is at least one full gc cycle
+    * of them, and the promoting call runs AFTER its own batch's merge) was
+    * planned after that capture, so every segment at or below the promoted
+    * value has been OFFERED to [[merge]] before it becomes the refusal
+    * horizon — no first delivery can be refused, even when chunks land out
+    * of LSN order. (With `maxFilesPerTrigger` throttling the file source,
+    * size `gcEveryBatches` ≥ the worst-case batches-per-drain so a full
+    * directory listing still lands between capture and promotion.) */
+  def gcTwoPhase(spark: SparkSession, horizon: Long): Unit = {
+    val m = loadManifest(spark).getOrElse(emptyManifest)
+    val h = math.max(m.gc, math.min(m.pending, m.applied))
+    val p = math.max(m.pending, horizon)
+    if (h == m.gc && p == m.pending) return
+    commitManifest(spark, m.copy(seq = m.seq + 1, gc = h, pending = p))
+    vacuum(spark)
+  }
+
+  /** The recorded two-phase GC candidate (−1 before any [[gcTwoPhase]]):
+    * becomes the live horizon at the next [[gcTwoPhase]] call. */
+  def pendingGcHorizon(spark: SparkSession): Long =
+    loadManifest(spark).map(_.pending).getOrElse(-1L)
 
   /** Offline maintenance: compact every bucket that has data — drops all
     * tombstones at or below the recorded horizon and retires old-modulus
@@ -485,16 +552,26 @@ final class ParquetTableStore(path: String,
     * partition outgrew `splitThresholdBytes`, double the bucket count so
     * the NEXT compactions write smaller units. Checks only touched
     * buckets' base dirs — an fs metadata call per touched bucket, no data
-    * reads. */
+    * reads.
+    *
+    * Only bases written at the CURRENT modulus are considered: after a
+    * split, an old-modulus base partition physically holds ALL descendant
+    * buckets' bytes, so measuring it against the threshold would re-fire a
+    * doubling on every subsequent merge until compaction finally rewrites
+    * it — geometric manifest inflation decoupled from data size. Skipping
+    * pending-split dirs means each doubling must be absorbed (the bucket
+    * compacted at the new modulus) before its measured size can justify
+    * the next one (spec-pinned upper bound). */
   private def maybeSplit(spark: SparkSession, m: Manifest,
                          touched: Set[Int]): Unit = {
     if (splitThresholdBytes == Long.MaxValue) return
     val f = fs(spark)
     val oversized = touched.exists { k =>
       m.base.get(k).exists { d =>
-        val mod = m.mods.getOrElse(d, m.buckets)
-        val p = new org.apache.hadoop.fs.Path(s"$dataDir/$d/bucket=${k % mod}")
-        f.exists(p) && f.getContentSummary(p).getLength > splitThresholdBytes
+        m.mods.getOrElse(d, m.buckets) == m.buckets && {
+          val p = new org.apache.hadoop.fs.Path(s"$dataDir/$d/bucket=$k")
+          f.exists(p) && f.getContentSummary(p).getLength > splitThresholdBytes
+        }
       }
     }
     if (oversized) split(spark)
@@ -507,15 +584,20 @@ final class ParquetTableStore(path: String,
 object MergeStream {
 
   /** `gcHorizon`, when given, turns tombstone GC into an operated loop:
-    * every `gcEveryBatches` micro-batches the store records the provider's
-    * current value as the replay horizon — for the live topology that is
-    * the receive loop's durably-acked position (`WalReceiveLoop
-    * .flushedLsn`), below which the slot never re-delivers. The provider
-    * may regress, lag, or RUN AHEAD of the streaming query freely:
-    * [[ParquetTableStore.gc]] is monotonic and clamps to the store's own
-    * applied watermark, so acked-but-not-yet-merged segments are never
-    * refused as replays. The gc call itself is an O(manifest) commit —
-    * no data rewrite happens on this timer. */
+    * every `gcEveryBatches` micro-batches the store runs one two-phase GC
+    * step — the provider's current value becomes the PENDING candidate and
+    * the previous cycle's candidate becomes the live replay horizon
+    * ([[ParquetTableStore.gcTwoPhase]]). For the live topology the
+    * provider is the receive loop's durably-acked position
+    * (`WalReceiveLoop.flushedLsn`), below which the slot never
+    * re-delivers. The provider may regress, lag, or RUN AHEAD of the
+    * streaming query freely: promotion is monotonic, clamps to the
+    * store's applied watermark, and — because every segment at or below a
+    * captured candidate was on disk before capture and a full gc cycle of
+    * micro-batches drains the directory before promotion — a segment's
+    * first delivery is never refused as a replay, even out of LSN order.
+    * The gc step itself is an O(manifest) commit — no data rewrite
+    * happens on this timer. */
   def run(spark: SparkSession, sourceDir: String, storeDir: String,
           checkpointDir: String, flushIntervalMs: Long = 500,
           table: String = "public.documents",
@@ -535,8 +617,7 @@ object MergeStream {
           sinceGc += 1
           if (sinceGc >= gcEveryBatches) {
             sinceGc = 0
-            val horizon = h()
-            if (horizon > store.gcHorizon(spark)) store.gc(spark, horizon)
+            store.gcTwoPhase(spark, h())
           }
         }
       }

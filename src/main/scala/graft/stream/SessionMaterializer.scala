@@ -29,16 +29,20 @@ final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   * batch window formulation on the same events, and that a session
   * spanning micro-batches stays open until the watermark passes its gap.
   *
-  * Out-of-order limits: arrivals are sorted WITHIN a micro-batch, and
-  * cross-batch late events more than a gap BEFORE the open session's
-  * start can never merge with it — consecutive such late events within a
-  * gap of EACH OTHER are accumulated into one pending late session
-  * (exactly the batch sessionization of that run) and closed when the
-  * run breaks. A late event landing inside the open session's span
-  * extends it (start = min); full batch equivalence under arbitrary
-  * cross-batch disorder (e.g. a late run split ACROSS micro-batches)
-  * would need an event buffer drained at the watermark — by design this
-  * operator keeps O(1) state per key and accepts that narrow divergence.
+  * Out-of-order limits: arrivals are sorted WITHIN a micro-batch.
+  * Cross-batch late events more than a gap BEFORE the open session's
+  * start accumulate into one pending late session (consecutive late
+  * events within a gap of each other merge, exactly the batch
+  * sessionization of that run), which closes when the run breaks —
+  * UNLESS the run ends within a gap of the first in-range event: such a
+  * gap-bridging arrival chains late-run + bridge + open session into ONE
+  * batch session, so the pending run merges into the open session
+  * instead (spec-pinned against the batch rule). A late event landing
+  * inside the open session's span extends it (start = min). The one
+  * remaining divergence: a late run split ACROSS micro-batches closes at
+  * each batch boundary (full equivalence there would need an event
+  * buffer drained at the watermark) — by design this operator keeps O(1)
+  * state per key and accepts that narrow case.
   *
   * Requires the RocksDB state-store provider (the only backend
   * implementing transformWithState's typed-state + timer surface).
@@ -93,13 +97,26 @@ object SessionMaterializer {
             } else {
               // sorted order: once events reach the open session's range
               // no later event in this batch can be late again
-              flushLate()
-              if (e.us - l > gapUs) {
-                // the in-batch successor proves the gap — close
-                // immediately, no timer needed for this one
-                out ::= ClosedSession(user, s, l, n)
-                cur = (e.us, e.us, 1L)
-              } else cur = (math.min(s, e.us), math.max(l, e.us), n + 1)
+              late match {
+                case (ls, ll, ln) if e.us - ll <= gapUs =>
+                  // gap-bridging arrival: the late run ends within a gap
+                  // of e AND e is within a gap of the open start, so the
+                  // batch rule sessionizes late-run + bridge + open
+                  // session as ONE session — merge instead of closing
+                  // the late run on its own. (e.us < s here: a late run
+                  // ends > gap before s, so a bridge inside the open
+                  // span is impossible.)
+                  cur = (ls, math.max(l, e.us), n + ln + 1)
+                  late = null
+                case _ =>
+                  flushLate()
+                  if (e.us - l > gapUs) {
+                    // the in-batch successor proves the gap — close
+                    // immediately, no timer needed for this one
+                    out ::= ClosedSession(user, s, l, n)
+                    cur = (e.us, e.us, 1L)
+                  } else cur = (math.min(s, e.us), math.max(l, e.us), n + 1)
+              }
             }
         }
       }

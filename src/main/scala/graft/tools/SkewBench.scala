@@ -112,7 +112,12 @@ object SkewBench {
 
     val eBase = sys.env.getOrElse("SKEWBENCH_EDGES", "1000000").toLong
     val hubBase = sys.env.getOrElse("SKEWBENCH_HUB", "5000").toLong
-    val scales = Seq(1, 2, 4)
+    // default axis reaches the wall-clock crossover: quadratic hub wedges
+    // overtake the cap's extra degree-filter pass between s=4 and s=8 on
+    // a 32-thread box (r7 measured volumes only to s=4, where uncapped
+    // still won on seconds)
+    val scales = sys.env.getOrElse("SKEWBENCH_SCALES", "1,2,4,8,16")
+      .split(',').toSeq.map(_.trim.toInt)
 
     val graphRows = scales.map { s =>
       val h1 = hubGraph(spark, s, eBase, hubBase).persist()

@@ -106,6 +106,28 @@ class ConfigSpec extends AnyFunSuite {
       s"expected resume at index 2, got $p")
   }
 
+  test("a filesystem refusing directory fsync warns rename-only " +
+    "durability exactly ONCE — tolerated, but never silent") {
+    val dir = java.nio.file.Files.createTempDirectory("tap_nofsync")
+    val warns = new java.util.concurrent.atomic.AtomicInteger
+    val tap = new graft.sources.WalSegmentTap(dir) {
+      override protected def forceDir(): Unit =
+        throw new java.io.IOException("Operation not permitted")
+      override protected def warnRenameOnly(msg: String): Unit = {
+        assert(msg.contains("rename-only"), s"warning lost its point: $msg")
+        warns.incrementAndGet()
+      }
+    }
+    tap.write(Seq(1L -> Array[Byte](1)))
+    tap.write(Seq(2L -> Array[Byte](2)))
+    tap.write(Seq(3L -> Array[Byte](3)))
+    assert(warns.get() == 1, s"expected exactly one warning, got ${warns.get()}")
+    // the refusal is tolerated: every segment still lands
+    val listing = java.nio.file.Files.list(dir)
+    val n = try listing.count() finally listing.close()
+    assert(n == 3)
+  }
+
   test("defaults mirror the reference when sections are absent") {
     val cfg = GraftConfig.fromYaml("mappings:\n  - table: t\n")
     assert(cfg.batchSize == 64)           // config.go:103-105

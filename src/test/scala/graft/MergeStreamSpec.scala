@@ -285,8 +285,8 @@ class MergeStreamSpec extends SparkSpec {
     assert(store.current(spark).count() == 4)
   }
 
-  test("operated GC: the runner GCs up to the acked-horizon provider and " +
-    "the state still converges across chunks") {
+  test("operated GC: the runner defers the acked-horizon provider one gc " +
+    "cycle (two-phase) and the state still converges across chunks") {
     val env = Changelog.envelopes(spark, sfDir).cache()
     val lsnOf = get_json_object($"value", "$.lsn").cast("long")
     val median = env.select(lsnOf.as("l")).stat.approxQuantile("l", Array(0.5), 0).head
@@ -299,21 +299,122 @@ class MergeStreamSpec extends SparkSpec {
       gcHorizon = Some(() => median.toLong), gcEveryBatches = 1)
     q1.processAllAvailable(); q1.stop()
     val store = new ParquetTableStore(storeDir)
-    assert(store.gcHorizon(spark) == median.toLong, "GC did not run")
+    // first gc cycle only RECORDS the candidate: promotion waits one cycle
+    // so out-of-order chunks below the candidate can still first-deliver
+    assert(store.pendingGcHorizon(spark) == median.toLong,
+      "two-phase GC did not record the candidate")
+    assert(store.gcHorizon(spark) == -1L,
+      "candidate was promoted in the same cycle it was captured")
+
+    // chunk 2 (> horizon) arrives: its gc cycle promotes the candidate
+    env.filter(lsnOf > median).coalesce(1).write.mode("append").text(src)
+    val q2 = MergeStream.run(spark, src, storeDir, ckpt,
+      gcHorizon = Some(() => median.toLong), gcEveryBatches = 1)
+    q2.processAllAvailable(); q2.stop()
+    assert(store.gcHorizon(spark) == median.toLong, "GC did not promote")
     // GC only records the horizon; the maintenance compaction drops the
     // pre-horizon tombstones
     store.compactAll(spark)
     assert(store.snapshot(spark)
       .filter(col("deleted") && col("lsn") <= median.toLong).count() == 0,
       "pre-horizon tombstones survived GC + compaction")
-
-    // chunk 2 (> horizon) arrives after the GC: state must still converge
-    env.filter(lsnOf > median).coalesce(1).write.mode("append").text(src)
-    val q2 = MergeStream.run(spark, src, storeDir, ckpt,
-      gcHorizon = Some(() => median.toLong), gcEveryBatches = 1)
-    q2.processAllAvailable(); q2.stop()
     assert(currentState(new ParquetTableStore(storeDir)) == batchState(),
       "operated GC broke cross-chunk convergence")
+  }
+
+  test("two-phase GC: an out-of-order FIRST delivery below the applied " +
+    "watermark is never refused — the race the applied clamp only narrows") {
+    // the ADVICE race: chunks may merge out of LSN order; a later-LSN chunk
+    // merging first lifts `applied` above an earlier not-yet-merged chunk,
+    // so single-phase gc (clamped to applied) could record a horizon above
+    // it and silently drop its first delivery. Two-phase promotion waits
+    // one cycle — by then the earlier chunk (durably written before the
+    // provider covered it) has been merged.
+    val store = new ParquetTableStore(tmp() + "/table")
+    store.merge(change("c", "b", 60, "vb")) // later-LSN chunk merges FIRST
+    // receive loop has durably written BOTH chunks and acked through 60
+    store.gcTwoPhase(spark, 60)
+    assert(store.pendingGcHorizon(spark) == 60)
+    assert(store.gcHorizon(spark) == -1L,
+      "candidate promoted immediately — the out-of-order window is open")
+    // single-phase at this point would have recorded 60 (applied == 60)
+    // and the next merge would drop this chunk forever:
+    store.merge(change("c", "a", 50, "va")) // earlier chunk, first delivery
+    store.gcTwoPhase(spark, 60) // next cycle: promote
+    assert(store.gcHorizon(spark) == 60)
+    assert(store.current(spark).select("pk", "content").as[(String, String)]
+      .collect().toSet == Set(("a", "va"), ("b", "vb")),
+      "out-of-order first delivery was refused — permanent row loss")
+    // post-promotion, a REPLAY of the same pre-horizon chunk is refused
+    store.merge(change("u", "a", 50, "replay"))
+    assert(store.current(spark).filter(col("pk") === "a")
+      .select("content").as[String].head() == "va")
+  }
+
+  test("auto-split fires at most one doubling until compaction absorbs " +
+    "it: an oversized OLD-modulus base cannot re-trigger") {
+    val dir = tmp() + "/table"
+    // threshold=1: ANY current-modulus base over a byte fires a split;
+    // maxDeltas=2 so the 3rd delta to a bucket compacts it
+    val store = new ParquetTableStore(dir, numBuckets = 2,
+      maxDeltasPerBucket = 2, splitThresholdBytes = 1L)
+    val bucketOf4 = (1 to 64).map(_.toString).map { pk =>
+      pk -> Seq(pk).toDF("pk")
+        .select(pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(4L))
+          .cast("int").as("b")).head().getInt(0)
+    }.toMap
+    // three merges into (mod 2) bucket 0 — pks whose mod-4 bucket is 0 or
+    // 2 — force a compaction, whose current-modulus base fires ONE split
+    val b0 = bucketOf4.collect { case (pk, b) if b % 2 == 0 => pk }.take(3)
+    b0.zipWithIndex.foreach { case (pk, i) =>
+      store.merge(change("c", pk, (i + 1) * 10L, s"v$pk")) }
+    assert(store.currentBuckets(spark) == 4, "first auto-split did not fire")
+    // a merge touching a DESCENDANT of the oversized old-modulus base must
+    // NOT re-fire: the base's bytes belong to two buckets now, and only a
+    // rewrite at the current modulus may justify the next doubling. (The
+    // pre-fix behavior measured the old dir and doubled again here.)
+    val p2 = bucketOf4.collect { case (pk, b) if b == 2 => pk }
+      .toSeq.filterNot(b0.toSet).take(2)
+    store.merge(change("c", p2.head, 100L, "w1"))
+    assert(store.currentBuckets(spark) == 4,
+      "split re-fired off an old-modulus base before compaction absorbed it")
+    // once bucket 2 compacts at the CURRENT modulus (stale migration on the
+    // next merge), its own oversized base legitimately resumes the doubling
+    store.merge(change("c", p2(1), 110L, "w2"))
+    assert(store.currentBuckets(spark) == 8,
+      "doubling did not resume after a current-modulus compaction")
+    assert(store.current(spark).count() == 5)
+  }
+
+  test("post-split migration: old-modulus dirs retire within bounded " +
+    "merges (one stale bucket compacted per merge)") {
+    val dir = tmp() + "/table"
+    val store = new ParquetTableStore(dir, numBuckets = 2,
+      maxDeltasPerBucket = 8)
+    val pks = (1 to 12).map(_.toString)
+    pks.take(6).zipWithIndex.foreach { case (pk, i) =>
+      store.merge(change("c", pk, (i + 1) * 10L, s"v$pk")) }
+    store.split(spark)
+    assert(store.currentBuckets(spark) == 4)
+    def staleDirs(): Set[(String, Int)] = {
+      val m = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val latest = try m.filter(_.getFileName.toString.startsWith("manifest-"))
+        .sorted(java.util.Comparator.naturalOrder()).reduce((_, b) => b).get()
+      finally m.close()
+      new String(java.nio.file.Files.readAllBytes(latest)).split('\n')
+        .filter(_.startsWith("dir ")).map { l =>
+          val p = l.split(' '); (p(1), p(2).toInt)
+        }.filter(_._2 != 4).toSet
+    }
+    assert(staleDirs().nonEmpty, "fixture broken: split left no stale dirs")
+    // each merge migrates at least one stale bucket: with ≤4 stale buckets
+    // the drain completes within 6 small merges — deterministically, not
+    // "eventually when a compaction threshold happens to trip"
+    pks.drop(6).zipWithIndex.foreach { case (pk, i) =>
+      store.merge(change("c", pk, 100L + i * 10L, s"w$pk")) }
+    assert(staleDirs().isEmpty,
+      s"old-modulus dirs survived the migration drain: ${staleDirs()}")
+    assert(store.current(spark).count() == 12)
   }
 
   test("bucket-count drift under an existing store is refused") {
@@ -345,6 +446,21 @@ class MergeStreamSpec extends SparkSpec {
       .map(_.stripPrefix("bucket=").toInt).toSet
     assert(physical == auditBuckets,
       s"store layout $physical != audit bucket function $auditBuckets")
+  }
+
+  test("fixture precondition: changelog pks are pure ASCII, so the " +
+    "q_merge_amplification char-fold oracle replays the store's byte fold") {
+    // the DuckDB audit folds per character codepoint while the store folds
+    // UTF-8 bytes — identical iff every pk is ASCII; this pins the fixture
+    // side of that contract so a non-ASCII pk regeneration fails loudly
+    val nonAscii = Changelog.changes(spark, sfDir)
+      .filter(col("primary_key") =!= "" &&
+        col("primary_key") =!= regexp_replace(col("primary_key"),
+          "[^\\x00-\\x7F]", ""))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII pks: the char-fold oracle no longer replays " +
+        "the store's byte-fold buckets")
   }
 
   test("split doubles the bucket count manifest-only: zero data writes, " +

@@ -89,8 +89,13 @@ class PlanGuardSpec extends SparkSpec {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
+      // q2: the EUROPE-supplier slice broadcasts under a documented bound
+      // (supplier:fact = 1:6000, ~60-100 MB at sf10k; see GroupF), while
+      // the LARGE slice of part follows the q14/q19 convention and
+      // SHUFFLES — its join reuses the window's l_partkey partitioning
       for (name <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q5",
-        "q_tpch_q21", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q17")) {
+        "q_tpch_q21", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q17",
+        "q_tpch_q2")) {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.sparkPlan.toString
         assert(plan.contains("BroadcastHashJoin"),

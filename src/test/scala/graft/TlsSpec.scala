@@ -17,33 +17,50 @@ import org.scalatest.funsuite.AnyFunSuite
 object TlsTestMaterial {
   private val Password = "graft-test".toCharArray
 
-  private def keyStore: KeyStore = {
+  private def keyStore(resource: String): KeyStore = {
     val ks = KeyStore.getInstance("PKCS12")
-    val in = getClass.getResourceAsStream("/graft/tls-test.p12")
-    require(in != null, "missing test resource graft/tls-test.p12")
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing test resource $resource")
     try ks.load(in, Password) finally in.close()
     ks
   }
 
+  private def rsaKs = keyStore("/graft/tls-test.p12")
+  // RSASSA-PSS-signed twin (SHA-384 digest in the PSS parameters): RFC
+  // 5929 puts the binding hash in the signature's AlgorithmParameters,
+  // not the algorithm name — the material that catches a SHA-256
+  // fall-through
+  private def pssKs = keyStore("/graft/tls-test-pss.p12")
+
   /** The self-signed certificate itself (for channel-binding checks). */
   def certificate: java.security.cert.X509Certificate =
-    keyStore.getCertificate("graft-test")
+    rsaKs.getCertificate("graft-test")
       .asInstanceOf[java.security.cert.X509Certificate]
 
-  /** Server-side context: holds the self-signed key pair. */
-  def serverContext: SSLContext = {
+  /** The RSASSA-PSS (SHA-384) self-signed certificate. */
+  def pssCertificate: java.security.cert.X509Certificate =
+    pssKs.getCertificate("graft-test-pss")
+      .asInstanceOf[java.security.cert.X509Certificate]
+
+  private def serverContextOf(ks: KeyStore): SSLContext = {
     val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(keyStore, Password)
+    kmf.init(ks, Password)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
     ctx
   }
 
+  /** Server-side context: holds the self-signed key pair. */
+  def serverContext: SSLContext = serverContextOf(rsaKs)
+
+  /** Server-side context with the RSASSA-PSS identity. */
+  def pssServerContext: SSLContext = serverContextOf(pssKs)
+
   /** Client-side context trusting exactly the self-signed certificate —
     * the injected-trust path a deployment with a private CA uses. */
   def clientContext: SSLContext = {
     val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
-    tmf.init(keyStore)
+    tmf.init(rsaKs)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(null, tmf.getTrustManagers, null)
     ctx
@@ -51,14 +68,14 @@ object TlsTestMaterial {
 
   /** Server half of the SSLRequest dance: read the 8-byte preamble off
     * `raw`, assert its shape, answer 'S', and hand back the TLS layer. */
-  def acceptTls(raw: Socket): Socket = {
+  def acceptTls(raw: Socket, ctx: SSLContext = serverContext): Socket = {
     val in = new DataInputStream(raw.getInputStream)
     val len = in.readInt()
     val code = in.readInt()
     require(len == 8 && code == 80877103, s"bad SSLRequest: len=$len code=$code")
     raw.getOutputStream.write('S')
     raw.getOutputStream.flush()
-    val ssl = serverContext.getSocketFactory
+    val ssl = ctx.getSocketFactory
       .createSocket(raw, null, raw.getPort, true).asInstanceOf[SSLSocket]
     ssl.setUseClientMode(false)
     ssl
@@ -177,8 +194,13 @@ class TlsSpec extends AnyFunSuite {
     } finally { raw.close(); server.close() }
   }
 
-  test("SCRAM-SHA-256-PLUS: channel binding from the TLS session is " +
-    "negotiated, carried in c=, and the bound proof verifies") {
+  /** Full SCRAM-SHA-256-PLUS exchange over a TLS server presenting
+    * `serverCtx`'s identity: the mock backend independently verifies the
+    * mechanism choice, the bound c= attribute, and the proof against
+    * `expectedBinding` (computed by the CALLER, so an agreed-upon-but-
+    * wrong binding on both sides cannot hide). */
+  private def runPlusExchange(serverCtx: javax.net.ssl.SSLContext,
+                              expectedBinding: Array[Byte]): Unit = {
     import java.util.Base64
     import graft.sources.ScramAuth
     val password = "bound+s3cret"
@@ -189,7 +211,7 @@ class TlsSpec extends AnyFunSuite {
     val t = new Thread(() => {
       val raw = server.accept()
       try {
-        val s = TlsTestMaterial.acceptTls(raw)
+        val s = TlsTestMaterial.acceptTls(raw, serverCtx)
         val sin = new DataInputStream(s.getInputStream)
         val sout = new DataOutputStream(s.getOutputStream)
         val slen = sin.readInt() - 4
@@ -229,9 +251,8 @@ class TlsSpec extends AnyFunSuite {
         if (t2 != 'p') failure.set(s"expected SASLResponse, got $t2")
         val clientFinal = new String(p2, UTF_8)
         val attrs = ScramAuth.parseAttrs(clientFinal)
-        val cb = ScramAuth.tlsServerEndPoint(TlsTestMaterial.certificate)
         val wantC = Base64.getEncoder.encodeToString(
-          "p=tls-server-end-point,,".getBytes(UTF_8) ++ cb)
+          "p=tls-server-end-point,,".getBytes(UTF_8) ++ expectedBinding)
         if (attrs("c") != wantC)
           failure.set(s"c= does not carry the certificate binding")
         val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
@@ -266,6 +287,30 @@ class TlsSpec extends AnyFunSuite {
       t.join(5000)
       assert(failure.get() == null, s"backend saw: ${failure.get()}")
     } finally { raw.close(); server.close() }
+  }
+
+  test("SCRAM-SHA-256-PLUS: channel binding from the TLS session is " +
+    "negotiated, carried in c=, and the bound proof verifies") {
+    runPlusExchange(TlsTestMaterial.serverContext,
+      graft.sources.ScramAuth.tlsServerEndPoint(TlsTestMaterial.certificate))
+  }
+
+  test("SCRAM-SHA-256-PLUS against an RSASSA-PSS certificate: the binding " +
+    "hash comes from the PSS parameters (SHA-384), not a SHA-256 default") {
+    val cert = TlsTestMaterial.pssCertificate
+    assert(cert.getSigAlgName.toUpperCase.contains("RSASSA-PSS"),
+      s"fixture is not PSS-signed: ${cert.getSigAlgName}")
+    // independent pin of the RFC 5929 digest choice: the PSS parameters
+    // name SHA-384, so the binding must be SHA-384(DER) — the pre-fix
+    // fall-through hashed with SHA-256 and failed -PLUS closed against
+    // every PSS-cert server
+    val binding = graft.sources.ScramAuth.tlsServerEndPoint(cert)
+    assert(binding.sameElements(java.security.MessageDigest
+      .getInstance("SHA-384").digest(cert.getEncoded)),
+      "tls-server-end-point did not use the PSS parameter digest")
+    assert(!binding.sameElements(java.security.MessageDigest
+      .getInstance("SHA-256").digest(cert.getEncoded)))
+    runPlusExchange(TlsTestMaterial.pssServerContext, binding)
   }
 
   test("without TLS the client never selects -PLUS even if offered") {

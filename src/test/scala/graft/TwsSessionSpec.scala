@@ -98,6 +98,25 @@ class TwsSessionSpec extends SparkSpec {
     assert(got == want, s"co-batch late merge diverged: $got")
   }
 
+  test("a gap-bridging arrival merges the pending late run into the open " +
+    "session — one session, exactly the batch rule") {
+    val closed = run("tws_bridge", Seq(
+      Seq((1L, 10000L)),            // open session at 10000s
+      // a late run climbing toward the open session at 1500s steps
+      // (< 1800s gap), then a bridging event at 9500s within a gap of
+      // BOTH the run's end (8000s) and the open start — the batch rule
+      // sessionizes all 8 events as ONE session. (The pre-fix operator
+      // closed the run standalone at the bridge and emitted two.)
+      Seq((1L, 1000L), (1L, 2000L), (1L, 3500L), (1L, 5000L), (1L, 6500L),
+        (1L, 8000L), (1L, 9500L)),
+      Seq((9L, 2000000L))           // sentinel closes everything open
+    ), watermarkDelay = "20 hours")
+    val got = closed.filter(_.user_id == 1).map(c =>
+      (c.user_id, c.start_us / 1000000, c.end_us / 1000000, c.n_events)).toSet
+    assert(got == Set((1L, 1000L, 10000L, 8L)),
+      s"gap-bridging late run diverged from the batch rule: $got")
+  }
+
   test("closed-session stream equals the batch q_sessionize rule on fixture events") {
     val ev = graft.queries.Q.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
