@@ -231,6 +231,117 @@ class LiveTopologySpec extends SparkSpec {
     assert(failure.get() == null, s"server saw: ${failure.get()}")
   }
 
+  test("GATED live server: real PostgreSQL → runner segments → " +
+    "graft-pgoutput readStream → merge store equals the server's table") {
+    // the full production composition against a REAL wal_level=logical
+    // server (tools/live_pg.sh): dial (TLS/SCRAM per env) → slot →
+    // receive loop → commit-aligned segments → Spark readStream →
+    // LSN-monotonic merge — asserted against the server's OWN final
+    // table state, across a mid-stream disconnect + slot resume
+    val host = sys.env.get("GRAFT_PG_HOST")
+    assume(host.isDefined,
+      "GRAFT_PG_HOST not set — live topology test skipped " +
+        "(mock-walsender coverage above stands)")
+    val port = sys.env.getOrElse("GRAFT_PG_PORT", "5432").toInt
+    val user = sys.env.getOrElse("GRAFT_PG_USER", "postgres")
+    val db = sys.env.getOrElse("GRAFT_PG_DB", "postgres")
+    val password = sys.env.get("GRAFT_PG_PASSWORD")
+    val sslMode = sys.env.getOrElse("GRAFT_PG_SSLMODE",
+      graft.sources.PgTls.ModeDisable)
+    import graft.sources.{PgReplicationHandshake, PgTls}
+    import spark.implicits._
+
+    val rawSql = new java.net.Socket(host.get, port)
+    val sqlSock = PgTls.negotiate(rawSql, host.get, sslMode)
+    val ddl = new PgReplicationHandshake(
+      new DataInputStream(new java.io.BufferedInputStream(sqlSock.getInputStream)),
+      new DataOutputStream(new java.io.BufferedOutputStream(sqlSock.getOutputStream)),
+      password)
+    try {
+      ddl.startup(user, db)
+      def tolerant(sql: String): Unit =
+        try { ddl.exec(sql); () }
+        catch { case _: PgReplicationHandshake.BackendError => () }
+      tolerant("SELECT pg_drop_replication_slot('graft_live_slot')")
+      ddl.exec("DROP TABLE IF EXISTS graft_live")
+      ddl.exec("DROP PUBLICATION IF EXISTS graft_live_pub")
+      ddl.exec("CREATE TABLE graft_live(id int primary key, title text, " +
+        "content text)")
+      ddl.exec("CREATE PUBLICATION graft_live_pub FOR TABLE graft_live")
+
+      val segDir = java.nio.file.Files.createTempDirectory("live_topo_segs")
+      val tap = new WalSegmentTap(segDir)
+      // one receive session: step until `expect` changes decoded, tap one
+      // commit-aligned segment (the session's Relation frame leads it),
+      // flush-ack, disconnect
+      def session(expect: Int)(dml: => Unit): Unit = {
+        val (sock, loop) = LiveWal.connect(host.get, port, user, db,
+          "graft_live_slot", "graft_live_pub", password = password,
+          createPublication = false, createSlot = true, sslMode = sslMode)
+        try {
+          sock.setSoTimeout(20000)
+          dml
+          val deadline = System.nanoTime() + 60L * 1000000000L
+          while (loop.changes().size < expect && System.nanoTime() < deadline)
+            loop.step()
+          assert(loop.changes().size == expect,
+            s"decoded ${loop.changes().size}/$expect live changes")
+          val flushTo = loop.walEnd
+          assert(tap.tap(loop).isDefined, "live segment not written")
+          loop.markFlushed(flushTo)
+          loop.sendStatusUpdate(); Thread.sleep(300)
+          loop.sendStatusUpdate(); Thread.sleep(300)
+        } finally sock.close()
+      }
+      // session 1: 150 inserts (3 tx) + 30 updates (1 tx)
+      session(180) {
+        (0 until 3).foreach(b => ddl.exec(
+          s"INSERT INTO graft_live SELECT g, 't'||g, 'c'||g FROM " +
+            s"generate_series(${b * 50 + 1}, ${b * 50 + 50}) g"))
+        ddl.exec("UPDATE graft_live SET title = 'U'||id WHERE id <= 30")
+      }
+      // outage, then session 2 resumes the SAME slot: 100 inserts + 20 deletes
+      session(120) {
+        (3 until 5).foreach(b => ddl.exec(
+          s"INSERT INTO graft_live SELECT g, 't'||g, 'c'||g FROM " +
+            s"generate_series(${b * 50 + 1}, ${b * 50 + 50}) g"))
+        ddl.exec("DELETE FROM graft_live WHERE id BETWEEN 31 AND 50")
+      }
+
+      // the Spark half: stream the tapped segments into the merge store
+      val storeDir = java.nio.file.Files.createTempDirectory("live_topo_store")
+      val ckpt = java.nio.file.Files.createTempDirectory("live_topo_ckpt")
+      val store = new ParquetTableStore(s"$storeDir/table",
+        table = "public.graft_live", attrCols = Seq("title", "content"))
+      val q = spark.readStream.format("graft-pgoutput")
+        .option("path", segDir.toString).option("wire_format", "pgoutput")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          store.merge(batch)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      // final state equals the live server's own table
+      val got = store.current(spark)
+        .select($"pk", $"title", $"content")
+        .as[(String, String, String)].collect().toSet
+      val want = ddl.exec(
+        "SELECT id::text, title, content FROM graft_live ORDER BY id")
+        .map(r => (r(0), r(1), r(2))).toSet
+      assert(want.size == 230, s"server fixture broken: ${want.size} rows")
+      assert(got == want,
+        s"merged table diverges from the live server: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+
+      tolerant("SELECT pg_drop_replication_slot('graft_live_slot')")
+      ddl.exec("DROP TABLE IF EXISTS graft_live")
+      ddl.exec("DROP PUBLICATION IF EXISTS graft_live_pub")
+    } finally sqlSock.close()
+  }
+
   test("outage + overlapping re-delivery + checkpoint restart converges to the same table") {
     import spark.implicits._
     // Crash-and-reconnect shape: session 1 delivers the first 60% of the

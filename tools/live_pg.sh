@@ -56,4 +56,9 @@ export GRAFT_PG_HOST=127.0.0.1 GRAFT_PG_PORT=$PORT \
 echo "=== live specs, sslmode=disable (plain SCRAM-SHA-256)"
 GRAFT_PG_SSLMODE=disable sbt -batch "testOnly graft.LivePostgresSpec"
 echo "=== live specs, sslmode=require (TLS + SCRAM-SHA-256-PLUS binding)"
-GRAFT_PG_SSLMODE=require sbt -batch "testOnly graft.LivePostgresSpec"
+GRAFT_PG_SSLMODE=require sbt -batch \
+  "testOnly graft.LivePostgresSpec graft.LiveTopologySpec"
+# LiveTopologySpec's gated test is the FULL production composition against
+# the live server: dial → slot → receive loop → commit-aligned segments →
+# graft-pgoutput readStream → LSN-monotonic merge store, asserted equal to
+# the server's own table across a mid-stream disconnect + slot resume.
