@@ -417,6 +417,86 @@ class MergeStreamSpec extends SparkSpec {
     assert(store.current(spark).count() == 12)
   }
 
+  test("seeded random schedule of merge/split/compactAll/gcTwoPhase/reopen " +
+    "tracks an in-memory LWW model exactly") {
+    // 40 random operations against a tiny-bucketed store (threshold
+    // compaction + stale migration fire constantly) vs a reference model:
+    // live rows must match exactly at every checkpoint; tombstones must be
+    // a subset of the model's with every post-horizon tombstone retained
+    // (pre-horizon ones drop lazily at whichever compaction touches them).
+    // (pk, lsn) deterministically fixes op and content, so re-delivered
+    // ties always carry identical values — the store's delivery contract.
+    val rnd = new scala.util.Random(2024)
+    val dir = tmp() + "/model"
+    def open() = new ParquetTableStore(dir, numBuckets = 2, maxDeltasPerBucket = 2)
+    var store = open()
+    var model = Map.empty[String, (Long, Boolean, String)]
+    var gcH = -1L; var pending = -1L; var applied = -1L; var splits = 0
+    val pks = (1 to 30).map(_.toString)
+    def opOf(pk: String, lsn: Long): String =
+      if (math.abs((pk + ":" + lsn).hashCode) % 4 == 0) "d" else "u"
+    def contentOf(pk: String, lsn: Long): String = s"c$pk-$lsn"
+    def changesDf(rows: Seq[(String, Long)]): DataFrame =
+      rows.map { case (pk, lsn) =>
+        (opOf(pk, lsn), "public", "documents", pk, lsn.toString,
+          if (opOf(pk, lsn) == "d") null else contentOf(pk, lsn))
+      }.toDF("op", "schema", "table", "primary_key", "lsn", "c")
+        .select(col("op"), col("schema"), col("table"), col("primary_key"),
+          col("lsn"),
+          when(col("op") =!= "d", map(lit("content"), col("c"))).as("after"))
+    def check(step: Int): Unit = {
+      val snap = store.snapshot(spark)
+        .select("pk", "lsn", "deleted", "content")
+        .as[(String, Long, Boolean, Option[String])].collect()
+      val gotLive = snap.filterNot(_._3).map(r => (r._1, r._2, r._4)).toSet
+      val wantLive = model.collect { case (pk, (l, false, c)) =>
+        (pk, l, Option(c)) }.toSet
+      assert(gotLive == wantLive, s"step $step live rows diverged: " +
+        s"missing=${(wantLive -- gotLive).take(3)} extra=${(gotLive -- wantLive).take(3)}")
+      val gotTomb = snap.filter(_._3).map(r => (r._1, r._2)).toSet
+      val wantTomb = model.collect { case (pk, (l, true, _)) => (pk, l) }.toSet
+      assert(gotTomb.subsetOf(wantTomb),
+        s"step $step phantom tombstones: ${(gotTomb -- wantTomb).take(3)}")
+      val mustKeep = wantTomb.filter(_._2 > gcH)
+      assert(mustKeep.subsetOf(gotTomb),
+        s"step $step post-horizon tombstones dropped: ${(mustKeep -- gotTomb).take(3)}")
+      assert(store.currentBuckets(spark) == 2 * (1 << splits),
+        s"step $step bucket count diverged")
+    }
+    for (step <- 1 to 40) {
+      rnd.nextInt(10) match {
+        case k if k <= 5 =>
+          val rows = Seq.fill(1 + rnd.nextInt(6))(
+            (pks(rnd.nextInt(pks.size)), 1L + rnd.nextInt(500)))
+          store.merge(changesDf(rows))
+          val latest = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+          val accepted = latest.filter(_._2 > gcH)
+          accepted.foreach { case (pk, lsn) =>
+            applied = math.max(applied, lsn)
+            model.get(pk) match {
+              case Some((l, _, _)) if l >= lsn => ()
+              case _ => model += pk ->
+                (lsn, opOf(pk, lsn) == "d",
+                  if (opOf(pk, lsn) == "d") null else contentOf(pk, lsn))
+            }
+          }
+        case 6 =>
+          store.split(spark); splits += 1
+        case 7 =>
+          store.compactAll(spark)
+          model = model.filter { case (_, (l, del, _)) => !(del && l <= gcH) }
+        case 8 =>
+          val h = rnd.nextInt(500).toLong
+          store.gcTwoPhase(spark, h)
+          gcH = math.max(gcH, math.min(pending, applied))
+          pending = math.max(pending, h)
+        case _ =>
+          store = open() // restart: all state must come back from disk
+      }
+      if (step % 8 == 0 || step == 40) check(step)
+    }
+  }
+
   test("bucket-count drift under an existing store is refused") {
     val dir = tmp() + "/table"
     new ParquetTableStore(dir, numBuckets = 4).merge(change("c", "1", 10, "v"))
