@@ -146,10 +146,12 @@ final class ParquetTableStore(path: String,
     * replay horizon: changes at or below it are refused, tombstones at or
     * below it drop at compaction. `applied` is the max LSN any committed
     * merge has carried — the clamp for [[gc]]. `pending` is the two-phase
-    * GC candidate recorded by [[gcTwoPhase]] one cycle before it becomes
-    * the horizon. */
+    * GC candidate recorded by [[gcTwoPhase]]; `pendingEpoch` is the
+    * micro-batch epoch it was captured in — promotion requires a strictly
+    * LATER epoch, so a crash-replayed batch cannot promote its own
+    * capture. */
   private case class Manifest(seq: Int, buckets: Int, gc: Long, applied: Long,
-                              pending: Long,
+                              pending: Long, pendingEpoch: Long,
                               mods: Map[String, Int],
                               base: Map[Int, String],
                               deltas: Map[Int, List[String]]) {
@@ -157,7 +159,7 @@ final class ParquetTableStore(path: String,
   }
 
   private def emptyManifest =
-    Manifest(0, numBuckets, -1L, -1L, -1L, Map.empty, Map.empty, Map.empty)
+    Manifest(0, numBuckets, -1L, -1L, -1L, -1L, Map.empty, Map.empty, Map.empty)
 
   private def manifestPath(seq: Int) =
     new org.apache.hadoop.fs.Path(f"$path/manifest-$seq%08d.txt")
@@ -179,7 +181,7 @@ final class ParquetTableStore(path: String,
     sb.append("hashfn fnv1a64\n")
     sb.append(s"gc ${m.gc}\n")
     sb.append(s"applied ${m.applied}\n")
-    sb.append(s"pending ${m.pending}\n")
+    sb.append(s"pending ${m.pending} ${m.pendingEpoch}\n")
     val live = m.liveDirs
     m.mods.filter(kv => live(kv._1)).toSeq.sorted.foreach { case (d, b) =>
       sb.append(s"dir $d $b\n")
@@ -200,6 +202,7 @@ final class ParquetTableStore(path: String,
     var gc = -1L
     var applied = -1L
     var pending = -1L
+    var pendingEpoch = -1L
     var sawHashFn = false
     var mods = Map.empty[String, Int]
     var base = Map.empty[Int, String]
@@ -227,8 +230,11 @@ final class ParquetTableStore(path: String,
               "under an existing store")
         case Array("gc", g) => gc = g.toLong
         case Array("applied", a) => applied = a.toLong
-        // absent in pre-two-phase manifests of this layout: default -1
-        case Array("pending", p) => pending = p.toLong
+        // absent in pre-two-phase manifests of this layout: default -1.
+        // (Conversely a manifest WITH this line is refused by pre-two-phase
+        // readers — acceptable one-way compatibility for a pre-release
+        // store, the same stance the hashfn line takes.)
+        case Array("pending", p, e) => pending = p.toLong; pendingEpoch = e.toLong
         case Array("dir", d, b) => mods += d -> b.toInt
         case Array("bucket", k, b, d) =>
           val kk = k.toInt
@@ -241,7 +247,8 @@ final class ParquetTableStore(path: String,
       s"store at $path predates the fnv1a64 bucket layout (legacy murmur3 " +
         "bucketing); rebuild the store from the changelog — the bucket " +
         "function must not change under existing data")
-    val m = Manifest(seq, buckets, gc, applied, pending, mods, base, deltas)
+    val m = Manifest(seq, buckets, gc, applied, pending, pendingEpoch,
+      mods, base, deltas)
     // legacy tolerance within this layout: a dir with no `dir` line was
     // written under the manifest's own bucket count
     m.copy(mods = m.liveDirs.map(d => d -> m.mods.getOrElse(d, buckets)).toMap)
@@ -488,34 +495,46 @@ final class ParquetTableStore(path: String,
   }
 
   /** Two-phase GC for an operated loop: records `horizon` as the PENDING
-    * candidate and promotes the candidate recorded by the PREVIOUS call
-    * (clamped to the applied watermark, monotonic) to the live horizon —
-    * one O(manifest) commit, no data reads.
+    * candidate (tagged with `epoch`) and promotes a previously-captured
+    * candidate (clamped to the applied watermark, monotonic) to the live
+    * horizon — one O(manifest) commit, no data reads.
     *
-    * Why deferral closes the out-of-order race [[gc]] alone cannot: the
+    * `epoch` is the streaming micro-batch id: MONOTONE and — critically —
+    * STABLE ACROSS CRASH REPLAYS. Promotion requires `epoch` to be
+    * strictly GREATER than the captured candidate's epoch, so a replayed
+    * batch (same id, planned over its pre-capture file set) can never
+    * promote its own capture — only a genuinely LATER batch, whose
+    * planning listed the source directory after the capture, can.
+    *
+    * Why that closes the out-of-order race [[gc]] alone cannot: the
     * provider (the receive loop's flushed LSN) only returns X after every
     * segment at or below X is durably in the source directory, and the
-    * file source plans each micro-batch over ALL files visible at planning
-    * time. The pending value was captured inside an earlier micro-batch's
-    * commit; every micro-batch since (there is at least one full gc cycle
-    * of them, and the promoting call runs AFTER its own batch's merge) was
-    * planned after that capture, so every segment at or below the promoted
-    * value has been OFFERED to [[merge]] before it becomes the refusal
-    * horizon — no first delivery can be refused, even when chunks land out
-    * of LSN order. (With `maxFilesPerTrigger` throttling the file source,
-    * size `gcEveryBatches` ≥ the worst-case batches-per-drain so a full
+    * file source plans each micro-batch over ALL files visible at
+    * planning time. A later-epoch batch was planned after the capture,
+    * merged its files BEFORE its own gc step runs, and therefore every
+    * segment at or below the promoted value has been OFFERED to [[merge]]
+    * before it becomes the refusal horizon — no first delivery can be
+    * refused, even when chunks land out of LSN order. (With
+    * `maxFilesPerTrigger` throttling the file source, size
+    * `gcEveryBatches` ≥ the worst-case batches-per-drain so a full
     * directory listing still lands between capture and promotion.) */
-  def gcTwoPhase(spark: SparkSession, horizon: Long): Unit = {
+  def gcTwoPhase(spark: SparkSession, horizon: Long, epoch: Long): Unit = {
     val m = loadManifest(spark).getOrElse(emptyManifest)
-    val h = math.max(m.gc, math.min(m.pending, m.applied))
+    val canPromote = m.pendingEpoch >= 0 && epoch > m.pendingEpoch
+    val h =
+      if (canPromote) math.max(m.gc, math.min(m.pending, m.applied)) else m.gc
     val p = math.max(m.pending, horizon)
-    if (h == m.gc && p == m.pending) return
-    commitManifest(spark, m.copy(seq = m.seq + 1, gc = h, pending = p))
+    // the epoch tags the newest capture that RAISED the candidate; a
+    // static candidate keeps its original epoch so promotion stays armed
+    val pe = if (p > m.pending || m.pendingEpoch < 0) epoch else m.pendingEpoch
+    if (h == m.gc && p == m.pending && pe == m.pendingEpoch) return
+    commitManifest(spark,
+      m.copy(seq = m.seq + 1, gc = h, pending = p, pendingEpoch = pe))
     vacuum(spark)
   }
 
   /** The recorded two-phase GC candidate (−1 before any [[gcTwoPhase]]):
-    * becomes the live horizon at the next [[gcTwoPhase]] call. */
+    * becomes the live horizon at the first later-epoch [[gcTwoPhase]]. */
   def pendingGcHorizon(spark: SparkSession): Long =
     loadManifest(spark).map(_.pending).getOrElse(-1L)
 
@@ -541,6 +560,15 @@ final class ParquetTableStore(path: String,
   def split(spark: SparkSession): Unit = {
     val m = loadManifest(spark).getOrElse(emptyManifest)
     val b = m.buckets
+    // parse() defends against an overflowed bucket count; the producer
+    // must refuse to create one. 2^29 buckets is far beyond any sane
+    // layout (100 TB / 2^29 ≈ 200 KB per bucket) — a threshold set below
+    // a bucket's irreducible base size would otherwise absorb-and-double
+    // forever until b*2 wraps negative and bricks the store.
+    require(b < ParquetTableStore.MaxBuckets,
+      s"split: bucket count $b at the safety cap — raise " +
+        "splitThresholdBytes; the data/threshold ratio is asking for an " +
+        "absurd layout")
     val next = m.copy(seq = m.seq + 1, buckets = b * 2,
       base = m.base ++ m.base.map { case (k, d) => (k + b, d) },
       deltas = m.deltas ++ m.deltas.map { case (k, ds) => (k + b, ds) })
@@ -565,6 +593,7 @@ final class ParquetTableStore(path: String,
   private def maybeSplit(spark: SparkSession, m: Manifest,
                          touched: Set[Int]): Unit = {
     if (splitThresholdBytes == Long.MaxValue) return
+    if (m.buckets >= ParquetTableStore.MaxBuckets) return // cap: never wrap
     val f = fs(spark)
     val oversized = touched.exists { k =>
       m.base.get(k).exists { d =>
@@ -576,6 +605,13 @@ final class ParquetTableStore(path: String,
     }
     if (oversized) split(spark)
   }
+}
+
+object ParquetTableStore {
+  /** Hard ceiling on [[ParquetTableStore.split]] doubling: 2^29 buckets
+    * (100 TB / 2^29 ≈ 200 KB per bucket — far past any sane layout) keeps
+    * `buckets * 2` from ever wrapping Int. */
+  val MaxBuckets: Int = 1 << 29
 }
 
 /** Structured-Streaming runner: change envelopes → [[ParquetTableStore]]
@@ -611,13 +647,16 @@ object MergeStream {
     CdcStream.readEnvelopes(spark, sourceDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(flushIntervalMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.merge(batch)
         gcHorizon.foreach { h =>
           sinceGc += 1
           if (sinceGc >= gcEveryBatches) {
             sinceGc = 0
-            store.gcTwoPhase(spark, h())
+            // batchId is the promotion epoch: monotone and stable across
+            // crash replays, so a replayed batch cannot promote the
+            // candidate it captured itself
+            store.gcTwoPhase(spark, h(), batchId)
           }
         }
       }

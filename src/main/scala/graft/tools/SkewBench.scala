@@ -117,7 +117,9 @@ object SkewBench {
     // a 32-thread box (r7 measured volumes only to s=4, where uncapped
     // still won on seconds)
     val scales = sys.env.getOrElse("SKEWBENCH_SCALES", "1,2,4,8,16")
-      .split(',').toSeq.map(_.trim.toInt)
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    require(scales.nonEmpty && scales.forall(_ > 0),
+      s"SKEWBENCH_SCALES must be positive ints, got: $scales")
 
     val graphRows = scales.map { s =>
       val h1 = hubGraph(spark, s, eBase, hubBase).persist()

@@ -136,11 +136,10 @@ class MergeStreamSpec extends SparkSpec {
     val dir = tmp() + "/table"
     val store = new ParquetTableStore(dir, numBuckets = 4)
     // find two pks landing in different buckets under pmod(fnv1a64(pk), 4)
-    val bucketOf = (1 to 16).map(_.toString).map { pk =>
-      pk -> Seq(pk).toDF("pk")
-        .select(pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(4L))
-          .cast("int").as("b")).head().getInt(0)
-    }.toMap
+    val bucketOf = (1 to 16).map(_.toString).toDF("pk")
+      .select(col("pk"), pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(4L))
+        .cast("int").as("b"))
+      .as[(String, Int)].collect().toMap // one job, not 16
     val (pkA, bA) = bucketOf.head
     val (pkB, bB) = bucketOf.find(_._2 != bA).get
     store.merge(change("c", pkA, 10, "a1"))
@@ -332,15 +331,21 @@ class MergeStreamSpec extends SparkSpec {
     // provider covered it) has been merged.
     val store = new ParquetTableStore(tmp() + "/table")
     store.merge(change("c", "b", 60, "vb")) // later-LSN chunk merges FIRST
-    // receive loop has durably written BOTH chunks and acked through 60
-    store.gcTwoPhase(spark, 60)
+    // receive loop has durably written BOTH chunks and acked through 60;
+    // the capture happens in micro-batch epoch 1
+    store.gcTwoPhase(spark, 60, epoch = 1)
     assert(store.pendingGcHorizon(spark) == 60)
     assert(store.gcHorizon(spark) == -1L,
       "candidate promoted immediately — the out-of-order window is open")
+    // a CRASH-REPLAYED batch re-runs the same epoch: it was planned over
+    // its pre-capture file set, so it must NOT promote its own capture
+    store.gcTwoPhase(spark, 60, epoch = 1)
+    assert(store.gcHorizon(spark) == -1L,
+      "a replayed epoch promoted its own capture — the replay race is open")
     // single-phase at this point would have recorded 60 (applied == 60)
     // and the next merge would drop this chunk forever:
     store.merge(change("c", "a", 50, "va")) // earlier chunk, first delivery
-    store.gcTwoPhase(spark, 60) // next cycle: promote
+    store.gcTwoPhase(spark, 60, epoch = 2) // a LATER batch: promote
     assert(store.gcHorizon(spark) == 60)
     assert(store.current(spark).select("pk", "content").as[(String, String)]
       .collect().toSet == Set(("a", "va"), ("b", "vb")),
@@ -358,11 +363,10 @@ class MergeStreamSpec extends SparkSpec {
     // maxDeltas=2 so the 3rd delta to a bucket compacts it
     val store = new ParquetTableStore(dir, numBuckets = 2,
       maxDeltasPerBucket = 2, splitThresholdBytes = 1L)
-    val bucketOf4 = (1 to 64).map(_.toString).map { pk =>
-      pk -> Seq(pk).toDF("pk")
-        .select(pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(4L))
-          .cast("int").as("b")).head().getInt(0)
-    }.toMap
+    val bucketOf4 = (1 to 64).map(_.toString).toDF("pk")
+      .select(col("pk"), pmod(graft.ops.VectorOps.fnv1a64(col("pk")), lit(4L))
+        .cast("int").as("b"))
+      .as[(String, Int)].collect().toMap // one job, not 64
     // three merges into (mod 2) bucket 0 — pks whose mod-4 bucket is 0 or
     // 2 — force a compaction, whose current-modulus base fires ONE split
     val b0 = bucketOf4.collect { case (pk, b) if b % 2 == 0 => pk }.take(3)
@@ -431,7 +435,8 @@ class MergeStreamSpec extends SparkSpec {
     def open() = new ParquetTableStore(dir, numBuckets = 2, maxDeltasPerBucket = 2)
     var store = open()
     var model = Map.empty[String, (Long, Boolean, String)]
-    var gcH = -1L; var pending = -1L; var applied = -1L; var splits = 0
+    var gcH = -1L; var pending = -1L; var pendingEpoch = -1L
+    var applied = -1L; var splits = 0
     val pks = (1 to 30).map(_.toString)
     def opOf(pk: String, lsn: Long): String =
       if (math.abs((pk + ":" + lsn).hashCode) % 4 == 0) "d" else "u"
@@ -487,9 +492,12 @@ class MergeStreamSpec extends SparkSpec {
           model = model.filter { case (_, (l, del, _)) => !(del && l <= gcH) }
         case 8 =>
           val h = rnd.nextInt(500).toLong
-          store.gcTwoPhase(spark, h)
-          gcH = math.max(gcH, math.min(pending, applied))
-          pending = math.max(pending, h)
+          store.gcTwoPhase(spark, h, epoch = step.toLong)
+          if (pendingEpoch >= 0 && step > pendingEpoch)
+            gcH = math.max(gcH, math.min(pending, applied))
+          val np = math.max(pending, h)
+          if (np > pending || pendingEpoch < 0) pendingEpoch = step.toLong
+          pending = np
         case _ =>
           store = open() // restart: all state must come back from disk
       }
