@@ -235,6 +235,9 @@ final class ParquetTableStore(path: String,
         // readers — acceptable one-way compatibility for a pre-release
         // store, the same stance the hashfn line takes.)
         case Array("pending", p, e) => pending = p.toLong; pendingEpoch = e.toLong
+        // epoch-less interim form: candidate honored, epoch unknown → -1,
+        // which re-arms at the next capture before any promotion
+        case Array("pending", p) => pending = p.toLong
         case Array("dir", d, b) => mods += d -> b.toInt
         case Array("bucket", k, b, d) =>
           val kk = k.toInt
@@ -520,13 +523,20 @@ final class ParquetTableStore(path: String,
     * directory listing still lands between capture and promotion.) */
   def gcTwoPhase(spark: SparkSession, horizon: Long, epoch: Long): Unit = {
     val m = loadManifest(spark).getOrElse(emptyManifest)
-    val canPromote = m.pendingEpoch >= 0 && epoch > m.pendingEpoch
+    // an epoch BELOW the recorded one means the stream restarted with a
+    // fresh checkpoint (batch ids rebased to 0): the old epoch domain is
+    // gone, so re-arm at the current epoch — the candidate then promotes
+    // one genuine cycle later instead of stalling until the new stream's
+    // ids catch up to the old domain. A crash REPLAY has epoch EQUAL to
+    // the recorded one and still cannot promote.
+    val basePe = if (m.pendingEpoch > epoch) epoch else m.pendingEpoch
+    val canPromote = basePe >= 0 && epoch > basePe
     val h =
       if (canPromote) math.max(m.gc, math.min(m.pending, m.applied)) else m.gc
     val p = math.max(m.pending, horizon)
     // the epoch tags the newest capture that RAISED the candidate; a
     // static candidate keeps its original epoch so promotion stays armed
-    val pe = if (p > m.pending || m.pendingEpoch < 0) epoch else m.pendingEpoch
+    val pe = if (p > m.pending || basePe < 0) epoch else basePe
     if (h == m.gc && p == m.pending && pe == m.pendingEpoch) return
     commitManifest(spark,
       m.copy(seq = m.seq + 1, gc = h, pending = p, pendingEpoch = pe))

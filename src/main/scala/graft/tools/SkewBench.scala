@@ -116,10 +116,11 @@ object SkewBench {
     // overtake the cap's extra degree-filter pass between s=4 and s=8 on
     // a 32-thread box (r7 measured volumes only to s=4, where uncapped
     // still won on seconds)
-    val scales = sys.env.getOrElse("SKEWBENCH_SCALES", "1,2,4,8,16")
-      .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    val scalesRaw = sys.env.getOrElse("SKEWBENCH_SCALES", "1,2,4,8,16")
+    val scales = scalesRaw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(s => scala.util.Try(s.toInt).getOrElse(-1))
     require(scales.nonEmpty && scales.forall(_ > 0),
-      s"SKEWBENCH_SCALES must be positive ints, got: $scales")
+      s"SKEWBENCH_SCALES must be positive ints, got: '$scalesRaw'")
 
     val graphRows = scales.map { s =>
       val h1 = hubGraph(spark, s, eBase, hubBase).persist()

@@ -271,37 +271,42 @@ class LiveTopologySpec extends SparkSpec {
 
       val segDir = java.nio.file.Files.createTempDirectory("live_topo_segs")
       val tap = new WalSegmentTap(segDir)
-      // one receive session: step until `expect` changes decoded, tap one
+      // one receive session: step until `expect` NEW changes (lsn beyond
+      // the previous session's flush-acked position — an unpersisted ack
+      // may re-deliver a tail, which must not count) are decoded, tap one
       // commit-aligned segment (the session's Relation frame leads it),
-      // flush-ack, disconnect
-      def session(expect: Int)(dml: => Unit): Unit = {
+      // flush-ack, disconnect; returns the acked position
+      def session(expect: Int, afterLsn: Long)(dml: => Unit): Long = {
         val (sock, loop) = LiveWal.connect(host.get, port, user, db,
           "graft_live_slot", "graft_live_pub", password = password,
           createPublication = false, createSlot = true, sslMode = sslMode)
         try {
           sock.setSoTimeout(20000)
           dml
+          def fresh = loop.changes().count(_.lsn > afterLsn)
           val deadline = System.nanoTime() + 60L * 1000000000L
-          while (loop.changes().size < expect && System.nanoTime() < deadline)
+          while (fresh < expect && System.nanoTime() < deadline)
             loop.step()
-          assert(loop.changes().size == expect,
-            s"decoded ${loop.changes().size}/$expect live changes")
+          assert(fresh == expect, s"decoded $fresh/$expect live changes")
           val flushTo = loop.walEnd
           assert(tap.tap(loop).isDefined, "live segment not written")
           loop.markFlushed(flushTo)
           loop.sendStatusUpdate(); Thread.sleep(300)
           loop.sendStatusUpdate(); Thread.sleep(300)
+          flushTo
         } finally sock.close()
       }
       // session 1: 150 inserts (3 tx) + 30 updates (1 tx)
-      session(180) {
+      val flush1 = session(180, -1L) {
         (0 until 3).foreach(b => ddl.exec(
           s"INSERT INTO graft_live SELECT g, 't'||g, 'c'||g FROM " +
             s"generate_series(${b * 50 + 1}, ${b * 50 + 50}) g"))
         ddl.exec("UPDATE graft_live SET title = 'U'||id WHERE id <= 30")
       }
-      // outage, then session 2 resumes the SAME slot: 100 inserts + 20 deletes
-      session(120) {
+      // outage, then session 2 resumes the SAME slot: 100 inserts + 20
+      // deletes (a re-delivered session-1 tail is tolerated by the
+      // LSN-monotonic merge and excluded from the count by flush1)
+      session(120, flush1) {
         (3 until 5).foreach(b => ddl.exec(
           s"INSERT INTO graft_live SELECT g, 't'||g, 'c'||g FROM " +
             s"generate_series(${b * 50 + 1}, ${b * 50 + 50}) g"))

@@ -354,6 +354,18 @@ class MergeStreamSpec extends SparkSpec {
     store.merge(change("u", "a", 50, "replay"))
     assert(store.current(spark).filter(col("pk") === "a")
       .select("content").as[String].head() == "va")
+    // a FRESH checkpoint rebases batch ids to 0 (below the recorded
+    // capture epoch): the epoch domain resets — the capture re-arms at
+    // the rebased epoch instead of stalling until ids catch up, and
+    // promotes one genuine cycle later
+    store.merge(change("c", "c", 100, "vc")) // applied = 100
+    store.gcTwoPhase(spark, 100, epoch = 0)  // rebased stream: capture only
+    assert(store.gcHorizon(spark) == 60,
+      "rebased epoch promoted immediately")
+    assert(store.pendingGcHorizon(spark) == 100)
+    store.gcTwoPhase(spark, 100, epoch = 1)  // next rebased cycle: promote
+    assert(store.gcHorizon(spark) == 100,
+      "promotion stalled after a checkpoint rebase")
   }
 
   test("auto-split fires at most one doubling until compaction absorbs " +

@@ -72,6 +72,10 @@ trap 'kill -9 $PID 2>/dev/null || true' EXIT
 for i in $(seq 1 90); do
   curl -fsS localhost:18099/healthz >/dev/null 2>&1 && break; sleep 1
 done
+if ! curl -fsS localhost:18099/healthz >/dev/null 2>&1; then
+  echo "daemon never became healthy; last log lines:"
+  tail -50 "$ROOT/daemon.log"; exit 1
+fi
 echo "healthz: $(curl -fsS localhost:18099/healthz)"
 
 "${PSQL[@]}" -c "INSERT INTO documents SELECT g, 'title '||g, 'content '||g,

@@ -54,7 +54,8 @@ export GRAFT_PG_HOST=127.0.0.1 GRAFT_PG_PORT=$PORT \
        GRAFT_PG_USER=postgres GRAFT_PG_DB=postgres GRAFT_PG_PASSWORD=$PW
 
 echo "=== live specs, sslmode=disable (plain SCRAM-SHA-256)"
-GRAFT_PG_SSLMODE=disable sbt -batch "testOnly graft.LivePostgresSpec"
+GRAFT_PG_SSLMODE=disable sbt -batch \
+  "testOnly graft.LivePostgresSpec graft.LiveTopologySpec"
 echo "=== live specs, sslmode=require (TLS + SCRAM-SHA-256-PLUS binding)"
 GRAFT_PG_SSLMODE=require sbt -batch \
   "testOnly graft.LivePostgresSpec graft.LiveTopologySpec"
