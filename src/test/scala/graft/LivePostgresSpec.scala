@@ -24,20 +24,43 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The role needs CREATE TABLE/PUBLICATION and REPLICATION privileges.
   */
-class LivePostgresSpec extends AnyFunSuite {
+/** Shared env contract + session scaffolding for the gated live-server
+  * specs (this suite and LiveTopologySpec's gated test) — ONE copy of the
+  * dial/auth wiring so a protocol or env change lands everywhere at once.
+  *
+  * `GRAFT_PG_SSLROOTCERT` (optional) names a PEM trust anchor, exactly
+  * libpq's `sslrootcert` — required for `verify-full` against a
+  * private-CA/self-signed server. */
+object LivePgEnv {
+  val host: Option[String] = sys.env.get("GRAFT_PG_HOST")
+  def port: Int = sys.env.getOrElse("GRAFT_PG_PORT", "5432").toInt
+  def user: String = sys.env.getOrElse("GRAFT_PG_USER", "postgres")
+  def db: String = sys.env.getOrElse("GRAFT_PG_DB", "postgres")
+  def password: Option[String] = sys.env.get("GRAFT_PG_PASSWORD")
+  def sslMode: String = sys.env.getOrElse("GRAFT_PG_SSLMODE", PgTls.ModeDisable)
 
-  private val host = sys.env.get("GRAFT_PG_HOST")
-  private def port = sys.env.getOrElse("GRAFT_PG_PORT", "5432").toInt
-  private def user = sys.env.getOrElse("GRAFT_PG_USER", "postgres")
-  private def db = sys.env.getOrElse("GRAFT_PG_DB", "postgres")
-  private def password = sys.env.get("GRAFT_PG_PASSWORD")
-  private def sslMode = sys.env.getOrElse("GRAFT_PG_SSLMODE", PgTls.ModeDisable)
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    sys.env.get("GRAFT_PG_SSLROOTCERT").map { pem =>
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pem))
+      val cert = try cf.generateCertificate(in) finally in.close()
+      val ks = java.security.KeyStore
+        .getInstance(java.security.KeyStore.getDefaultType)
+      ks.load(null, null)
+      ks.setCertificateEntry("root", cert)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      ctx
+    }
 
   /** Plain-SQL session over the replication wire (replication=database
     * connections accept simple queries). */
-  private def sqlSession(): (Socket, PgReplicationHandshake) = {
+  def sqlSession(): (Socket, PgReplicationHandshake) = {
     val raw = new Socket(host.get, port)
-    val sock = PgTls.negotiate(raw, host.get, sslMode)
+    val sock = PgTls.negotiate(raw, host.get, sslMode, sslContext)
     val hs = new PgReplicationHandshake(
       new DataInputStream(new BufferedInputStream(sock.getInputStream)),
       new DataOutputStream(new BufferedOutputStream(sock.getOutputStream)),
@@ -45,6 +68,18 @@ class LivePostgresSpec extends AnyFunSuite {
     hs.startup(user, db)
     (sock, hs)
   }
+
+  /** The production replication dial with the env's transport settings. */
+  def connectWal(slot: String, publication: String)
+  : (Socket, graft.sources.WalReceiveLoop) =
+    LiveWal.connect(host.get, port, user, db, slot, publication,
+      password = password, createPublication = false, createSlot = true,
+      sslMode = sslMode, sslContext = sslContext)
+}
+
+class LivePostgresSpec extends AnyFunSuite {
+
+  import LivePgEnv.{host, sqlSession}
 
   test("live wal_level=logical server: DDL → seed → slot stream → decode") {
     assume(host.isDefined,
@@ -64,9 +99,8 @@ class LivePostgresSpec extends AnyFunSuite {
       ddl.exec("CREATE PUBLICATION graft_smoke_pub FOR TABLE graft_smoke")
 
       // replication session: the production dial (TLS + SCRAM as required)
-      val (repSock, loop) = LiveWal.connect(host.get, port, user, db,
-        "graft_smoke_slot", "graft_smoke_pub", password = password,
-        createPublication = false, createSlot = true, sslMode = sslMode)
+      val (repSock, loop) =
+        LivePgEnv.connectWal("graft_smoke_slot", "graft_smoke_pub")
       try {
         repSock.setSoTimeout(20000)
         ddl.exec("INSERT INTO graft_smoke VALUES " +
@@ -137,9 +171,8 @@ class LivePostgresSpec extends AnyFunSuite {
           s"generate_series(${b * 50 + 1}, ${b * 50 + 50}) g")
 
       // ---- phase 1: 10 transactions × 50 rows, streamed + flush-acked
-      val (rep1, loop1) = LiveWal.connect(host.get, port, user, db,
-        "graft_soak_slot", "graft_soak_pub", password = password,
-        createPublication = false, createSlot = true, sslMode = sslMode)
+      val (rep1, loop1) =
+        LivePgEnv.connectWal("graft_soak_slot", "graft_soak_pub")
       val phase1 = try {
         rep1.setSoTimeout(20000)
         (0 until 10).foreach(insertBatch(ddl, _))
@@ -170,9 +203,8 @@ class LivePostgresSpec extends AnyFunSuite {
 
       // ---- phase 3: reconnect the SAME slot; startLsn 0 is clamped UP
       // to confirmed_flush, so the stream resumes exactly at the outage
-      val (rep2, loop2) = LiveWal.connect(host.get, port, user, db,
-        "graft_soak_slot", "graft_soak_pub", password = password,
-        createPublication = false, createSlot = true, sslMode = sslMode)
+      val (rep2, loop2) =
+        LivePgEnv.connectWal("graft_soak_slot", "graft_soak_pub")
       val phase3 = try {
         rep2.setSoTimeout(20000)
         val deadline = System.nanoTime() + 60L * 1000000000L

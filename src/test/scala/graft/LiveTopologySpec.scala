@@ -238,27 +238,14 @@ class LiveTopologySpec extends SparkSpec {
     // receive loop → commit-aligned segments → Spark readStream →
     // LSN-monotonic merge — asserted against the server's OWN final
     // table state, across a mid-stream disconnect + slot resume
-    val host = sys.env.get("GRAFT_PG_HOST")
-    assume(host.isDefined,
+    assume(LivePgEnv.host.isDefined,
       "GRAFT_PG_HOST not set — live topology test skipped " +
         "(mock-walsender coverage above stands)")
-    val port = sys.env.getOrElse("GRAFT_PG_PORT", "5432").toInt
-    val user = sys.env.getOrElse("GRAFT_PG_USER", "postgres")
-    val db = sys.env.getOrElse("GRAFT_PG_DB", "postgres")
-    val password = sys.env.get("GRAFT_PG_PASSWORD")
-    val sslMode = sys.env.getOrElse("GRAFT_PG_SSLMODE",
-      graft.sources.PgTls.ModeDisable)
-    import graft.sources.{PgReplicationHandshake, PgTls}
+    import graft.sources.PgReplicationHandshake
     import spark.implicits._
 
-    val rawSql = new java.net.Socket(host.get, port)
-    val sqlSock = PgTls.negotiate(rawSql, host.get, sslMode)
-    val ddl = new PgReplicationHandshake(
-      new DataInputStream(new java.io.BufferedInputStream(sqlSock.getInputStream)),
-      new DataOutputStream(new java.io.BufferedOutputStream(sqlSock.getOutputStream)),
-      password)
+    val (sqlSock, ddl) = LivePgEnv.sqlSession()
     try {
-      ddl.startup(user, db)
       def tolerant(sql: String): Unit =
         try { ddl.exec(sql); () }
         catch { case _: PgReplicationHandshake.BackendError => () }
@@ -277,9 +264,8 @@ class LiveTopologySpec extends SparkSpec {
       // commit-aligned segment (the session's Relation frame leads it),
       // flush-ack, disconnect; returns the acked position
       def session(expect: Int, afterLsn: Long)(dml: => Unit): Long = {
-        val (sock, loop) = LiveWal.connect(host.get, port, user, db,
-          "graft_live_slot", "graft_live_pub", password = password,
-          createPublication = false, createSlot = true, sslMode = sslMode)
+        val (sock, loop) =
+          LivePgEnv.connectWal("graft_live_slot", "graft_live_pub")
         try {
           sock.setSoTimeout(20000)
           dml

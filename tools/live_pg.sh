@@ -59,6 +59,9 @@ GRAFT_PG_SSLMODE=disable sbt -batch \
 echo "=== live specs, sslmode=require (TLS + SCRAM-SHA-256-PLUS binding)"
 GRAFT_PG_SSLMODE=require sbt -batch \
   "testOnly graft.LivePostgresSpec graft.LiveTopologySpec"
+echo "=== live specs, sslmode=verify-full (chain + hostname, sslrootcert)"
+GRAFT_PG_SSLMODE=verify-full GRAFT_PG_SSLROOTCERT=$PGROOT/server.crt \
+  sbt -batch "testOnly graft.LivePostgresSpec graft.LiveTopologySpec"
 # LiveTopologySpec's gated test is the FULL production composition against
 # the live server: dial → slot → receive loop → commit-aligned segments →
 # graft-pgoutput readStream → LSN-monotonic merge store, asserted equal to
