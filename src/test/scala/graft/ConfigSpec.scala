@@ -128,6 +128,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(n == 3)
   }
 
+  test("shipped example configs parse to the intended topologies") {
+    // the configs/ directory is the reference's configs/ equivalent: a
+    // user switching from the reference starts from these files, so they
+    // must always parse and carry the documented wiring
+    val qdrant = GraftConfig.load("configs/postgres-qdrant.yaml")
+    assert(qdrant.sourceType == "postgres" && qdrant.sinkType == "qdrant")
+    assert(qdrant.pgSlot == "cdc2vec_slot" &&
+      qdrant.pgPublication == "cdc2vec_pub")
+    assert(qdrant.pgPasswordEnv == "GRAFT_PG_PASSWORD" &&
+      qdrant.pgSslMode == "require")
+    assert(qdrant.embeddingProvider == "ollama_http" &&
+      qdrant.vectorSize == 1024 && qdrant.normalize)
+    assert(qdrant.mappings.map(_.table) == Seq("public.documents"))
+    assert(qdrant.mappings.head.textColumns == Seq("title", "content"))
+    val parquet = GraftConfig.load("configs/postgres-parquet.yaml")
+    assert(parquet.sourceType == "postgres" && parquet.sinkType == "parquet")
+    assert(parquet.pgSslMode == "verify-full" &&
+      parquet.embeddingProvider == "deterministic")
+  }
+
   test("defaults mirror the reference when sections are absent") {
     val cfg = GraftConfig.fromYaml("mappings:\n  - table: t\n")
     assert(cfg.batchSize == 64)           // config.go:103-105
