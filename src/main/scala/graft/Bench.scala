@@ -16,10 +16,16 @@ object Bench {
     // generated code is scale-independent, so the compile cost (which
     // dominates cold runs) is paid once here, and the timed runs below
     // measure execution, not Janino.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => }
-    }
+    // optional local-iteration filter (comma-separated names); the driver
+    // leaves it unset and always benches the full registry
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => }
+      }
     // Warm the target-SF data path (OS page cache + parquet footers): the
     // timed loop measures query execution, and without this pre-read the
     // alphabetically-first queries absorb every table's first-touch disk
@@ -39,6 +45,7 @@ object Bench {
     // plan, not the neighbor's load. Passes alternate over the whole suite
     // so both see the same cache state ordering.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

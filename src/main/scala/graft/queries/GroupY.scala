@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.queries.Q._
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Group Y — round-9 wave: temporal smoothing, capacity planning, and a
+  * transport-distance drift metric.
+  *
+  * `q_ewma` is the classic per-key exponential moving average — the
+  * recurrence y_t = α·x_t + (1−α)·y_{t−1} expressed as a fold over each
+  * user's time-ordered events (`functions.aggregate`), the batch twin of a
+  * keyed streaming smoother. α is the dyadic 1/4, so every step is three
+  * exact IEEE ops in a fixed order and the DuckDB recursive-CTE oracle
+  * replays them bit-for-bit.
+  *
+  * `q_peak_concurrency` is the capacity-planner's number: per day, the
+  * maximum number of simultaneously-open sessions. The sweep itself is a
+  * prefix sum over +1/−1 session endpoints — inherently sequential — so
+  * the Spark side DECOMPOSES it: running sums within (day, hour) cells
+  * plus a tiny per-day prefix over the 24 cell totals, the same
+  * two-level-scan trick q_ks_drift uses for its pooled CDF. A single
+  * per-day window would serialize an entire day's sessions through one
+  * task at 100 TB; the cell decomposition caps a window partition at one
+  * hour of one day and generalizes (minutes at higher densities).
+  *
+  * `q_wasserstein_drift` complements `q_ks_drift`: KS is the supremum
+  * CDF gap (sensitive to the single worst point), W₁ is the INTEGRAL of
+  * the gap (the earth-mover's distance — how much probability mass moved
+  * how far), the metric of choice for numeric-feature drift monitors.
+  * Same exact-integer grid/CDF scaffolding as KS; each trapezoid term is
+  * gap·|integer cross-product| accumulated in DECIMAL(38,12) so the sum
+  * is order- and engine-independent, with ONE final double divide.
+  */
+object GroupY {
+
+  val all: Seq[Q] = Seq(
+
+    // Per-user exponential moving average (α = 1/4) of the event value
+    // stream, folded in (ts, event_id) order. Expressible as a fold, not
+    // a window: y_t depends on ALL priors with geometric weights, which
+    // no bounded window frame reproduces. Shape: ONE shuffle (groupBy
+    // user), an in-array sort, and a linear fold — the collect_list is
+    // bounded by per-user event count, the exact contract q_sessionize
+    // already declares for its per-user windows. For unbounded per-key
+    // histories the fold truncates for free: (3/4)^k underflows double
+    // precision at k ≈ 660, so a slice(…, -1024) of the tail is
+    // bit-identical — the bounded-memory escape hatch at 100 TB. The
+    // dyadic α makes every step (x + 3y)/4 three exactly-reproducible
+    // IEEE ops; the DuckDB oracle replays the same fold as a recursive
+    // CTE in the same operation order, so the gate hash-matches doubles
+    // without tolerance.
+    Q("q_ewma",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn, value AS y FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, (s.value + 3 * r.y) / 4
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT CAST(r.user_id AS BIGINT) AS user_id,
+        |       CAST(n.n_events AS BIGINT) AS n_events,
+        |       round(r.y, 6) AS ewma
+        |FROM r JOIN n USING (user_id) WHERE r.rn = n.n_events
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val acc0 = struct(lit(0.0).as("y"), lit(false).as("init"))
+      events(spark, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(big(col("user_id")).as("user_id"),
+          big(size(col("es"))).as("n_events"),
+          round(aggregate(col("es"), acc0,
+            (acc, e) => struct(
+              when(acc.getField("init"),
+                (e.getField("value") + lit(3.0) * acc.getField("y"))
+                  / lit(4.0))
+                .otherwise(e.getField("value")).as("y"),
+              lit(true).as("init")),
+            acc => acc.getField("y")), 6).as("ewma"))
+        .orderBy("user_id")
+    },
+
+    // Peak concurrent sessions per day: sessionize (the q_sessionize
+    // 30-min-gap rule), clip each session to the days it overlaps, then
+    // sweep +1/−1 endpoints. The oracle states the semantics as the
+    // naive one-pass-per-day prefix sum; the Spark plan computes the SAME
+    // values via a two-level scan — running sums inside (day, hour)
+    // cells, a per-day exclusive prefix over the ≤24 cell totals (a
+    // 24-row window partition), and their sum — because a per-day window
+    // partition would put every session of a day through one task. Tie
+    // order inside a cell is (t asc, delta desc): starts sort before
+    // ends at the same instant, so touching sessions count as
+    // concurrent; within a run of identical (t, delta) rows the running
+    // sums form the same multiset under any order, so max(cur) is
+    // deterministic even though per-row attribution is not. All-integer
+    // arithmetic end to end.
+    Q("q_peak_concurrency",
+      """WITH sess AS (
+        |  SELECT user_id, session_id,
+        |         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM (
+        |    SELECT user_id, ts,
+        |           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                    THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS session_id
+        |    FROM (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id)
+        |                   AS prev_us
+        |          FROM events))
+        |  GROUP BY user_id, session_id),
+        |days AS (
+        |  SELECT s_us, e_us, u.d AS day
+        |  FROM sess,
+        |       UNNEST(range(s_us // 86400000000, e_us // 86400000000 + 1))
+        |         AS u(d)),
+        |pts AS (
+        |  SELECT day, greatest(s_us, day * 86400000000) AS t, 1 AS delta
+        |  FROM days
+        |  UNION ALL
+        |  SELECT day, least(e_us, (day + 1) * 86400000000) AS t, -1 AS delta
+        |  FROM days),
+        |run AS (
+        |  SELECT day, delta,
+        |         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS cur
+        |  FROM pts)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sessions,
+        |       CAST(max(cur) AS BIGINT) AS peak_concurrent
+        |FROM run GROUP BY day ORDER BY day""".stripMargin) { (spark, dir) =>
+      val dayUs = 86400000000L
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(min("us").as("s_us"), max("us").as("e_us"))
+      val days = sess.select(col("s_us"), col("e_us"),
+        explode(sequence(expr(s"s_us div $dayUs"), expr(s"e_us div $dayUs")))
+          .as("day"))
+      // both endpoints from ONE explode — a union of two selects over
+      // `days` would recompute the whole sessionize subtree per branch
+      val pts = days
+        .select(col("day"), explode(array(
+          struct(greatest(col("s_us"), col("day") * lit(dayUs)).as("t"),
+            lit(1L).as("delta")),
+          struct(least(col("e_us"), (col("day") + 1) * lit(dayUs)).as("t"),
+            lit(-1L).as("delta")))).as("p"))
+        .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
+        .withColumn("cell", (col("t") - col("day") * lit(dayUs))
+          .divide(lit(3600000000L)).cast("long"))
+      // two-level scan: running sum inside each (day, hour) cell …
+      val byCell = Window.partitionBy("day", "cell")
+        .orderBy(col("t").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // … plus a per-day EXCLUSIVE prefix over the ≤24 cell totals
+      val cellTotals = pts.groupBy("day", "cell")
+        .agg(sum("delta").as("tot"))
+      val byDayCells = Window.partitionBy("day").orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = cellTotals
+        .withColumn("off", coalesce(sum("tot").over(byDayCells), lit(0L)))
+        .select("day", "cell", "off")
+      pts
+        .withColumn("cur_c", sum("delta").over(byCell))
+        .join(offsets, Seq("day", "cell"))
+        .withColumn("cur", col("off") + col("cur_c"))
+        .groupBy("day")
+        .agg(big(sum(when(col("delta") === 1L, 1L).otherwise(0L)))
+          .as("n_sessions"),
+          big(max(col("cur"))).as("peak_concurrent"))
+        .select(big(col("day")).as("day"), col("n_sessions"),
+          col("peak_concurrent"))
+        .orderBy("day")
+    },
+
+    // Exact 1-Wasserstein (earth-mover) drift of each event type's value
+    // distribution against the rest of the stream: W₁ = ∫|F_t − F_rest|,
+    // evaluated exactly as Σ over consecutive pooled values of
+    // gap × |F_t − F_rest| (both CDFs are step functions, so the
+    // integral is this finite sum). Same scaffolding as q_ks_drift —
+    // per-(type,value) counts, the distinct value axis crossed with the
+    // BOUNDED type set, one ranged window per type, the per-value
+    // ≤|types|-row window deriving the pooled CDF as Σ_t cum_t — with the
+    // CDF gap carried as the integer cross-product
+    // |cum_t·n_rest − cum_rest·n_t| and each trapezoid term
+    // gap·|·| accumulated in DECIMAL(38,12) (order-independent), ONE
+    // double divide at the end. The (t,v) count join is a SHUFFLE join,
+    // not a broadcast: per-(type,value) counts grow with the corpus. At
+    // corpus scale you'd pre-bin the value axis (compose q_quantile_bin)
+    // for a bounded-error variant; the exact form is the oracle contract.
+    Q("q_wasserstein_drift",
+      """WITH ev AS (SELECT event_type AS t, value AS v FROM events),
+        |cnt AS (SELECT t, v, count(*) AS c FROM ev GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM ev),
+        |types AS (SELECT t, count(*) AS n_t FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT ty.t, va.v, coalesce(c.c, 0) AS c
+        |  FROM vals va CROSS JOIN types ty
+        |  LEFT JOIN cnt c ON c.t = ty.t AND c.v = va.v),
+        |cum AS (
+        |  SELECT t, v, sum(c) OVER (PARTITION BY t ORDER BY v) AS cum_t
+        |  FROM grid),
+        |cum2 AS (
+        |  SELECT t, v, cum_t, sum(cum_t) OVER (PARTITION BY v) AS cum_all,
+        |         lead(v) OVER (PARTITION BY t ORDER BY v) AS vn
+        |  FROM cum),
+        |tot AS (SELECT t, n_t, sum(n_t) OVER () AS n FROM types)
+        |SELECT c2.t AS event_type,
+        |       CAST(tt.n_t AS BIGINT) AS n_t,
+        |       CAST(tt.n - tt.n_t AS BIGINT) AS n_rest,
+        |       round(CAST(sum(CAST((c2.vn - c2.v)
+        |                 * abs(c2.cum_t * (tt.n - tt.n_t)
+        |                       - (c2.cum_all - c2.cum_t) * tt.n_t)
+        |                 AS DECIMAL(38, 12))) AS DOUBLE)
+        |             / CAST(tt.n_t * (tt.n - tt.n_t) AS DOUBLE), 6) AS w1
+        |FROM cum2 c2 JOIN tot tt USING (t)
+        |WHERE c2.vn IS NOT NULL
+        |GROUP BY c2.t, tt.n_t, tt.n
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+        .select(col("event_type").as("t"), col("value").as("v"))
+      val cnt = ev.groupBy("t", "v").agg(count(lit(1)).as("c"))
+      val vals = ev.select("v").distinct()
+      val types = ev.groupBy("t").agg(count(lit(1)).as("n_t"))
+      val grid = vals.crossJoin(broadcast(types.select("t")))
+        .join(cnt, Seq("t", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val byT = Window.partitionBy("t").orderBy("v")
+      val byV = Window.partitionBy("v")
+      val tot = types.crossJoin(broadcast(types.agg(sum("n_t").as("n"))))
+      val gapInt = abs(col("cum_t") * (col("n") - col("n_t"))
+        - (col("cum_all") - col("cum_t")) * col("n_t"))
+      grid
+        .withColumn("cum_t", sum("c").over(byT))
+        .withColumn("cum_all", sum("cum_t").over(byV))
+        .withColumn("vn", lead(col("v"), 1).over(byT))
+        .join(broadcast(tot), Seq("t"))
+        .filter(col("vn").isNotNull)
+        .groupBy("t", "n_t", "n")
+        .agg(sum(((col("vn") - col("v")) * gapInt.cast(DoubleType))
+          .cast(DecimalType(38, 12))).as("s"))
+        .select(col("t").as("event_type"), big(col("n_t")).as("n_t"),
+          big(col("n") - col("n_t")).as("n_rest"),
+          round(col("s").cast(DoubleType)
+            / (col("n_t") * (col("n") - col("n_t"))).cast(DoubleType), 6)
+            .as("w1"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.queries.GroupY
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Group Y semantics pinned against independent in-JVM brute force: the
+  * EWMA fold, the two-level concurrency sweep (including a synthetic
+  * midnight-crossing session and a start-touches-end tie), and the exact
+  * W₁ integral. The driver's DuckDB gate checks the same queries
+  * hash-exactly; these specs pin the SEMANTICS so a plan change that
+  * keeps the oracle green cannot silently redefine them.
+  */
+class GroupYSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = GroupY.all.find(_.name == name).get.fn
+
+  private val DayUs = 86400000000L
+  private val GapUs = 1800000000L
+
+  /** Raw (user, us, value) stream from the fixture, event-id ordered. */
+  private lazy val raw: Seq[(Long, Long, Double)] =
+    graft.queries.Q.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "value", "event_id")
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_ewma equals the per-user (x + 3y)/4 fold in time order") {
+    val expect = raw.groupBy(_._1).map { case (u, es) =>
+      val y = es.map(_._3).reduceLeft((acc, x) => (x + 3 * acc) / 4)
+      (u, es.size.toLong, round6(y))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+  }
+
+  /** Brute concurrency: sessionize, clip to days, sort (+1 before −1 at
+    * ties), sweep. */
+  private def bruteConcurrency(
+      rows: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val sessions = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ts = es.map(_._2).sorted
+      val runs = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= GapUs) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }
+      runs.map(r => (r.last, r.head)) // (start, end)
+    }
+    sessions
+      .flatMap { case (s, e) =>
+        (s / DayUs to e / DayUs).map { d =>
+          (d, math.max(s, d * DayUs), math.min(e, (d + 1) * DayUs))
+        }
+      }
+      .groupBy(_._1).toSeq.map { case (d, ivs) =>
+        val pts = ivs.flatMap { case (_, s, e) => Seq((s, 1L), (e, -1L)) }
+          .sortBy { case (t, delta) => (t, -delta) }
+        var cur = 0L
+        var peak = 0L
+        pts.foreach { p => cur += p._2; peak = math.max(peak, cur) }
+        (d, ivs.size.toLong, peak)
+      }
+      .sortBy(_._1)
+  }
+
+  test("q_peak_concurrency: the two-level cell scan equals the brute " +
+    "single sweep on the fixture") {
+    val expect = bruteConcurrency(raw.map(r => (r._1, r._2)))
+    val got = q("q_peak_concurrency")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("q_peak_concurrency: midnight-crossing session counts on both " +
+    "days; a session starting the instant another ends is concurrent") {
+    val dir = Files.createTempDirectory("groupy-events").toString
+    def ev(id: Long, user: Long, us: Long) =
+      (id, new Timestamp(us / 1000), user, "view", 1.0, "{}")
+    // user 1: one session 23:50 → 00:10 (crosses midnight of day 1)
+    // users 2 & 3 on day 1: u3's session starts at the exact instant
+    // u2's ends → concurrent under the starts-first tie rule
+    val d1 = 19723L * DayUs
+    val rows = Seq(
+      ev(1, 1, d1 + DayUs - 600000000L), ev(2, 1, d1 + DayUs + 600000000L),
+      ev(3, 2, d1 + 1000000000L), ev(4, 2, d1 + 2000000000L),
+      ev(5, 3, d1 + 2000000000L), ev(6, 3, d1 + 3000000000L))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = q("q_peak_concurrency")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // day 19723: u1 (clipped), u2, u3 — peak 2 (u2 end == u3 start)
+    // day 19724: u1's tail only
+    assert(got == Seq((19723L, 3L, 2L), (19724L, 1L, 1L)))
+    assert(got == bruteConcurrency(
+      rows.map(r => (r._3, r._2.getTime * 1000L))))
+  }
+
+  test("q_wasserstein_drift matches the brute ∫|CDF gap| and is zero " +
+    "for an identical distribution") {
+    val vals = raw.map(_._3)
+    val byType = graft.queries.Q.events(spark, sfDir)
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val pooled = vals.distinct.sorted
+    val n = byType.size.toLong
+    def brute(t: String): Double = {
+      val mine = byType.filter(_._1 == t).map(_._2)
+      val nt = mine.size.toLong
+      var cumT = 0L
+      var cumAll = 0L
+      var acc = BigDecimal(0)
+      pooled.zip(pooled.tail).foreach { case (v, vn) =>
+        cumT += mine.count(_ == v)
+        cumAll += vals.count(_ == v)
+        val gap = math.abs(cumT * (n - nt) - (cumAll - cumT) * nt)
+        acc += BigDecimal((vn - v) * gap.toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      round6(acc.toDouble / (nt * (n - nt)).toDouble)
+    }
+    val got = q("q_wasserstein_drift")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    got.foreach { case (t, w1) =>
+      assert(w1 >= 0.0)
+      assert(math.abs(w1 - brute(t)) <= 1e-9, s"$t: $w1 vs ${brute(t)}")
+    }
+    // two types drawn as exact copies of each other → W₁ = 0 for both
+    val dir = Files.createTempDirectory("groupy-w1").toString
+    val twin = (1L to 50L).flatMap { i =>
+      Seq((2 * i, new Timestamp(i * 1000), i, "a", i * 0.5, "{}"),
+        (2 * i + 1, new Timestamp(i * 1000), i, "b", i * 0.5, "{}"))
+    }
+    twin.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val zero = q("q_wasserstein_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(zero.toSeq.sorted == Seq(("a", 0.0), ("b", 0.0)))
+  }
+}
