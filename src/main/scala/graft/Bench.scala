@@ -17,9 +17,15 @@ object Bench {
     // dominates cold runs) is paid once here, and the timed runs below
     // measure execution, not Janino.
     // optional local-iteration filter (comma-separated names); the driver
-    // leaves it unset and always benches the full registry
+    // leaves it unset and always benches the full registry. Names are
+    // validated so a typo fails loudly instead of benching nothing.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (_, fn) =>

@@ -5,7 +5,7 @@ import graft.queries.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Group H — round-5 fourth wave: distribution-shift diagnostics and
   * storage-layout planning.
@@ -94,8 +94,13 @@ object GroupH {
       // N as the ONE-ROW scalar cross join (the q_bm25 shape) — not a
       // partition-less window, which the plan guard rightly rejects
       val tot = types.crossJoin(broadcast(types.agg(sum("n_t").as("n"))))
-      val dTerm = abs(col("cum_t") * (col("n") - col("n_t"))
-        - (col("cum_all") - col("cum_t")) * col("n_t"))
+      // cross-products in DECIMAL(19,0)→DECIMAL(38,0), never Long: cum_t
+      // times n_rest reaches n² and a Long product wraps silently at
+      // trillion-row corpora while the DuckDB side (HUGEINT window sums)
+      // stays exact — the same treatment q_wasserstein_drift applies
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val dTerm = abs(dec(col("cum_t")) * dec(col("n") - col("n_t"))
+        - dec(col("cum_all") - col("cum_t")) * dec(col("n_t")))
       grid
         .withColumn("cum_t", sum("c").over(byT))
         .withColumn("cum_all", sum("cum_t").over(byV))
@@ -106,7 +111,8 @@ object GroupH {
           big(col("n") - col("n_t")).as("n_rest"),
           big(col("dmax")).as("d_num"),
           (col("dmax").cast(DoubleType)
-            / (col("n_t") * (col("n") - col("n_t"))).cast(DoubleType))
+            / (dec(col("n_t")) * dec(col("n") - col("n_t")))
+              .cast(DoubleType))
             .as("ks"))
         .orderBy("event_type")
     },

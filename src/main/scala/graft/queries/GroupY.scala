@@ -157,16 +157,24 @@ object GroupY {
         explode(sequence(expr(s"s_us div $dayUs"), expr(s"e_us div $dayUs")))
           .as("day"))
       // both endpoints from ONE explode — a union of two selects over
-      // `days` would recompute the whole sessionize subtree per branch
-      val pts = days
-        .select(col("day"), explode(array(
-          struct(greatest(col("s_us"), col("day") * lit(dayUs)).as("t"),
-            lit(1L).as("delta")),
-          struct(least(col("e_us"), (col("day") + 1) * lit(dayUs)).as("t"),
-            lit(-1L).as("delta")))).as("p"))
-        .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
-        .withColumn("cell", (col("t") - col("day") * lit(dayUs))
-          .divide(lit(3600000000L)).cast("long"))
+      // `days` would recompute the whole sessionize subtree per branch —
+      // and the point set is MATERIALIZED (SessionCache: persisted WITH
+      // lineage, so a lost executor recomputes): the per-cell window and
+      // the cell-totals aggregate below are different exchange subtrees
+      // ReuseExchange cannot collapse, so an unmaterialized pts would run
+      // the whole sessionize sweep twice
+      val pts = graft.util.SessionCache
+        .getOrMaterialize(spark, s"conc_pts:$dir") {
+          days
+            .select(col("day"), explode(array(
+              struct(greatest(col("s_us"), col("day") * lit(dayUs)).as("t"),
+                lit(1L).as("delta")),
+              struct(least(col("e_us"), (col("day") + 1) * lit(dayUs)).as("t"),
+                lit(-1L).as("delta")))).as("p"))
+            .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
+            .withColumn("cell", (col("t") - col("day") * lit(dayUs))
+              .divide(lit(3600000000L)).cast("long"))
+        }
       // two-level scan: running sum inside each (day, hour) cell …
       val byCell = Window.partitionBy("day", "cell")
         .orderBy(col("t").asc, col("delta").desc)
@@ -247,8 +255,15 @@ object GroupY {
       val byT = Window.partitionBy("t").orderBy("v")
       val byV = Window.partitionBy("v")
       val tot = types.crossJoin(broadcast(types.agg(sum("n_t").as("n"))))
-      val gapInt = abs(col("cum_t") * (col("n") - col("n_t"))
-        - (col("cum_all") - col("cum_t")) * col("n_t"))
+      // the cross-products run in DECIMAL(19,0)→DECIMAL(38,0), never Long:
+      // cum_t·n_rest reaches n² (~1e20 at trillion-row corpora), where a
+      // Long product would wrap silently while the DuckDB side (HUGEINT
+      // window sums) stays exact — decimal keeps both engines exact to
+      // 38 digits, and decimal→double conversion is correctly rounded on
+      // both, so the trapezoid multiply sees the identical IEEE value
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val gapInt = abs(dec(col("cum_t")) * dec(col("n") - col("n_t"))
+        - dec(col("cum_all") - col("cum_t")) * dec(col("n_t")))
       grid
         .withColumn("cum_t", sum("c").over(byT))
         .withColumn("cum_all", sum("cum_t").over(byV))
@@ -261,7 +276,8 @@ object GroupY {
         .select(col("t").as("event_type"), big(col("n_t")).as("n_t"),
           big(col("n") - col("n_t")).as("n_rest"),
           round(col("s").cast(DoubleType)
-            / (col("n_t") * (col("n") - col("n_t"))).cast(DoubleType), 6)
+            / (dec(col("n_t")) * dec(col("n") - col("n_t")))
+              .cast(DoubleType), 6)
             .as("w1"))
         .orderBy("event_type")
     }

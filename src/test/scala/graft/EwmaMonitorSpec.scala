@@ -51,6 +51,14 @@ class EwmaMonitorSpec extends SparkSpec {
       assert(p.n_events == n && round6(p.ewma) == e,
         s"user $u: streamed (${p.n_events}, ${round6(p.ewma)}) vs batch ($n, $e)")
     }
+    // the bounded-dataset twin folds to the same points (per-key arrival
+    // order preserved: mapGroups iterates each key's rows in input order
+    // only after an explicit in-fold sort, which `fold` performs)
+    val twin = EwmaMonitor.trackBatch(arrivals.toDS()).collect()
+      .map(p => p.user_id -> p).toMap
+    batch.foreach { case (u, n, e) =>
+      assert(twin(u).n_events == n && round6(twin(u).ewma) == e, s"user $u")
+    }
   }
 
   test("final state is split-invariant for in-order arrivals " +
