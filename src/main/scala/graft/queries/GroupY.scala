@@ -88,6 +88,68 @@ object GroupY {
         .orderBy("user_id")
     },
 
+    // Holt linear-trend smoothing (double exponential): per user,
+    // l ← (x + 3(l+b))/4, b ← (l′−l)/2 + b/2 (α = 1/4, β = 1/2, both
+    // dyadic), initialized l₁ = x₁, b₁ = 0 — the one-step-ahead
+    // forecaster (l+b) a monitoring pipeline runs where q_ewma's flat
+    // smoother lags trending signals. Same shape and determinism
+    // contract as q_ewma: one user shuffle, in-array sort, linear fold;
+    // every step is a fixed sequence of exact IEEE ops (the l′
+    // subexpression is duplicated IDENTICALLY in the trend update on
+    // both engines), so the recursive-CTE oracle hash-matches doubles
+    // with no tolerance. Bounded-memory path at scale: the (3/4)ᵏ and
+    // (1/2)ᵏ weights underflow double precision together, so a tail
+    // slice folds bit-identically, exactly as q_ewma documents.
+    Q("q_holt",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn, value AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |         (s.value + 3 * (r.l + r.b)) / 4,
+        |         (((s.value + 3 * (r.l + r.b)) / 4) - r.l) / 2 + r.b / 2
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT CAST(r.user_id AS BIGINT) AS user_id,
+        |       CAST(n.n_events AS BIGINT) AS n_events,
+        |       round(r.l, 6) AS level,
+        |       round(r.b, 6) AS trend,
+        |       round(r.l + r.b, 6) AS forecast_1
+        |FROM r JOIN n USING (user_id) WHERE r.rn = n.n_events
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        lit(false).as("init"))
+      events(spark, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(big(col("user_id")).as("user_id"),
+          big(size(col("es"))).as("n_events"),
+          aggregate(col("es"), acc0, (acc, e) => {
+            val l = acc.getField("l")
+            val b = acc.getField("b")
+            val x = e.getField("value")
+            val lp = (x + lit(3.0) * (l + b)) / lit(4.0)
+            struct(
+              when(acc.getField("init"), lp).otherwise(x).as("l"),
+              when(acc.getField("init"),
+                (lp - l) / lit(2.0) + b / lit(2.0))
+                .otherwise(lit(0.0)).as("b"),
+              lit(true).as("init"))
+          }).as("s"))
+        .select(col("user_id"), col("n_events"),
+          round(col("s.l"), 6).as("level"),
+          round(col("s.b"), 6).as("trend"),
+          round(col("s.l") + col("s.b"), 6).as("forecast_1"))
+        .orderBy("user_id")
+    },
+
     // Peak concurrent sessions per day: sessionize (the q_sessionize
     // 30-min-gap rule), clip each session to the days it overlaps, then
     // sweep +1/−1 endpoints. The oracle states the semantics as the

@@ -42,6 +42,21 @@ class GroupYSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q_holt equals the per-user double-exponential fold in time order") {
+    val expect = raw.groupBy(_._1).map { case (u, es) =>
+      val (l, b) = es.map(_._3).tail
+        .foldLeft((es.head._3, 0.0)) { case ((l, b), x) =>
+          val lp = (x + 3 * (l + b)) / 4
+          (lp, (lp - l) / 2 + b / 2)
+        }
+      (u, es.size.toLong, round6(l), round6(b), round6(l + b))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_holt")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect)
+  }
+
   /** Brute concurrency: sessionize, clip to days, sort (+1 before −1 at
     * ties), sweep. */
   private def bruteConcurrency(
