@@ -36,6 +36,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object GroupY {
 
+  /** Per-(type, day) mean value — the bounded series axis the trend
+    * queries reduce the corpus to first. The mean is an exact DECIMAL sum
+    * ÷ count (one IEEE divide), so both engines see identical doubles. */
+  private def dailyMeans(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg((dsum(col("value")) / count(lit(1)).cast(DoubleType)).as("m"))
+
   val all: Seq[Q] = Seq(
 
     // Per-user exponential moving average (α = 1/4) of the event value
@@ -260,6 +270,99 @@ object GroupY {
         .select(big(col("day")).as("day"), col("n_sessions"),
           col("peak_concurrent"))
         .orderBy("day")
+    },
+
+    // Mann–Kendall trend test per event type over the per-day mean-value
+    // series: S = Σ_{i<j} sign(m_j − m_i) and Kendall's τ as integer ppm
+    // — the standard NONPARAMETRIC "is this metric trending?" monitor
+    // (no distribution assumption, robust to outliers), next to
+    // q_changepoint's level-shift detector. All-integer once the daily
+    // means are fixed: sign comparisons of deterministic doubles (each
+    // mean is an exact DECIMAL sum ÷ count, one IEEE divide), an
+    // integer-pair sum, one integer divide. Shape: the corpus reduces to
+    // the BOUNDED (type, day) axis first (one hash agg); the pair join
+    // is per-type day², bounded by the calendar (365² ≈ 133k/type/year),
+    // never corpus-sized.
+    Q("q_mann_kendall",
+      """WITH daily AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.t,
+        |         CASE WHEN b.m > a.m THEN 1
+        |              WHEN b.m < a.m THEN -1 ELSE 0 END AS sg
+        |  FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day),
+        |n AS (SELECT t, count(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT p.t AS event_type, CAST(n.n_days AS BIGINT) AS n_days,
+        |       CAST(sum(p.sg) AS BIGINT) AS s_stat,
+        |       CAST(1000000 * sum(p.sg)
+        |            // ((n.n_days * (n.n_days - 1)) // 2) AS BIGINT) AS tau_ppm
+        |FROM p JOIN n ON n.t = p.t
+        |GROUP BY p.t, n.n_days
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val daily = dailyMeans(spark, dir)
+      val pairs = daily.select(col("t"), col("day").as("da"), col("m").as("ma"))
+        .join(daily.select(col("t"), col("day").as("db"), col("m").as("mb")),
+          Seq("t"))
+        .filter(col("da") < col("db"))
+        .select(col("t"),
+          when(col("mb") > col("ma"), 1L)
+            .when(col("mb") < col("ma"), -1L).otherwise(0L).as("sg"))
+      val n = daily.groupBy("t").agg(count(lit(1)).as("n_days"))
+      pairs.groupBy("t").agg(sum(col("sg")).as("s"))
+        .join(broadcast(n), Seq("t"))
+        .select(col("t").as("event_type"), big(col("n_days")).as("n_days"),
+          big(col("s")).as("s_stat"),
+          big(expr("1000000 * s div ((n_days * (n_days - 1)) div 2)"))
+            .as("tau_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Theil–Sen trend estimator per event type: the MEDIAN of all
+    // pairwise per-day slopes (m_j − m_i)/(j − i) — the robust slope the
+    // Mann–Kendall test above detects (up to 29% contamination breaks an
+    // OLS fit; the pairwise-slope median shrugs it off). Median rule:
+    // the lower median (rank ⌈m/2⌉ of the ascending slope order) — a
+    // DETERMINISTIC pick both engines express as row_number = (m+1)÷2;
+    // ties among equal slopes make any tied pick the same value. Same
+    // bounded (type, day) reduction as q_mann_kendall; the slope-rank
+    // window partitions by type over day²-bounded rows.
+    Q("q_theil_sen",
+      """WITH daily AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.t, (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day),
+        |r AS (
+        |  SELECT t, slope,
+        |         row_number() OVER (PARTITION BY t ORDER BY slope) AS rn,
+        |         count(*) OVER (PARTITION BY t) AS m
+        |  FROM sl)
+        |SELECT t AS event_type, CAST(m AS BIGINT) AS n_pairs,
+        |       round(slope, 9) AS sen_slope
+        |FROM r WHERE rn = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val daily = dailyMeans(spark, dir)
+      val slopes = daily.select(col("t"), col("day").as("da"), col("m").as("ma"))
+        .join(daily.select(col("t"), col("day").as("db"), col("m").as("mb")),
+          Seq("t"))
+        .filter(col("da") < col("db"))
+        .select(col("t"),
+          ((col("mb") - col("ma"))
+            / (col("db") - col("da")).cast(DoubleType)).as("slope"))
+      val byT = Window.partitionBy("t").orderBy("slope")
+      slopes
+        .withColumn("rn", row_number().over(byT))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("t")))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("t").as("event_type"), big(col("m")).as("n_pairs"),
+          round(col("slope"), 9).as("sen_slope"))
+        .orderBy("event_type")
     },
 
     // Exact 1-Wasserstein (earth-mover) drift of each event type's value

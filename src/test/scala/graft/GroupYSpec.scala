@@ -32,6 +32,9 @@ class GroupYSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private def round6x(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("q_ewma equals the per-user (x + 3y)/4 fold in time order") {
     val expect = raw.groupBy(_._1).map { case (u, es) =>
       val y = es.map(_._3).reduceLeft((acc, x) => (x + 3 * acc) / 4)
@@ -54,6 +57,51 @@ class GroupYSpec extends SparkSpec {
     val got = q("q_holt")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4))).toSeq
+    assert(got == expect)
+  }
+
+  /** Brute per-(type, day) means mirroring the registered decimal-exact
+    * rule: each value rounded to DECIMAL(25,6), exact sum, one double
+    * divide. */
+  private lazy val dailyMeans: Map[(String, Long), Double] =
+    graft.queries.Q.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day",
+        "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        val s = xs.map(x => BigDecimal(x._2)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        k -> s.toDouble / xs.size.toDouble
+      }
+
+  test("q_mann_kendall equals the brute pairwise sign sum over daily means") {
+    val expect = dailyMeans.groupBy(_._1._1).map { case (t, ms) =>
+      val series = ms.toSeq.sortBy(_._1._2).map(_._2)
+      val s = (for {
+        i <- series.indices; j <- series.indices if i < j
+      } yield math.signum(series(j) - series(i)).toLong).sum
+      val half = series.size.toLong * (series.size - 1) / 2
+      (t, series.size.toLong, s, 1000000 * s / half)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_mann_kendall")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+  }
+
+  test("q_theil_sen equals the brute lower-median of pairwise slopes") {
+    val expect = dailyMeans.groupBy(_._1._1).map { case (t, ms) =>
+      val series = ms.toSeq.sortBy(_._1._2)
+      val slopes = (for {
+        i <- series.indices; j <- series.indices if i < j
+      } yield (series(j)._2 - series(i)._2) /
+        (series(j)._1._2 - series(i)._1._2).toDouble).sorted
+      (t, slopes.size.toLong, round6x(slopes((slopes.size - 1) / 2), 9))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_theil_sen")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expect)
   }
 
