@@ -1,20 +1,30 @@
 package graft.queries
 
+import graft.ops.VectorOps
 import graft.queries.Q._
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-/** Group Y — round-9 wave: temporal smoothing, capacity planning, and a
-  * transport-distance drift metric.
+/** Group Y — round-9 wave: temporal smoothing and trend statistics,
+  * capacity planning, a transport-distance drift metric, and a
+  * bloom-pruning audit.
   *
   * `q_ewma` is the classic per-key exponential moving average — the
   * recurrence y_t = α·x_t + (1−α)·y_{t−1} expressed as a fold over each
-  * user's time-ordered events (`functions.aggregate`), the batch twin of a
-  * keyed streaming smoother. α is the dyadic 1/4, so every step is three
-  * exact IEEE ops in a fixed order and the DuckDB recursive-CTE oracle
-  * replays them bit-for-bit.
+  * user's time-ordered events (`functions.aggregate`), the batch twin of
+  * the keyed streaming smoother (stream/EwmaMonitor). α is the dyadic
+  * 1/4, so every step is three exact IEEE ops in a fixed order and the
+  * DuckDB recursive-CTE oracle replays them bit-for-bit. `q_holt`
+  * extends it with the linear-trend recurrence (level + trend + one-step
+  * forecast); `q_mann_kendall` and `q_theil_sen` are the nonparametric
+  * trend TEST and robust SLOPE over the bounded per-day mean axis — the
+  * four together are the monitoring stack's trend battery.
+  *
+  * `q_bloom_fpr` is the measured false-positive audit behind a
+  * bloom-pruned join decision, fully oracle-replayed because the bit
+  * positions are salted linear FNV folds.
   *
   * `q_peak_concurrency` is the capacity-planner's number: per day, the
   * maximum number of simultaneously-open sessions. The sweep itself is a
@@ -55,9 +65,11 @@ object GroupY {
     // user), an in-array sort, and a linear fold — the collect_list is
     // bounded by per-user event count, the exact contract q_sessionize
     // already declares for its per-user windows. For unbounded per-key
-    // histories the fold truncates for free: (3/4)^k underflows double
-    // precision at k ≈ 660, so a slice(…, -1024) of the tail is
-    // bit-identical — the bounded-memory escape hatch at 100 TB. The
+    // histories the fold truncates for free: a point 1024 events old
+    // carries weight (3/4)^1024 ≈ 1e-128, far below one ulp of any
+    // accumulated value, so a slice(…, -1024) tail fold is
+    // indistinguishable at the 6-decimal output contract — the
+    // bounded-memory escape hatch at 100 TB. The
     // dyadic α makes every step (x + 3y)/4 three exactly-reproducible
     // IEEE ops; the DuckDB oracle replays the same fold as a recursive
     // CTE in the same operation order, so the gate hash-matches doubles
@@ -107,9 +119,11 @@ object GroupY {
     // every step is a fixed sequence of exact IEEE ops (the l′
     // subexpression is duplicated IDENTICALLY in the trend update on
     // both engines), so the recursive-CTE oracle hash-matches doubles
-    // with no tolerance. Bounded-memory path at scale: the (3/4)ᵏ and
-    // (1/2)ᵏ weights underflow double precision together, so a tail
-    // slice folds bit-identically, exactly as q_ewma documents.
+    // with no tolerance. Bounded-memory path at scale: perturbations
+    // decay at the update map's spectral radius √(3/4) ≈ 0.87 per step
+    // (complex eigenpair of [[3/4,3/4],[−1/8,7/8]]), ~1e-64 after 1024
+    // steps — a tail slice is indistinguishable at the 6-decimal output
+    // contract, the same escape hatch q_ewma documents.
     Q("q_holt",
       """WITH RECURSIVE s AS (
         |  SELECT user_id, value,
@@ -363,6 +377,87 @@ object GroupY {
         .select(col("t").as("event_type"), big(col("m")).as("n_pairs"),
           round(col("slope"), 9).as("sen_slope"))
         .orderBy("event_type")
+    },
+
+    // Bloom-filter false-positive audit — the measured-FPR report an
+    // operator reads before sizing a bloom-pruned join (the runtime-
+    // filter / Iceberg-bloom decision, completing the pruning family
+    // next to q_zone_skipping's min-max report): build an m=2048-bit,
+    // k=4 filter over the even-key member set, probe with the disjoint
+    // odd-key set, report bits set and the exact false-positive rate.
+    // Bit positions are pmod(fnv1a64("bf:i:" + key), m) — a LINEAR byte
+    // fold with a leading salt, so DuckDB replays every position per
+    // character in HUGEINT and the audit is hash-exact end to end (m
+    // divides 2⁶⁴, so unsigned % = signed pmod). Scale shape: the bit
+    // set is bounded (≤ m rows, broadcast); members/probes stream
+    // through one explode + one hash agg each; the one-row stat frames
+    // cross-join at the end (the q_bm25 scalar shape).
+    Q("q_bloom_fpr",
+      """WITH RECURSIVE inp AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS key, c_custkey % 2 = 0 AS member
+        |  FROM customer),
+        |st AS (
+        |  SELECT key, member, 'bf:' || s || ':' || key AS str
+        |  FROM inp, UNNEST(['0','1','2','3']) AS u(s)),
+        |f AS (
+        |  SELECT str, key, member, 1 AS pos,
+        |         CAST(14695981039346656037 AS HUGEINT) AS h
+        |  FROM st
+        |  UNION ALL
+        |  SELECT str, key, member, pos + 1,
+        |         (xor(h, CAST(ascii(substr(str, pos, 1)) AS HUGEINT))
+        |          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+        |  FROM f WHERE pos <= length(str)),
+        |pp AS (SELECT key, member, CAST(h % 2048 AS BIGINT) AS p
+        |       FROM f WHERE pos = length(str) + 1),
+        |bits AS (SELECT DISTINCT p FROM pp WHERE member),
+        |pr AS (
+        |  SELECT pp.key, count(DISTINCT pp.p) AS np, count(DISTINCT b.p) AS nh
+        |  FROM pp LEFT JOIN bits b ON b.p = pp.p
+        |  WHERE NOT pp.member GROUP BY pp.key)
+        |SELECT CAST(2048 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM inp WHERE member)
+        |         AS n_members,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+        |       CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(sum(CASE WHEN nh = np THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_false_pos,
+        |       CAST(1000000 * sum(CASE WHEN nh = np THEN 1 ELSE 0 END)
+        |            // count(*) AS BIGINT) AS fpr_ppm
+        |FROM pr
+        |ORDER BY n_probes""".stripMargin) { (spark, dir) =>
+      val mBits = 2048L
+      // (key, member, position) — 4 salted FNV positions per key;
+      // materialized (SessionCache, lineage intact): the bit set, the
+      // probe side, and the member count are three different consumers
+      val pp = graft.util.SessionCache
+        .getOrMaterialize(spark, s"bloom_pp:$dir") {
+          tbl(spark, dir, "customer")
+            .select(col("c_custkey").cast("string").as("key"),
+              (col("c_custkey") % 2 === 0).as("member"))
+            .select(col("key"), col("member"), explode(array(
+              (0 until 4).map(i => pmod(VectorOps.fnv1a64(
+                concat(lit(s"bf:$i:"), col("key"))), lit(mBits))): _*)).as("p"))
+        }
+      val bits = pp.filter(col("member")).select("p").distinct() // ≤ m rows
+      val pr = pp.filter(!col("member"))
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
+        .groupBy("key")
+        .agg(countDistinct(col("p")).as("np"),
+          countDistinct(when(col("hit").isNotNull, col("p"))).as("nh"))
+      pr.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("nh") === col("np"), 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .crossJoin(broadcast(pp.filter(col("member"))
+          .agg(countDistinct(col("key")).as("n_members"))))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+        .select(big(lit(mBits)).as("m_bits"), big(lit(4)).as("k_hashes"),
+          big(col("n_members")).as("n_members"),
+          big(col("n_bits_set")).as("n_bits_set"),
+          big(col("n_probes")).as("n_probes"),
+          big(col("n_false_pos")).as("n_false_pos"),
+          big(expr("1000000 * n_false_pos div n_probes")).as("fpr_ppm"))
+        .orderBy("n_probes")
     },
 
     // Exact 1-Wasserstein (earth-mover) drift of each event type's value

@@ -166,6 +166,25 @@ class GroupYSpec extends SparkSpec {
       rows.map(r => (r._3, r._2.getTime * 1000L))))
   }
 
+  test("q_bloom_fpr equals the brute bloom build + probe on the same " +
+    "salted FNV positions") {
+    val keys = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val members = keys.filter(_ % 2 == 0).map(_.toString)
+    val probes = keys.filter(_ % 2 != 0).map(_.toString)
+    def pos(k: String): Set[Long] = (0 until 4).map { i =>
+      val h = graft.ops.expr.Fnv1a64.hash(s"bf:$i:$k")
+      ((h % 2048) + 2048) % 2048
+    }.toSet
+    val bits = members.flatMap(pos).toSet
+    val fps = probes.count(p => pos(p).subsetOf(bits)).toLong
+    val r = q("q_bloom_fpr")(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((2048L, 4L, members.length.toLong, bits.size.toLong,
+        probes.length.toLong, fps, 1000000L * fps / probes.length)))
+  }
+
   test("q_wasserstein_drift matches the brute ∫|CDF gap| and is zero " +
     "for an identical distribution") {
     val vals = raw.map(_._3)

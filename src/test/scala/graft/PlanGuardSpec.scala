@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_recall_at_k",     // composes q_cosine_topk's broadcast scan leg
       "q_ks_drift",        // bounded-type-set grid cross + ONE-ROW total
       "q_wasserstein_drift", // same bounded grid cross + ONE-ROW total as KS
+      "q_bloom_fpr",       // ONE-ROW stat cross joins (the q_bm25 shape)
       "q_skyline",         // calendar-bounded date-max × date-max dominance
       "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
