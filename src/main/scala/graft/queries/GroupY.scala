@@ -379,6 +379,101 @@ object GroupY {
         .orderBy("event_type")
     },
 
+    // HyperLogLog distinct-count estimate, FULLY oracle-gated — the
+    // replayable sibling of q_agg_approx_distinct (Spark's native HLL
+    // registers are engine-private, so that one is the suite's lone
+    // rows-only check; THIS sketch is built on the repo's linear FNV
+    // fold, so DuckDB replays every register). Layout follows the FNV
+    // avalanche: the LOW byte is the well-mixed end (multiply-mod-2⁶⁴
+    // propagates entropy upward, but short ASCII keys leave the top byte
+    // skewed — measured: 67 distinct top-bytes vs all 256 low-bytes over
+    // 1.5k keys), so bucket = h & 255 and the rank statistic is
+    // TRAILING zeros of h >> 8 (+1, capped at 57 for zero) — geometric
+    // by the same argument as leading zeros, but read from well-mixed
+    // bits. Register sums are exact: each 2^(57−M) term is a long, the
+    // Σ accumulates in DECIMAL (engine-independent), empty registers
+    // contribute 2⁵⁷ each, and the α·m²/Σ estimate is ONE double divide
+    // of exactly-representable operands. No small-range correction (it
+    // needs ln(), which the determinism contract forbids): the RAW
+    // estimate plus the empty-register count are emitted, and err_ppm
+    // against the exact count makes the query its own accuracy audit
+    // (±1σ = 6.5% at m = 256). Scale: one distinct + one 256-register
+    // agg per group — the sketch the KMV family (q_kmv_distinct)
+    // complements from the order-statistics side.
+    Q("q_hll_distinct",
+      """WITH RECURSIVE inp AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |         'hll:' || CAST(l_orderkey AS VARCHAR) AS str
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT g, str, 1 AS pos, CAST(14695981039346656037 AS HUGEINT) AS h
+        |  FROM inp
+        |  UNION ALL
+        |  SELECT g, str, pos + 1,
+        |         (xor(h, CAST(ascii(substr(str, pos, 1)) AS HUGEINT))
+        |          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+        |  FROM f WHERE pos <= length(str)),
+        |hh AS (SELECT g, CAST(h % 256 AS BIGINT) AS bucket, h // 256 AS x
+        |       FROM f WHERE pos = length(str) + 1),
+        |reg AS (
+        |  SELECT g, bucket,
+        |         max(CASE WHEN x = 0 THEN 57
+        |                  ELSE length(bin(xor(x, x - 1))) END) AS m
+        |  FROM hh GROUP BY 1, 2),
+        |s AS (
+        |  SELECT g,
+        |         sum(CAST(CAST(1 AS BIGINT) << (57 - m) AS HUGEINT))
+        |           + CAST(256 - count(*) AS HUGEINT)
+        |             * (CAST(1 AS HUGEINT) << 57) AS s_all,
+        |         256 - count(*) AS v_empty
+        |  FROM reg GROUP BY 1),
+        |ex AS (SELECT g, count(*) AS n_exact FROM inp GROUP BY 1),
+        |est AS (
+        |  SELECT s.g, ex.n_exact, s.v_empty,
+        |         round((0.7213 / (1 + 1.079 / 256)) * 65536
+        |               * CAST(CAST(1 AS HUGEINT) << 57 AS DOUBLE)
+        |               / CAST(s.s_all AS DOUBLE), 4) AS hll_est
+        |  FROM s JOIN ex ON ex.g = s.g)
+        |SELECT g AS return_flag, CAST(n_exact AS BIGINT) AS n_exact,
+        |       CAST(v_empty AS BIGINT) AS v_empty, hll_est,
+        |       CAST(floor(1000000 * (hll_est - n_exact) / n_exact) AS BIGINT)
+        |         AS err_ppm
+        |FROM est ORDER BY return_flag""".stripMargin) { (spark, dir) =>
+      // one distinct (g, key) pass hashed once; SessionCache: the
+      // register agg and the exact count are two consumers
+      val pairs = graft.util.SessionCache
+        .getOrMaterialize(spark, s"hll_pairs:$dir") {
+          tbl(spark, dir, "lineitem")
+            .select(col("l_returnflag").as("g"), col("l_orderkey")).distinct()
+            .select(col("g"), VectorOps.fnv1a64(
+              concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
+        }
+      val x = shiftrightunsigned(col("h"), 8)
+      val reg = pairs
+        .select(col("g"), col("h").bitwiseAND(lit(255L)).as("bucket"),
+          when(x === 0L, lit(57))
+            .otherwise(length(bin(x.bitwiseXOR(x - 1)))).as("r"))
+        .groupBy("g", "bucket").agg(max("r").as("m"))
+      val dec38 = DecimalType(38, 0)
+      val s = reg.groupBy("g").agg(
+        (sum(expr("shiftleft(1L, cast(57 - m as int))").cast(dec38))
+          + (lit(256L) - count(lit(1))).cast(dec38)
+            * lit(1L << 57).cast(dec38)).as("s_all"),
+        (lit(256L) - count(lit(1))).as("v_empty"))
+      val ex = pairs.groupBy("g").agg(count(lit(1)).as("n_exact"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val nD = col("n_exact").cast(DoubleType)
+      s.join(ex, Seq("g"))
+        .withColumn("hll_est", round(
+          alpha * lit(65536.0) * lit((1L << 57).toDouble)
+            / col("s_all").cast(DoubleType), 4))
+        .select(col("g").as("return_flag"), big(col("n_exact")).as("n_exact"),
+          big(col("v_empty")).as("v_empty"), col("hll_est"),
+          big(floor(lit(1000000.0) * (col("hll_est") - nD) / nD))
+            .as("err_ppm"))
+        .orderBy("return_flag")
+    },
+
     // Bloom-filter false-positive audit — the measured-FPR report an
     // operator reads before sizing a bloom-pruned join (the runtime-
     // filter / Iceberg-bloom decision, completing the pruning family

@@ -166,6 +166,36 @@ class GroupYSpec extends SparkSpec {
       rows.map(r => (r._3, r._2.getTime * 1000L))))
   }
 
+  test("q_hll_distinct equals the brute FNV register sketch") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).toSeq.map { case (g, ks) =>
+      val hs = ks.map(k => graft.ops.expr.Fnv1a64.hash(s"hll:${k._2}"))
+      val regs = hs.groupBy(_ & 255L).values.map(_.map { h =>
+        val x = h >>> 8
+        if (x == 0L) 57 else java.lang.Long.numberOfTrailingZeros(x) + 1
+      }.max)
+      val vEmpty = 256 - regs.size
+      val sAll = regs.map(m => BigDecimal(1L << (57 - m))).sum +
+        BigDecimal(vEmpty) * BigDecimal(1L << 57)
+      val est4 = round6x(
+        (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * (1L << 57).toDouble
+          / sAll.toDouble, 4)
+      val n = ks.length
+      (g, n.toLong, vEmpty.toLong, est4,
+        math.floor(1000000.0 * (est4 - n) / n).toLong)
+    }.sortBy(_._1)
+    val got = q("q_hll_distinct")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // sanity: the estimate is in the right ballpark (|err| < 50%)
+    got.foreach { case (g, _, _, _, err) =>
+      assert(math.abs(err) < 500000, s"$g: err_ppm $err")
+    }
+  }
+
   test("q_bloom_fpr equals the brute bloom build + probe on the same " +
     "salted FNV positions") {
     val keys = spark.read.parquet(s"$sfDir/customer.parquet")
