@@ -215,6 +215,30 @@ class GroupYSpec extends SparkSpec {
         probes.length.toLong, fps, 1000000L * fps / probes.length)))
   }
 
+  test("q_peak_concurrency plan: the sweep windows partition by " +
+    "(day, cell) — never a whole day in one partition") {
+    val plan = q("q_peak_concurrency")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the per-cell running sum (2 keys) + the per-day ≤24-row cell-total
+    // prefix (1 key); the sessionize windows partition by user. NO window
+    // may partition by `day` alone — that is the whole-day serialization
+    // the two-level scan exists to avoid.
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "partition-less window")
+      val keys = w.partitionSpec.map(_.references.map(_.name).mkString)
+      val dayAlone = w.partitionSpec.size == 1 && keys.headOption.contains("day")
+      // the one single-key day window is the ≤24-row cell-total prefix:
+      // its ORDER key must be `cell` (bounded frame), not a time axis
+      if (dayAlone)
+        assert(w.orderSpec.flatMap(_.references.map(_.name)) == Seq("cell"),
+          s"whole-day window ordered by ${w.orderSpec}")
+    }
+  }
+
   test("q_wasserstein_drift matches the brute ∫|CDF gap| and is zero " +
     "for an identical distribution") {
     val vals = raw.map(_._3)
