@@ -379,6 +379,165 @@ object GroupY {
         .orderBy("event_type")
     },
 
+    // Two-proportion chi-square test (2×2 contingency): does the even-
+    // user cohort convert (≥14 purchases) at a different rate than the
+    // odd cohort — the A/B-test read-out next to q_wilson_rank's
+    // interval ranking. χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the
+    // sqrt-free 2×2 form, so the statistic is ONE double divide of two
+    // exact integer products; the cross products run in
+    // DECIMAL/HUGEINT, never Long (ad−bc squared reaches n⁴ — the same
+    // silent-wrap hazard the drift queries guard). Shape: one user
+    // hash agg, one 4-cell agg — nothing scales past the user axis.
+    Q("q_chi_square",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS cohort,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           >= 14 AS success
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    sum(CASE WHEN cohort = 0 AND success THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN cohort = 0 AND NOT success THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN cohort = 1 AND success THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN cohort = 1 AND NOT success THEN 1 ELSE 0 END) AS d
+        |  FROM u),
+        |w AS (
+        |  SELECT a, b, c, d,
+        |         CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS sel
+        |  FROM cells)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |       CAST(1000000 * a // (a + b) AS BIGINT) AS rate0_ppm,
+        |       CAST(1000000 * c // (c + d) AS BIGINT) AS rate1_ppm,
+        |       round(CAST(CAST(a + b + c + d AS HUGEINT) * sel * sel AS DOUBLE)
+        |             / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c)
+        |                    * (b + d) AS DOUBLE), 6) AS chi2
+        |FROM w ORDER BY a""".stripMargin) { (spark, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val cells = events(spark, dir)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14).as("success"))
+        .select((col("user_id") % 2).as("cohort"), col("success"))
+        .agg(
+          sum(when(col("cohort") === 0 && col("success"), 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("cohort") === 0 && !col("success"), 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("cohort") === 1 && col("success"), 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("cohort") === 1 && !col("success"), 1L).otherwise(0L))
+            .as("d"))
+      val sel = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
+      cells
+        .withColumn("sel", sel)
+        .select(big(col("a")).as("a"), big(col("b")).as("b"),
+          big(col("c")).as("c"), big(col("d")).as("d"),
+          big(expr("1000000 * a div (a + b)")).as("rate0_ppm"),
+          big(expr("1000000 * c div (c + d)")).as("rate1_ppm"),
+          round((dec(col("a") + col("b") + col("c") + col("d"))
+            * col("sel") * col("sel")).cast(DoubleType)
+            / (dec(col("a") + col("b")) * dec(col("c") + col("d"))
+              * dec(col("a") + col("c")) * dec(col("b") + col("d")))
+              .cast(DoubleType), 6).as("chi2"))
+        .orderBy("a")
+    },
+
+    // Kaplan–Meier survival over customer ORDER lifetimes: duration =
+    // days between a customer's first and last order, right-CENSORED
+    // when the last order falls within 90 days of the dataset horizon
+    // (the customer is plausibly still active — exactly the estimand
+    // retention analyses get wrong by ignoring censoring, and the reason
+    // KM exists). S(t) = Π_{dᵢ ≤ t} (1 − deathsᵢ/at_riskᵢ), one row per
+    // death step. Shapes: the corpus reduces to per-customer (duration,
+    // censored) then to the CALENDAR-BOUNDED duration axis (≤ days in
+    // the data window); at_risk is a reverse cumulative sum over that
+    // bounded axis (allowlisted global window — the q_revenue_growth
+    // convention) and the product fold runs over ONE collected array of
+    // the same bounded axis. Determinism: each factor is one double
+    // divide of exact integers, the chain multiplies in ascending
+    // duration order on both engines, deaths-free steps multiply by
+    // nothing (skipped, not ×1.0).
+    Q("q_kaplan_meier",
+      """WITH RECURSIVE cust AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+        |         max(o_orderdate) AS last_o
+        |  FROM orders GROUP BY 1),
+        |horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+        |lab AS (
+        |  SELECT dur, date_diff('day', last_o, horizon.h) < 90 AS censored
+        |  FROM cust, horizon),
+        |ends AS (
+        |  SELECT dur, count(*) AS ending,
+        |         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS deaths
+        |  FROM lab GROUP BY dur),
+        |axis AS (
+        |  SELECT dur, ending, deaths,
+        |         sum(ending) OVER (ORDER BY dur DESC) AS at_risk,
+        |         row_number() OVER (ORDER BY dur) AS rn
+        |  FROM ends),
+        |r AS (
+        |  SELECT dur, rn, deaths, at_risk,
+        |         CASE WHEN deaths = 0 THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(at_risk - deaths AS DOUBLE)
+        |                   / CAST(at_risk AS DOUBLE) END AS s
+        |  FROM axis WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.dur, k.rn, k.deaths, k.at_risk,
+        |         CASE WHEN k.deaths = 0 THEN r.s
+        |              ELSE r.s * (CAST(k.at_risk - k.deaths AS DOUBLE)
+        |                          / CAST(k.at_risk AS DOUBLE)) END
+        |  FROM r JOIN axis k ON k.rn = r.rn + 1)
+        |SELECT CAST(dur AS BIGINT) AS duration_days,
+        |       CAST(at_risk AS BIGINT) AS at_risk,
+        |       CAST(deaths AS BIGINT) AS n_deaths,
+        |       round(s, 9) AS km_survival
+        |FROM r WHERE deaths > 0 ORDER BY duration_days""".stripMargin) {
+      (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      val ends = o.groupBy("o_custkey")
+        .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+          max("o_orderdate").as("last_o"))
+        .crossJoin(broadcast(o.agg(max("o_orderdate").as("h"))))
+        .select(col("dur"),
+          (datediff(col("h"), col("last_o")) < 90).as("censored"))
+        .groupBy("dur")
+        .agg(count(lit(1)).as("ending"),
+          sum(when(col("censored"), 0L).otherwise(1L)).as("deaths"))
+      // bounded duration axis: both partition-less windows span ≤ the
+      // calendar-day count (globalWindowAllowed)
+      val atRisk = sum("ending").over(Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val axis = ends.withColumn("at_risk", atRisk)
+      val elem = "struct<dur:int,at_risk:bigint,deaths:bigint,s:double>"
+      val folded = axis
+        .select(struct(col("dur"), col("at_risk"), col("deaths")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("es")) // bounded axis
+        .select(explode(aggregate(col("es"),
+          struct(lit(1.0).as("s"), array().cast(s"array<$elem>").as("out")),
+          (acc, e) => {
+            val f = when(e.getField("deaths") === 0L, acc.getField("s"))
+              .otherwise(acc.getField("s") *
+                ((e.getField("at_risk") - e.getField("deaths"))
+                  .cast(DoubleType)
+                  / e.getField("at_risk").cast(DoubleType)))
+            struct(f.as("s"),
+              concat(acc.getField("out"), array(struct(
+                e.getField("dur").as("dur"),
+                e.getField("at_risk").as("at_risk"),
+                e.getField("deaths").as("deaths"), f.as("s")))).as("out"))
+          },
+          acc => acc.getField("out"))).as("row"))
+      folded
+        .filter(col("row.deaths") > 0L)
+        .select(big(col("row.dur")).as("duration_days"),
+          big(col("row.at_risk")).as("at_risk"),
+          big(col("row.deaths")).as("n_deaths"),
+          round(col("row.s"), 9).as("km_survival"))
+        .orderBy("duration_days")
+    },
+
     // HyperLogLog distinct-count estimate, FULLY oracle-gated — the
     // replayable sibling of q_agg_approx_distinct (Spark's native HLL
     // registers are engine-private, so that one is the suite's lone

@@ -166,6 +166,65 @@ class GroupYSpec extends SparkSpec {
       rows.map(r => (r._3, r._2.getTime * 1000L))))
   }
 
+  test("q_chi_square equals the brute 2x2 contingency statistic") {
+    val conv = raw.groupBy(_._1).map { case (u, _) => u -> false }.toMap ++
+      graft.queries.Q.events(spark, sfDir)
+        .selectExpr("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1)
+        .map { case (u, es) =>
+          u -> (es.count(_._2 == "purchase") >= 14)
+        }
+    val a = conv.count { case (u, s) => u % 2 == 0 && s }.toLong
+    val b = conv.count { case (u, s) => u % 2 == 0 && !s }.toLong
+    val c = conv.count { case (u, s) => u % 2 == 1 && s }.toLong
+    val d = conv.count { case (u, s) => u % 2 == 1 && !s }.toLong
+    val sel = BigDecimal(a) * BigDecimal(d) - BigDecimal(b) * BigDecimal(c)
+    val chi2 = round6((BigDecimal(a + b + c + d) * sel * sel).toDouble /
+      (BigDecimal(a + b) * BigDecimal(c + d) * BigDecimal(a + c)
+        * BigDecimal(b + d)).toDouble)
+    val r = q("q_chi_square")(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((a, b, c, d)))
+    assert(r.getLong(4) == 1000000 * a / (a + b))
+    assert(r.getLong(5) == 1000000 * c / (c + d))
+    assert(r.getDouble(6) == chi2)
+  }
+
+  test("q_kaplan_meier equals the brute censored product-limit curve") {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val horizon = rows.map(_._2).max
+    val perCust = rows.groupBy(_._1).values.map { os =>
+      val ds = os.map(_._2)
+      val dur = java.time.temporal.ChronoUnit.DAYS
+        .between(ds.min, ds.max).toInt
+      val censored = java.time.temporal.ChronoUnit.DAYS
+        .between(ds.max, horizon) < 90
+      (dur, censored)
+    }.toSeq
+    val ends = perCust.groupBy(_._1).toSeq.sortBy(_._1).map { case (dur, xs) =>
+      (dur, xs.size.toLong, xs.count(!_._2).toLong)
+    }
+    var atRiskLeft = perCust.size.toLong
+    var s = 1.0
+    val expect = ends.flatMap { case (dur, ending, deaths) =>
+      val atRisk = atRiskLeft
+      atRiskLeft -= ending
+      if (deaths > 0) {
+        s = s * ((atRisk - deaths).toDouble / atRisk.toDouble)
+        Some((dur.toLong, atRisk, deaths, round6x(s, 9)))
+      } else None
+    }
+    val got = q("q_kaplan_meier")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect)
+    // survival is monotone non-increasing and starts ≤ 1
+    assert(got.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+  }
+
   test("q_hll_distinct equals the brute FNV register sketch") {
     val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_returnflag", "l_orderkey").distinct().collect()

@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_ks_drift",        // bounded-type-set grid cross + ONE-ROW total
       "q_wasserstein_drift", // same bounded grid cross + ONE-ROW total as KS
       "q_bloom_fpr",       // ONE-ROW stat cross joins (the q_bm25 shape)
+      "q_kaplan_meier",    // ONE-ROW horizon cross join (scalar shape)
       "q_skyline",         // calendar-bounded date-max × date-max dominance
       "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
@@ -61,7 +62,8 @@ class PlanGuardSpec extends SparkSpec {
     * ranks the 20-row source dimension. */
   private val globalWindowAllowed =
     Set("q_revenue_growth", "q_wilson_rank",
-      "q_fair_quota") // waterfilling over the ≤|sources|-row mass axis
+      "q_fair_quota", // waterfilling over the ≤|sources|-row mass axis
+      "q_kaplan_meier") // at-risk cumsum over the calendar-bounded axis
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
