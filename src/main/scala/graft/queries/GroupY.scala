@@ -542,23 +542,27 @@ object GroupY {
     // replayable sibling of q_agg_approx_distinct (Spark's native HLL
     // registers are engine-private, so that one is the suite's lone
     // rows-only check; THIS sketch is built on the repo's linear FNV
-    // fold, so DuckDB replays every register). Layout follows the FNV
-    // avalanche: the LOW byte is the well-mixed end (multiply-mod-2⁶⁴
-    // propagates entropy upward, but short ASCII keys leave the top byte
-    // skewed — measured: 67 distinct top-bytes vs all 256 low-bytes over
-    // 1.5k keys), so bucket = h & 255 and the rank statistic is
-    // TRAILING zeros of h >> 8 (+1, capped at 57 for zero) — geometric
-    // by the same argument as leading zeros, but read from well-mixed
-    // bits. Register sums are exact: each 2^(57−M) term is a long, the
-    // Σ accumulates in DECIMAL (engine-independent), empty registers
-    // contribute 2⁵⁷ each, and the α·m²/Σ estimate is ONE double divide
-    // of exactly-representable operands. No small-range correction (it
-    // needs ln(), which the determinism contract forbids): the RAW
-    // estimate plus the empty-register count are emitted, and err_ppm
-    // against the exact count makes the query its own accuracy audit
-    // (±1σ = 6.5% at m = 256). Scale: one distinct + one 256-register
-    // agg per group — the sketch the KMV family (q_kmv_distinct)
-    // complements from the order-statistics side.
+    // fold, so DuckDB replays every register). The FNV fold alone is NOT
+    // rank-grade: multiply-mod-2⁶⁴ propagates entropy strictly upward,
+    // and an HLL rank reads bit PATTERNS from the weak low end — dense
+    // integer keys overestimated by 20–45% when the rank was taken from
+    // the raw fold (measured, 30 disjoint consecutive-key populations).
+    // The fold therefore passes through [[graft.ops.expr.Mix64]] — an
+    // fmix64-shaped xorshift-multiply finalizer whose constants keep the
+    // oracle's HUGEINT replay products under 2¹²⁷ — after which the same
+    // populations land within ±1σ (measured mean +0.8%). Layout on the
+    // mixed value: bucket = h & 255, rank = trailing zeros of h >> 8
+    // (+1, capped 57). Register sums are exact: each 2^(57−M) term is a
+    // long, the Σ accumulates in DECIMAL (engine-independent), empty
+    // registers contribute 2⁵⁷ each, and the α·m²/Σ estimate is ONE
+    // double divide of exactly-representable operands. No small-range
+    // correction (it needs ln(), which the determinism contract
+    // forbids): the RAW estimate, the empty-register count, and err_ppm
+    // against the exact count are emitted — the query is its own
+    // accuracy audit (asymptotic σ = 1.04/√256 = 6.5%; raw-HLL bias
+    // applies below n ≈ 2.5·m as usual). Scale: one distinct + one
+    // 256-register agg per group — the sketch the KMV family
+    // (q_kmv_distinct) complements from the order-statistics side.
     Q("q_hll_distinct",
       """WITH RECURSIVE inp AS (
         |  SELECT DISTINCT l_returnflag AS g,
@@ -572,8 +576,18 @@ object GroupY {
         |         (xor(h, CAST(ascii(substr(str, pos, 1)) AS HUGEINT))
         |          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
         |  FROM f WHERE pos <= length(str)),
+        |raw AS (SELECT g, h FROM f WHERE pos = length(str) + 1),
+        |m1 AS (SELECT g, xor(h, h // 8589934592) AS h FROM raw),
+        |m2 AS (SELECT g, (h * CAST(9174307257865047245 AS HUGEINT))
+        |                 % CAST(18446744073709551616 AS HUGEINT) AS h
+        |       FROM m1),
+        |m3 AS (SELECT g, xor(h, h // 8589934592) AS h FROM m2),
+        |m4 AS (SELECT g, (h * CAST(4958104740799310931 AS HUGEINT))
+        |                 % CAST(18446744073709551616 AS HUGEINT) AS h
+        |       FROM m3),
+        |mx AS (SELECT g, xor(h, h // 8589934592) AS h FROM m4),
         |hh AS (SELECT g, CAST(h % 256 AS BIGINT) AS bucket, h // 256 AS x
-        |       FROM f WHERE pos = length(str) + 1),
+        |       FROM mx),
         |reg AS (
         |  SELECT g, bucket,
         |         max(CASE WHEN x = 0 THEN 57
@@ -604,8 +618,8 @@ object GroupY {
         .getOrMaterialize(spark, s"hll_pairs:$dir") {
           tbl(spark, dir, "lineitem")
             .select(col("l_returnflag").as("g"), col("l_orderkey")).distinct()
-            .select(col("g"), VectorOps.fnv1a64(
-              concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
+            .select(col("g"), graft.ops.expr.Mix64.column(VectorOps.fnv1a64(
+              concat(lit("hll:"), col("l_orderkey").cast("string")))).as("h"))
         }
       val x = shiftrightunsigned(col("h"), 8)
       val reg = pairs

@@ -15,11 +15,12 @@ final case class HllEstimate(group: String, v_empty: Long, est: Double)
 /** Streaming HyperLogLog — the keyed-state twin of the oracle-gated batch
   * `q_hll_distinct` (queries/GroupY.scala): 256 one-byte registers per
   * group FOREVER, regardless of stream length. Exactly the same sketch
-  * contract — bucket = FNV low byte (the fold's well-avalanched end),
-  * rank = trailing zeros of h ≫ 8 (+1, capped 57), estimate =
-  * α·m²/Σ2^−M with exact power-of-two register sums — so for ASCII
-  * values the streamed registers equal the batch query's register for
-  * register (spec-pinned, including the rounded estimate).
+  * contract — FNV fold finalized through [[graft.ops.expr.Mix64]] (the
+  * raw fold's low bits are not rank-grade — see the batch query), bucket
+  * = mixed low byte, rank = trailing zeros of h ≫ 8 (+1, capped 57),
+  * estimate = α·m²/Σ2^−M with exact power-of-two register sums — so for
+  * ASCII values the streamed registers equal the batch query's register
+  * for register (spec-pinned, including the rounded estimate).
   *
   * Like [[StreamingKmv]] (and unlike SpaceSaving), the state is a
   * commutative idempotent monoid — registers merge by elementwise MAX —
@@ -66,7 +67,8 @@ object StreamingHll {
     var any = false
     rows.foreach { a =>
       any = true
-      val (b, r) = bucketRank(Fnv1a64.hash("hll:" + a.value))
+      val (b, r) = bucketRank(
+        graft.ops.expr.Mix64.mix(Fnv1a64.hash("hll:" + a.value)))
       if (r > regs(b)) regs(b) = r.toByte
     }
     if (!any) (Nil, regs)

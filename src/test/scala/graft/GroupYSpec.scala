@@ -29,11 +29,11 @@ class GroupYSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  private def round6x(x: Double, scale: Int): Double =
+  /** HALF_UP at `scale` — Spark's round() semantics. */
+  private def roundAt(x: Double, scale: Int): Double =
     BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def round6(x: Double): Double = roundAt(x, 6)
 
   test("q_ewma equals the per-user (x + 3y)/4 fold in time order") {
     val expect = raw.groupBy(_._1).map { case (u, es) =>
@@ -98,7 +98,7 @@ class GroupYSpec extends SparkSpec {
         i <- series.indices; j <- series.indices if i < j
       } yield (series(j)._2 - series(i)._2) /
         (series(j)._1._2 - series(i)._1._2).toDouble).sorted
-      (t, slopes.size.toLong, round6x(slopes((slopes.size - 1) / 2), 9))
+      (t, slopes.size.toLong, roundAt(slopes((slopes.size - 1) / 2), 9))
     }.toSeq.sortBy(_._1)
     val got = q("q_theil_sen")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -167,14 +167,14 @@ class GroupYSpec extends SparkSpec {
   }
 
   test("q_chi_square equals the brute 2x2 contingency statistic") {
-    val conv = raw.groupBy(_._1).map { case (u, _) => u -> false }.toMap ++
-      graft.queries.Q.events(spark, sfDir)
-        .selectExpr("user_id", "event_type").collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-        .groupBy(_._1)
-        .map { case (u, es) =>
-          u -> (es.count(_._2 == "purchase") >= 14)
-        }
+    // every user with any event appears; a purchase-free user maps false
+    val conv = graft.queries.Q.events(spark, sfDir)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        u -> (es.count(_._2 == "purchase") >= 14)
+      }
     val a = conv.count { case (u, s) => u % 2 == 0 && s }.toLong
     val b = conv.count { case (u, s) => u % 2 == 0 && !s }.toLong
     val c = conv.count { case (u, s) => u % 2 == 1 && s }.toLong
@@ -214,7 +214,7 @@ class GroupYSpec extends SparkSpec {
       atRiskLeft -= ending
       if (deaths > 0) {
         s = s * ((atRisk - deaths).toDouble / atRisk.toDouble)
-        Some((dur.toLong, atRisk, deaths, round6x(s, 9)))
+        Some((dur.toLong, atRisk, deaths, roundAt(s, 9)))
       } else None
     }
     val got = q("q_kaplan_meier")(spark, sfDir).collect()
@@ -230,7 +230,8 @@ class GroupYSpec extends SparkSpec {
       .select("l_returnflag", "l_orderkey").distinct().collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val expect = rows.groupBy(_._1).toSeq.map { case (g, ks) =>
-      val hs = ks.map(k => graft.ops.expr.Fnv1a64.hash(s"hll:${k._2}"))
+      val hs = ks.map(k =>
+        graft.ops.expr.Mix64.mix(graft.ops.expr.Fnv1a64.hash(s"hll:${k._2}")))
       val regs = hs.groupBy(_ & 255L).values.map(_.map { h =>
         val x = h >>> 8
         if (x == 0L) 57 else java.lang.Long.numberOfTrailingZeros(x) + 1
@@ -238,7 +239,7 @@ class GroupYSpec extends SparkSpec {
       val vEmpty = 256 - regs.size
       val sAll = regs.map(m => BigDecimal(1L << (57 - m))).sum +
         BigDecimal(vEmpty) * BigDecimal(1L << 57)
-      val est4 = round6x(
+      val est4 = roundAt(
         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * (1L << 57).toDouble
           / sAll.toDouble, 4)
       val n = ks.length
@@ -249,9 +250,11 @@ class GroupYSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getLong(4))).toSeq
     assert(got == expect)
-    // sanity: the estimate is in the right ballpark (|err| < 50%)
+    // accuracy floor: with the Mix64 finalizer the dense-orderkey groups
+    // land within ~3σ of exact (σ = 6.5% at m = 256); the raw FNV fold's
+    // 20–45% dense-key bias would trip this
     got.foreach { case (g, _, _, _, err) =>
-      assert(math.abs(err) < 500000, s"$g: err_ppm $err")
+      assert(math.abs(err) < 200000, s"$g: err_ppm $err")
     }
   }
 
