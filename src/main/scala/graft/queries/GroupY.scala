@@ -538,6 +538,111 @@ object GroupY {
         .orderBy("duration_days")
     },
 
+    // Log-rank test: does the even-custkey cohort's survival curve (the
+    // q_kaplan_meier estimand) differ from the odd cohort's — the
+    // standard two-sample comparison OVER censored data, completing the
+    // survival pair (KM estimates each curve; log-rank tests the
+    // difference; q_chi_square is its uncensored 2×2 sibling). At each
+    // death time: observed cohort-0 deaths vs the hypergeometric
+    // expectation d·n₀/n and variance d(n−d)n₀(n−n₀)/(n²(n−1)); the
+    // statistic is (ΣO − ΣE)²/ΣV. Determinism: every integer product is
+    // DECIMAL/HUGEINT-wide (the n⁴ variance numerator wraps Long at
+    // ~60k at-risk), each term is a fixed double-op sequence, and the
+    // two fractional sums accumulate in DECIMAL(38,12). Shape: the same
+    // calendar-bounded duration axis as q_kaplan_meier with per-cohort
+    // reverse cumsums (allowlisted bounded global windows) — no
+    // recursion, no fold.
+    Q("q_log_rank",
+      """WITH cust AS (
+        |  SELECT o_custkey, o_custkey % 2 AS cohort,
+        |         date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+        |         max(o_orderdate) AS last_o
+        |  FROM orders GROUP BY 1, 2),
+        |horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+        |lab AS (
+        |  SELECT dur, cohort,
+        |         date_diff('day', last_o, horizon.h) < 90 AS censored
+        |  FROM cust, horizon),
+        |ends AS (
+        |  SELECT dur,
+        |         count(*) AS ending_all,
+        |         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS deaths_all,
+        |         sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS ending_c0,
+        |         sum(CASE WHEN cohort = 0 AND NOT censored THEN 1 ELSE 0 END)
+        |           AS deaths_c0
+        |  FROM lab GROUP BY dur),
+        |axis AS (
+        |  SELECT dur, deaths_all, deaths_c0,
+        |         sum(ending_all) OVER (ORDER BY dur DESC) AS ar,
+        |         sum(ending_c0) OVER (ORDER BY dur DESC) AS ar0
+        |  FROM ends),
+        |terms AS (
+        |  SELECT deaths_c0 AS o1,
+        |         CAST(CAST(deaths_all AS HUGEINT) * ar0 AS DOUBLE)
+        |           / CAST(ar AS DOUBLE) AS e1,
+        |         CASE WHEN ar = 1 THEN CAST(0 AS DOUBLE)
+        |              ELSE CAST(CAST(deaths_all AS HUGEINT) * (ar - deaths_all)
+        |                        * ar0 * (ar - ar0) AS DOUBLE)
+        |                   / CAST(CAST(ar AS HUGEINT) * ar * (ar - 1)
+        |                          AS DOUBLE)
+        |         END AS v
+        |  FROM axis WHERE deaths_all > 0),
+        |agg AS (
+        |  SELECT CAST(sum(o1) AS BIGINT) AS o1,
+        |         sum(CAST(e1 AS DECIMAL(38,12))) AS e1s,
+        |         sum(CAST(v AS DECIMAL(38,12))) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n_death_times
+        |  FROM terms)
+        |SELECT n_death_times, o1, round(CAST(e1s AS DOUBLE), 6) AS e1,
+        |       round(CAST(vs AS DOUBLE), 6) AS var_lr,
+        |       round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |             * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |             / CAST(vs AS DOUBLE), 6) AS logrank_chi2
+        |FROM agg ORDER BY o1""".stripMargin) { (spark, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val o = tbl(spark, dir, "orders")
+      val ends = o.groupBy("o_custkey")
+        .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+          max("o_orderdate").as("last_o"))
+        .crossJoin(broadcast(o.agg(max("o_orderdate").as("h"))))
+        .select(col("dur"), (col("o_custkey") % 2).as("cohort"),
+          (datediff(col("h"), col("last_o")) < 90).as("censored"))
+        .groupBy("dur")
+        .agg(count(lit(1)).as("ending_all"),
+          sum(when(col("censored"), 0L).otherwise(1L)).as("deaths_all"),
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("ending_c0"),
+          sum(when(col("cohort") === 0 && !col("censored"), 1L).otherwise(0L))
+            .as("deaths_c0"))
+      // bounded duration axis (globalWindowAllowed)
+      val byDurDesc = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = ends
+        .withColumn("ar", sum("ending_all").over(byDurDesc))
+        .withColumn("ar0", sum("ending_c0").over(byDurDesc))
+        .filter(col("deaths_all") > 0)
+        .select(col("deaths_c0").as("o1"),
+          ((dec(col("deaths_all")) * dec(col("ar0"))).cast(DoubleType)
+            / col("ar").cast(DoubleType)).as("e1"),
+          when(col("ar") === 1, lit(0.0)).otherwise(
+            (dec(col("deaths_all")) * dec(col("ar") - col("deaths_all"))
+              * dec(col("ar0")) * dec(col("ar") - col("ar0")))
+              .cast(DoubleType)
+              / (dec(col("ar")) * dec(col("ar")) * dec(col("ar") - 1))
+                .cast(DoubleType)).as("v"))
+      terms
+        .agg(big(sum(col("o1"))).as("o1"),
+          sum(col("e1").cast(DecimalType(38, 12))).as("e1s"),
+          sum(col("v").cast(DecimalType(38, 12))).as("vs"),
+          big(count(lit(1))).as("n_death_times"))
+        .select(col("n_death_times"), col("o1"),
+          round(col("e1s").cast(DoubleType), 6).as("e1"),
+          round(col("vs").cast(DoubleType), 6).as("var_lr"),
+          round((col("o1").cast(DoubleType) - col("e1s").cast(DoubleType))
+            * (col("o1").cast(DoubleType) - col("e1s").cast(DoubleType))
+            / col("vs").cast(DoubleType), 6).as("logrank_chi2"))
+        .orderBy("o1")
+    },
+
     // HyperLogLog distinct-count estimate, FULLY oracle-gated — the
     // replayable sibling of q_agg_approx_distinct (Spark's native HLL
     // registers are engine-private, so that one is the suite's lone

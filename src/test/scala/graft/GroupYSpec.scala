@@ -225,6 +225,50 @@ class GroupYSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
   }
 
+  test("q_log_rank equals the brute O-E hypergeometric accumulation") {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val horizon = rows.map(_._2).max
+    val perCust = rows.groupBy(_._1).map { case (ck, os) =>
+      val ds = os.map(_._2)
+      val dur = java.time.temporal.ChronoUnit.DAYS
+        .between(ds.min, ds.max).toInt
+      val cens = java.time.temporal.ChronoUnit.DAYS
+        .between(ds.max, horizon) < 90
+      (dur, ck % 2 == 0, cens)
+    }.toSeq
+    val byDur = perCust.groupBy(_._1).toSeq.sortBy(_._1)
+    var ar = perCust.size.toLong
+    var ar0 = perCust.count(_._2).toLong
+    var o1 = 0L
+    var e1s, vs = BigDecimal(0)
+    var nDeathTimes = 0L
+    byDur.foreach { case (_, xs) =>
+      val d = xs.count(!_._3).toLong
+      if (d > 0) {
+        nDeathTimes += 1
+        o1 += xs.count(x => x._2 && !x._3)
+        val e1 = (BigDecimal(d) * BigDecimal(ar0)).toDouble / ar.toDouble
+        val v =
+          if (ar == 1) 0.0
+          else (BigDecimal(d) * BigDecimal(ar - d) * BigDecimal(ar0)
+            * BigDecimal(ar - ar0)).toDouble /
+            (BigDecimal(ar) * BigDecimal(ar) * BigDecimal(ar - 1)).toDouble
+        e1s += BigDecimal(e1).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        vs += BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      ar -= xs.size
+      ar0 -= xs.count(_._2)
+    }
+    val chi2 = round6((o1.toDouble - e1s.toDouble)
+      * (o1.toDouble - e1s.toDouble) / vs.toDouble)
+    val r = q("q_log_rank")(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) ==
+      ((nDeathTimes, o1, round6(e1s.toDouble), round6(vs.toDouble), chi2)))
+  }
+
   test("q_hll_distinct equals the brute FNV register sketch") {
     val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_returnflag", "l_orderkey").distinct().collect()

@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_wasserstein_drift", // same bounded grid cross + ONE-ROW total as KS
       "q_bloom_fpr",       // ONE-ROW stat cross joins (the q_bm25 shape)
       "q_kaplan_meier",    // ONE-ROW horizon cross join (scalar shape)
+      "q_log_rank",        // ONE-ROW horizon cross join (scalar shape)
       "q_skyline",         // calendar-bounded date-max × date-max dominance
       "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
@@ -63,7 +64,8 @@ class PlanGuardSpec extends SparkSpec {
   private val globalWindowAllowed =
     Set("q_revenue_growth", "q_wilson_rank",
       "q_fair_quota", // waterfilling over the ≤|sources|-row mass axis
-      "q_kaplan_meier") // at-risk cumsum over the calendar-bounded axis
+      "q_kaplan_meier", // at-risk cumsum over the calendar-bounded axis
+      "q_log_rank")     // same bounded-axis per-cohort cumsums
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
