@@ -57,6 +57,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // absorb first-position bias: the alphabetically-first query pays any
+    // residual first-touch cost (JIT tails, allocator warm-up) in BOTH
+    // timed passes — min-of-two cannot remove a bias that hits both. One
+    // untimed execution moves it out of the measurement (observed: the
+    // first query reading 3–4× its quiet-box time while the rest of the
+    // suite sat at a uniform ~1.2× load factor).
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
     val (p1, p2) = (pass(), pass())
     val results = ordered.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))
