@@ -24,7 +24,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * `q_bloom_fpr` is the measured false-positive audit behind a
   * bloom-pruned join decision, fully oracle-replayed because the bit
-  * positions are salted linear FNV folds.
+  * positions are salted linear FNV folds; `q_hll_distinct` is the fully
+  * oracle-gated HLL (Mix64-finalized FNV) next to the rows-only native
+  * sketch.
+  *
+  * The inference trio: `q_chi_square` (2×2 cohort A/B test, sqrt-free
+  * integer form), `q_kaplan_meier` (censored product-limit survival
+  * over order lifetimes), and `q_log_rank` (the two-cohort comparison
+  * over the same censored data) — estimate, visualize, test.
   *
   * `q_peak_concurrency` is the capacity-planner's number: per day, the
   * maximum number of simultaneously-open sessions. The sweep itself is a
