@@ -98,7 +98,6 @@ object GroupH {
       // times n_rest reaches n² and a Long product wraps silently at
       // trillion-row corpora while the DuckDB side (HUGEINT window sums)
       // stays exact — the same treatment q_wasserstein_drift applies
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
       val dTerm = abs(dec(col("cum_t")) * dec(col("n") - col("n_t"))
         - dec(col("cum_all") - col("cum_t")) * dec(col("n_t")))
       grid

@@ -420,7 +420,6 @@ object GroupY {
         |             / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c)
         |                    * (b + d) AS DOUBLE), 6) AS chi2
         |FROM w ORDER BY a""".stripMargin) { (spark, dir) =>
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
       val cells = events(spark, dir)
         .groupBy("user_id")
         .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -602,11 +601,11 @@ object GroupY {
         |  FROM terms)
         |SELECT n_death_times, o1, round(CAST(e1s AS DOUBLE), 6) AS e1,
         |       round(CAST(vs AS DOUBLE), 6) AS var_lr,
-        |       round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
-        |             * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
-        |             / CAST(vs AS DOUBLE), 6) AS logrank_chi2
+        |       CASE WHEN vs IS NULL OR vs = 0 THEN NULL
+        |            ELSE round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |                       * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |                       / CAST(vs AS DOUBLE), 6) END AS logrank_chi2
         |FROM agg ORDER BY o1""".stripMargin) { (spark, dir) =>
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
       val o = tbl(spark, dir, "orders")
       val ends = o.groupBy("o_custkey")
         .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
@@ -644,9 +643,15 @@ object GroupY {
         .select(col("n_death_times"), col("o1"),
           round(col("e1s").cast(DoubleType), 6).as("e1"),
           round(col("vs").cast(DoubleType), 6).as("var_lr"),
-          round((col("o1").cast(DoubleType) - col("e1s").cast(DoubleType))
-            * (col("o1").cast(DoubleType) - col("e1s").cast(DoubleType))
-            / col("vs").cast(DoubleType), 6).as("logrank_chi2"))
+          // guarded like the oracle: a fixture where every customer is
+          // censored (empty terms → null sums) or every death time has
+          // one cohort fully at risk (ΣV = 0) yields NULL, not NaN/inf
+          when(col("vs").isNull || col("vs") === 0,
+            lit(null).cast(DoubleType))
+            .otherwise(
+              round((col("o1").cast(DoubleType) - col("e1s").cast(DoubleType))
+                * (col("o1").cast(DoubleType) - col("e1s").cast(DoubleType))
+                / col("vs").cast(DoubleType), 6)).as("logrank_chi2"))
         .orderBy("o1")
     },
 
@@ -901,7 +906,6 @@ object GroupY {
       // window sums) stays exact — decimal keeps both engines exact to
       // 38 digits, and decimal→double conversion is correctly rounded on
       // both, so the trapezoid multiply sees the identical IEEE value
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
       val gapInt = abs(dec(col("cum_t")) * dec(col("n") - col("n_t"))
         - dec(col("cum_all") - col("cum_t")) * dec(col("n_t")))
       grid

@@ -85,6 +85,13 @@ object Q {
   /** Integer output normalized to BIGINT on both engines. */
   def big(c: Column): Column = c.cast(LongType)
 
+  /** Long-range DECIMAL(19,0) — the wide-cast applied BEFORE integer
+    * cross products whose magnitude can reach n²…n⁴ (CDF gaps, χ²
+    * cells, log-rank variances): a Long product wraps silently where
+    * the DuckDB twin (HUGEINT) stays exact; decimal keeps both engines
+    * exact and decimal→double conversion is correctly rounded on both. */
+  def dec(c: Column): Column = c.cast(DecimalType(19, 0))
+
   // ---- quantized-integer contract for embedding-similarity oracles ------
   // Components quantize to floor(x·2²⁴) — one exactly-replayable IEEE op —
   // and every dot/norm is an exact 64-bit integer sum (order- and
