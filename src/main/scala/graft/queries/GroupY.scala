@@ -845,6 +845,87 @@ object GroupY {
         .orderBy("n_probes")
     },
 
+    // Mann–Whitney U (Wilcoxon rank-sum): do purchase values
+    // stochastically dominate view values — the nonparametric two-sample
+    // test practitioners run for A/B on skewed numeric metrics,
+    // completing the toolkit (q_chi_square categorical, q_log_rank
+    // censored, this one ordinal/numeric). All-integer via DOUBLED
+    // tie-averaged ranks: a tie group of pooled size c ending at pooled
+    // cumulative cum has 2·avgRank = 2·cum − c + 1 (integer), so
+    // 2R₁ = Σ_v c₁(v)·(2·cum(v) − c(v) + 1) and 2U₁ = 2R₁ − n₁(n₁+1)
+    // are exact; the reported effect size is the AUC
+    // P(X₁>X₂) + ½P(=) = U₁/(n₁n₂) in ppm — ONE integer division.
+    // Shape: the q_ks_drift grid scaffolding over the two-type slice
+    // (per-type ranged windows + the ≤2-row per-value window deriving
+    // pooled cumulatives — never a partition-less corpus window);
+    // cross products DECIMAL/HUGEINT-wide.
+    Q("q_mann_whitney",
+      """WITH ev AS (
+        |  SELECT event_type AS t, value AS v FROM events
+        |  WHERE event_type IN ('purchase', 'view')),
+        |cnt AS (SELECT t, v, count(*) AS c FROM ev GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM ev),
+        |types AS (SELECT t, count(*) AS n_t FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT ty.t, va.v, coalesce(c.c, 0) AS c
+        |  FROM vals va CROSS JOIN types ty
+        |  LEFT JOIN cnt c ON c.t = ty.t AND c.v = va.v),
+        |cum AS (
+        |  SELECT t, v, c, sum(c) OVER (PARTITION BY t ORDER BY v) AS cum_t
+        |  FROM grid),
+        |cum2 AS (
+        |  SELECT t, c,
+        |         sum(cum_t) OVER (PARTITION BY v) AS cum_all,
+        |         sum(c) OVER (PARTITION BY v) AS c_all
+        |  FROM cum),
+        |r1 AS (
+        |  SELECT sum(CAST(c AS HUGEINT) * (2 * cum_all - c_all + 1)) AS r1_x2
+        |  FROM cum2 WHERE t = 'purchase'),
+        |nn AS (
+        |  SELECT max(CASE WHEN t = 'purchase' THEN n_t END) AS n1,
+        |         max(CASE WHEN t = 'view' THEN n_t END) AS n2
+        |  FROM types)
+        |SELECT CAST(nn.n1 AS BIGINT) AS n1, CAST(nn.n2 AS BIGINT) AS n2,
+        |       CAST(r1.r1_x2 - CAST(nn.n1 AS HUGEINT) * (nn.n1 + 1) AS BIGINT)
+        |         AS u1_x2,
+        |       CAST(1000000 * (r1.r1_x2 - CAST(nn.n1 AS HUGEINT) * (nn.n1 + 1))
+        |            // (2 * CAST(nn.n1 AS HUGEINT) * nn.n2) AS BIGINT)
+        |         AS auc_ppm
+        |FROM r1, nn ORDER BY n1""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type").as("t"), col("value").as("v"))
+      val cnt = ev.groupBy("t", "v").agg(count(lit(1)).as("c"))
+      val vals = ev.select("v").distinct()
+      val types = ev.groupBy("t").agg(count(lit(1)).as("n_t"))
+      val grid = vals.crossJoin(broadcast(types.select("t")))
+        .join(cnt, Seq("t", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val byT = Window.partitionBy("t").orderBy("v")
+      val byV = Window.partitionBy("v")
+      val r1 = grid
+        .withColumn("cum_t", sum("c").over(byT))
+        .withColumn("cum_all", sum("cum_t").over(byV))
+        .withColumn("c_all", sum("c").over(byV))
+        .filter(col("t") === "purchase")
+        .agg(sum(dec(col("c"))
+          * dec(lit(2) * col("cum_all") - col("c_all") + 1)).as("r1_x2"))
+      val nn = types.agg(
+        max(when(col("t") === "purchase", col("n_t"))).as("n1"),
+        max(when(col("t") === "view", col("n_t"))).as("n2"))
+      r1.crossJoin(broadcast(nn))
+        // integral `div` on decimals truncates like DuckDB `//`; a
+        // decimal `/` would ROUND the quotient before the long cast and
+        // could disagree by one ppm at a rounding boundary
+        .withColumn("u1x2", col("r1_x2") - dec(col("n1")) * dec(col("n1") + 1))
+        .select(big(col("n1")).as("n1"), big(col("n2")).as("n2"),
+          big(col("u1x2")).as("u1_x2"),
+          big(expr("(CAST(1000000 AS DECIMAL(19,0)) * u1x2) div " +
+            "(CAST(2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)) " +
+            "* CAST(n2 AS DECIMAL(19,0)))")).as("auc_ppm"))
+        .orderBy("n1")
+    },
+
     // Exact 1-Wasserstein (earth-mover) drift of each event type's value
     // distribution against the rest of the stream: W₁ = ∫|F_t − F_rest|,
     // evaluated exactly as Σ over consecutive pooled values of

@@ -225,6 +225,32 @@ class GroupYSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
   }
 
+  test("q_mann_whitney equals the brute pairwise-comparison U and AUC") {
+    val byType = graft.queries.Q.events(spark, sfDir)
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val xs = byType.filter(_._1 == "purchase").map(_._2)
+    val ys = byType.filter(_._1 == "view").map(_._2).sorted
+    def lower(v: Double) = {
+      var lo = 0; var hi = ys.length
+      while (lo < hi) { val m = (lo + hi) / 2
+        if (ys(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
+    def upper(v: Double) = {
+      var lo = 0; var hi = ys.length
+      while (lo < hi) { val m = (lo + hi) / 2
+        if (ys(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    // 2U1 = 2·#{x>y} + #{x=y}
+    val u1x2 = xs.map(x => 2L * lower(x) + (upper(x) - lower(x))).sum
+    val n1 = xs.length.toLong; val n2 = ys.length.toLong
+    val r = q("q_mann_whitney")(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n1, n2, u1x2, 1000000L * u1x2 / (2 * n1 * n2))))
+  }
+
   test("q_log_rank equals the brute O-E hypergeometric accumulation") {
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d").collect()

@@ -38,6 +38,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_bloom_fpr",       // ONE-ROW stat cross joins (the q_bm25 shape)
       "q_kaplan_meier",    // ONE-ROW horizon cross join (scalar shape)
       "q_log_rank",        // ONE-ROW horizon cross join (scalar shape)
+      "q_mann_whitney",    // 2-row type grid cross + ONE-ROW counts cross
       "q_skyline",         // calendar-bounded date-max × date-max dominance
       "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
