@@ -28,10 +28,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * oracle-gated HLL (Mix64-finalized FNV) next to the rows-only native
   * sketch.
   *
-  * The inference trio: `q_chi_square` (2×2 cohort A/B test, sqrt-free
-  * integer form), `q_kaplan_meier` (censored product-limit survival
+  * The inference battery: `q_chi_square` (2×2 cohort A/B test, sqrt-free
+  * integer form), `q_mann_whitney` (rank-sum U + AUC, the numeric
+  * two-sample test), `q_kaplan_meier` (censored product-limit survival
   * over order lifetimes), and `q_log_rank` (the two-cohort comparison
-  * over the same censored data) — estimate, visualize, test.
+  * over the same censored data) — categorical, ordinal, and censored
+  * outcomes each get their standard test.
   *
   * `q_peak_concurrency` is the capacity-planner's number: per day, the
   * maximum number of simultaneously-open sessions. The sweep itself is a
