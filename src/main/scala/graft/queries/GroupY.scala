@@ -65,20 +65,50 @@ object GroupY {
         expr("unix_micros(ts) div 86400000000").as("day"))
       .agg((dsum(col("value")) / count(lit(1)).cast(DoubleType)).as("m"))
 
+  /** The fold-tail length shared by q_ewma/q_holt and their oracles: a
+    * point 1024 steps old carries weight ≤ (3/4)^1024 ≈ 1e-128 (EWMA) or
+    * decays at the Holt update's spectral radius √(3/4) ≈ 0.87 per step
+    * (~1e-64 after 1024), far below one ulp of any accumulated double. */
+  private val FoldTail = 1024
+
+  /** Per-user sorted TAIL of the event stream — the last [[FoldTail]]
+    * events by (ts, event_id) — plus the FULL event count. This is the
+    * bounded-memory contract of the smoothing folds: the descending
+    * row_number pre-filter caps collect_list at FoldTail elements per key
+    * (the window SORT spills; the collect never exceeds 1024 structs), so
+    * a hot key with millions of events costs one spillable sort, not one
+    * giant in-task array. Both oracles fold the SAME tail (their recursive
+    * CTEs start at greatest(1, n−1023)), so the gate stays bit-exact —
+    * no appeal to the (true but rounding-boundary-fragile) argument that
+    * truncation is invisible at 6 decimals. One shuffle: the groupBy
+    * reuses the window's hash partitioning on user_id. */
+  private def tailEvents(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val part = Window.partitionBy("user_id")
+    val desc = part.orderBy(col("e.ts").desc, col("e.event_id").desc)
+    events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("e"))
+      .withColumn("rdesc", row_number().over(desc))
+      .withColumn("n_all", count(lit(1)).over(part))
+      .filter(col("rdesc") <= FoldTail)
+      .groupBy("user_id")
+      .agg(max("n_all").as("n_events"),
+        sort_array(collect_list(col("e"))).as("es"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Per-user exponential moving average (α = 1/4) of the event value
     // stream, folded in (ts, event_id) order. Expressible as a fold, not
     // a window: y_t depends on ALL priors with geometric weights, which
     // no bounded window frame reproduces. Shape: ONE shuffle (groupBy
-    // user), an in-array sort, and a linear fold — the collect_list is
-    // bounded by per-user event count, the exact contract q_sessionize
-    // already declares for its per-user windows. For unbounded per-key
-    // histories the fold truncates for free: a point 1024 events old
-    // carries weight (3/4)^1024 ≈ 1e-128, far below one ulp of any
-    // accumulated value, so a slice(…, -1024) tail fold is
-    // indistinguishable at the 6-decimal output contract — the
-    // bounded-memory escape hatch at 100 TB. The
+    // user), a spillable in-partition sort, and a linear fold over the
+    // per-user TAIL (tailEvents: the last FoldTail events, full count
+    // kept) — collect_list is hard-capped at 1024 structs per key, the
+    // bounded-memory shape at 100 TB, and the oracle folds the IDENTICAL
+    // tail (its CTE starts at greatest(1, n−1023)) so the gate stays
+    // bit-exact without any truncation-invisibility argument. The
     // dyadic α makes every step (x + 3y)/4 three exactly-reproducible
     // IEEE ops; the DuckDB oracle replays the same fold as a recursive
     // CTE in the same operation order, so the gate hash-matches doubles
@@ -91,7 +121,9 @@ object GroupY {
         |  FROM events),
         |n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1),
         |r AS (
-        |  SELECT user_id, rn, value AS y FROM s WHERE rn = 1
+        |  SELECT s.user_id, s.rn, s.value AS y
+        |  FROM s JOIN n USING (user_id)
+        |  WHERE s.rn = greatest(1, n.n_events - 1023)
         |  UNION ALL
         |  SELECT s.user_id, s.rn, (s.value + 3 * r.y) / 4
         |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
@@ -101,13 +133,9 @@ object GroupY {
         |FROM r JOIN n USING (user_id) WHERE r.rn = n.n_events
         |ORDER BY user_id""".stripMargin) { (spark, dir) =>
       val acc0 = struct(lit(0.0).as("y"), lit(false).as("init"))
-      events(spark, dir)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"), col("value")).as("e"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("e"))).as("es"))
+      tailEvents(spark, dir)
         .select(big(col("user_id")).as("user_id"),
-          big(size(col("es"))).as("n_events"),
+          big(col("n_events")).as("n_events"),
           round(aggregate(col("es"), acc0,
             (acc, e) => struct(
               when(acc.getField("init"),
@@ -124,15 +152,16 @@ object GroupY {
     // dyadic), initialized l₁ = x₁, b₁ = 0 — the one-step-ahead
     // forecaster (l+b) a monitoring pipeline runs where q_ewma's flat
     // smoother lags trending signals. Same shape and determinism
-    // contract as q_ewma: one user shuffle, in-array sort, linear fold;
+    // contract as q_ewma: one user shuffle, a fold over the same
+    // hard-capped tailEvents tail (both CTEs start at
+    // greatest(1, n−1023), so the engines fold identical inputs);
     // every step is a fixed sequence of exact IEEE ops (the l′
     // subexpression is duplicated IDENTICALLY in the trend update on
     // both engines), so the recursive-CTE oracle hash-matches doubles
-    // with no tolerance. Bounded-memory path at scale: perturbations
-    // decay at the update map's spectral radius √(3/4) ≈ 0.87 per step
-    // (complex eigenpair of [[3/4,3/4],[−1/8,7/8]]), ~1e-64 after 1024
-    // steps — a tail slice is indistinguishable at the 6-decimal output
-    // contract, the same escape hatch q_ewma documents.
+    // with no tolerance. The 1024 tail length is generous here too:
+    // perturbations decay at the update map's spectral radius
+    // √(3/4) ≈ 0.87 per step (complex eigenpair of [[3/4,3/4],[−1/8,7/8]]),
+    // ~1e-64 after 1024 steps.
     Q("q_holt",
       """WITH RECURSIVE s AS (
         |  SELECT user_id, value,
@@ -141,8 +170,9 @@ object GroupY {
         |  FROM events),
         |n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1),
         |r AS (
-        |  SELECT user_id, rn, value AS l, CAST(0 AS DOUBLE) AS b
-        |  FROM s WHERE rn = 1
+        |  SELECT s.user_id, s.rn, s.value AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM s JOIN n USING (user_id)
+        |  WHERE s.rn = greatest(1, n.n_events - 1023)
         |  UNION ALL
         |  SELECT s.user_id, s.rn,
         |         (s.value + 3 * (r.l + r.b)) / 4,
@@ -157,13 +187,9 @@ object GroupY {
         |ORDER BY user_id""".stripMargin) { (spark, dir) =>
       val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"),
         lit(false).as("init"))
-      events(spark, dir)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"), col("value")).as("e"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("e"))).as("es"))
+      tailEvents(spark, dir)
         .select(big(col("user_id")).as("user_id"),
-          big(size(col("es"))).as("n_events"),
+          big(col("n_events")).as("n_events"),
           aggregate(col("es"), acc0, (acc, e) => {
             val l = acc.getField("l")
             val b = acc.getField("b")
@@ -267,8 +293,8 @@ object GroupY {
               struct(least(col("e_us"), (col("day") + 1) * lit(dayUs)).as("t"),
                 lit(-1L).as("delta")))).as("p"))
             .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
-            .withColumn("cell", (col("t") - col("day") * lit(dayUs))
-              .divide(lit(3600000000L)).cast("long"))
+            .withColumn("cell",
+              expr(s"(t - day * $dayUs) div 3600000000"))
         }
       // two-level scan: running sum inside each (day, hour) cell …
       val byCell = Window.partitionBy("day", "cell")
@@ -418,9 +444,12 @@ object GroupY {
         |       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
         |       CAST(1000000 * a // (a + b) AS BIGINT) AS rate0_ppm,
         |       CAST(1000000 * c // (c + d) AS BIGINT) AS rate1_ppm,
-        |       round(CAST(CAST(a + b + c + d AS HUGEINT) * sel * sel AS DOUBLE)
-        |             / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c)
-        |                    * (b + d) AS DOUBLE), 6) AS chi2
+        |       CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+        |            THEN NULL
+        |            ELSE round(
+        |              CAST(CAST(a + b + c + d AS HUGEINT) * sel * sel AS DOUBLE)
+        |              / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c)
+        |                     * (b + d) AS DOUBLE), 6) END AS chi2
         |FROM w ORDER BY a""".stripMargin) { (spark, dir) =>
       val cells = events(spark, dir)
         .groupBy("user_id")
@@ -443,11 +472,17 @@ object GroupY {
           big(col("c")).as("c"), big(col("d")).as("d"),
           big(expr("1000000 * a div (a + b)")).as("rate0_ppm"),
           big(expr("1000000 * c div (c + d)")).as("rate1_ppm"),
-          round((dec(col("a") + col("b") + col("c") + col("d"))
-            * col("sel") * col("sel")).cast(DoubleType)
-            / (dec(col("a") + col("b")) * dec(col("c") + col("d"))
-              * dec(col("a") + col("c")) * dec(col("b") + col("d")))
-              .cast(DoubleType), 6).as("chi2"))
+          // NULL when any marginal is zero (chi2 undefined): the q_log_rank
+          // stance, mirrored in the oracle's CASE — avoids relying on
+          // engine-specific 0/0 handling (DuckDB >= 1.1 defaults to NaN).
+          when(col("a") + col("b") === 0 || col("c") + col("d") === 0 ||
+            col("a") + col("c") === 0 || col("b") + col("d") === 0,
+            lit(null).cast(DoubleType))
+            .otherwise(round((dec(col("a") + col("b") + col("c") + col("d"))
+              * col("sel") * col("sel")).cast(DoubleType)
+              / (dec(col("a") + col("b")) * dec(col("c") + col("d"))
+                * dec(col("a") + col("c")) * dec(col("b") + col("d")))
+                .cast(DoubleType), 6)).as("chi2"))
         .orderBy("a")
     },
 

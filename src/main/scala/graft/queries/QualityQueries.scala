@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * deterministic stratified sample, and sliding event-time windows (the
   * batch twin of a sliding streaming aggregation).
   *
-  * Determinism rules (see .claude/skills/verify/SKILL.md): thresholds
+  * Determinism rules (the repo-wide oracle-twin discipline, also stated in
+  * SURVEY.md): thresholds
   * compare in INTEGER arithmetic wherever possible (`a*10 >= b*6` instead
   * of `a/b >= 0.6`), double aggregation goes through DECIMAL accumulators,
   * ratios round at scale 9 where no small-denominator tie exists, and every
