@@ -94,6 +94,17 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
     * appended in sorted order — a replication socket would push instead). */
   private val seen = mutable.LinkedHashSet[String]()
 
+  /** Retirement state from the directory's `_retired.txt` marker
+    * ([[graft.stream.SegmentRetention]]): `retired` segments — a strict
+    * NAME-ORDER PREFIX of everything ever created — have been deleted
+    * after the merge store's live GC horizon passed them. The offset
+    * domain stays "count of segments ever created": a retired index plans
+    * NO partition (an empty replay — exact, because every retired change
+    * is at or below the refusal horizon), and live files take virtual
+    * index `retired + position`. */
+  private var retired: Long = 0L
+  private var highestRetired: String = ""
+
   /** Session Hadoop conf captured as serializable entries — executors'
     * readers rebuild it so fs.* settings (credentials, endpoints) reach
     * object-store paths; a bare `new Configuration()` would drop them. */
@@ -117,9 +128,26 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
           s.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
         .sorted
-      files.foreach(seen += _)
+      // Marker read AFTER the listing: a file deleted before we listed was
+      // covered by a marker written before the deletion, so reading the
+      // marker second can only see a count ≥ the listing's gap — never a
+      // listing missing files the marker hasn't counted yet.
+      val (r, h) = graft.stream.SegmentRetention.readMarker(fs, dir)
+      if (r > retired) { retired = r; highestRetired = h }
+      if (highestRetired.nonEmpty) {
+        // drop retired names from both the fresh listing and the in-memory
+        // prefix — the marker now accounts for them in the offset domain
+        seen.filterInPlace(f => nameOf(f) > highestRetired)
+        files.foreach(f => if (nameOf(f) > highestRetired) seen += f)
+      } else files.foreach(seen += _)
     }
   }
+
+  private def nameOf(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Offset-domain size: segments ever created = retired prefix + live. */
+  private def total: Long = retired + seen.size
 
   override def initialOffset(): Offset = SegmentOffset(0)
 
@@ -144,14 +172,14 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
     // negative for any start > 0 — the min would collapse to `start` and the
     // stream would silently stop advancing past the restored offset.
     SegmentOffset(
-      math.max(math.min(seen.size.toLong, start.toLong + cap), start.toLong).toInt)
+      math.max(math.min(total, start.toLong + cap), start.toLong).toInt)
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
 
-  override def reportLatestOffset(): Offset = SegmentOffset(seen.size)
+  override def reportLatestOffset(): Offset = SegmentOffset(total.toInt)
 
   override def deserializeOffset(json: String): Offset =
     SegmentOffset(json.trim.toInt)
@@ -159,9 +187,15 @@ final class PgOutputReplayStream(dir: String, startLsn: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[SegmentOffset].segments
     val until = end.asInstanceOf[SegmentOffset].segments
-    if (until > seen.size) refresh()
-    seen.slice(from, until).toArray
-      .map(f => EnvelopeSegment(f, startLsn, wireFormat): InputPartition)
+    if (until > total) refresh()
+    // indices below `retired` plan nothing: those segments were deleted
+    // below the merge store's refusal horizon, so their replay is an
+    // empty batch by construction (a restored checkpoint replaying a
+    // retired range converges without the files)
+    val f = math.max(from - retired, 0L).toInt
+    val u = math.max(until - retired, 0L).toInt
+    seen.slice(f, u).toArray
+      .map(p => EnvelopeSegment(p, startLsn, wireFormat): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

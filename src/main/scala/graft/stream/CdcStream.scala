@@ -44,12 +44,14 @@ object CdcStream {
     * segment-count offsets, `start_lsn` resume, size-capped triggers. */
   def readEnvelopesV2(spark: SparkSession, sourceDir: String,
                       startLsn: Long = 0L,
-                      maxFilesPerTrigger: Int = 16): DataFrame =
+                      maxFilesPerTrigger: Int = 16,
+                      wireFormat: String = "json"): DataFrame =
     spark.readStream
       .format("graft-pgoutput")
       .option("path", sourceDir)
       .option("start_lsn", startLsn)
       .option("max_files_per_trigger", maxFilesPerTrigger)
+      .option("wire_format", wireFormat)
       .load()
 
   /** Run the CDC → vector-store pipeline against a parquet vector store.

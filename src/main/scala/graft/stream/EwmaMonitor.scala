@@ -32,6 +32,12 @@ final case class EwmaPoint(user_id: Long, n_events: Long, ewma: Double)
   * Callers needing batch equivalence under disorder buffer at the
   * source (the same stance SessionMaterializer documents for split late
   * runs).
+  *
+  * Batch-twin caveat: `q_ewma` folds each key's last-1024-event TAIL (its
+  * bounded-memory contract) while this O(1) streaming state never
+  * truncates; the two are bit-equal whenever per-key history is ≤ 1024
+  * events and differ by less than one ulp beyond that (a point 1024 steps
+  * old carries weight (3/4)^1024 ≈ 1e-128).
   */
 object EwmaMonitor {
 

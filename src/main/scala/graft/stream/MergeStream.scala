@@ -393,6 +393,17 @@ final class ParquetTableStore(path: String,
       .drop("rn")
   }
 
+  /** Max LSN over every change ever OFFERED to [[merge]] by this store
+    * instance — before the table filter and the refusal filter, so it
+    * tracks offerings, not acceptances. In-memory by design: a restart
+    * resets it to −1 and the checkpointed stream's replay rebuilds it,
+    * which can only DELAY a gated promotion (safe direction), never allow
+    * one early. Read by [[MergeStream.run]]'s promotion gate. */
+  @volatile private var offeredMax: Long = -1L
+
+  /** The offered watermark (−1 before any merge in this process). */
+  def offeredLsn: Long = offeredMax
+
   /** Apply one micro-batch. Re-delivery-safe and order-safe: a stored row
     * is replaced only by a change with a strictly higher LSN, and changes
     * at or below the GC horizon are refused outright. */
@@ -404,6 +415,11 @@ final class ParquetTableStore(path: String,
       .withColumn("bucket", bucketCol(m.buckets))
       .persist()
     try {
+      // offered watermark BEFORE any filtering: one tiny agg over the raw
+      // envelopes (lsn column only — column pruning keeps the scan narrow)
+      val rawMax = changes.agg(max(col("lsn").cast("long"))).head()
+      if (!rawMax.isNullAt(0))
+        offeredMax = math.max(offeredMax, rawMax.getLong(0))
       // empty triggers (timer fired, no data) must not commit a manifest
       if (batch.isEmpty) return
       val seq = m.seq + 1
@@ -521,7 +537,8 @@ final class ParquetTableStore(path: String,
     * `maxFilesPerTrigger` throttling the file source, size
     * `gcEveryBatches` ≥ the worst-case batches-per-drain so a full
     * directory listing still lands between capture and promotion.) */
-  def gcTwoPhase(spark: SparkSession, horizon: Long, epoch: Long): Unit = {
+  def gcTwoPhase(spark: SparkSession, horizon: Long, epoch: Long,
+                 promotionSafe: Boolean = true): Unit = {
     val m = loadManifest(spark).getOrElse(emptyManifest)
     // an epoch BELOW the recorded one means the stream restarted with a
     // fresh checkpoint (batch ids rebased to 0): the old epoch domain is
@@ -530,7 +547,15 @@ final class ParquetTableStore(path: String,
     // ids catch up to the old domain. A crash REPLAY has epoch EQUAL to
     // the recorded one and still cannot promote.
     val basePe = if (m.pendingEpoch > epoch) epoch else m.pendingEpoch
-    val canPromote = basePe >= 0 && epoch > basePe
+    // promotionSafe is the caller's THROTTLE-INVARIANT check (see
+    // [[MergeStream.run]]): under maxFilesPerTrigger a gc cycle of
+    // micro-batches is NOT guaranteed to drain the source directory, so
+    // the epoch argument alone does not cover a backlog longer than one
+    // cycle — the caller verifies the candidate's segments were actually
+    // offered (offeredLsn ≥ the listing's required offer) and withholds
+    // promotion otherwise. Capture still proceeds: a withheld candidate
+    // promotes at the first later-epoch call whose check passes.
+    val canPromote = promotionSafe && basePe >= 0 && epoch > basePe
     val h =
       if (canPromote) math.max(m.gc, math.min(m.pending, m.applied)) else m.gc
     val p = math.max(m.pending, horizon)
@@ -644,17 +669,55 @@ object MergeStream {
     * first delivery is never refused as a replay, even out of LSN order.
     * The gc step itself is an O(manifest) commit — no data rewrite
     * happens on this timer. */
+  /** `wireFormat` selects the source: "json" (default) reads envelope
+    * lines through Spark's file source; "pgoutput" reads binary WAL
+    * segments through the `graft-pgoutput` replay source (the live
+    * topology's tap output). `retireSegments` (pgoutput only) closes the
+    * unbounded-growth path: on every gc tick, after the two-phase horizon
+    * work, segment files wholly at or below the LIVE horizon are deleted
+    * ([[SegmentRetention]]); the replay source's marker-aware offsets keep
+    * checkpointed restarts exact across the deletions.
+    *
+    * Throttle invariant, ENFORCED: with `maxFilesPerTrigger` bounding each
+    * micro-batch, a gc cycle does not necessarily drain the source
+    * directory, so before promoting a candidate the runner checks — one
+    * O(listing) pass with cached per-file LSN ranges — that every segment
+    * holding content at or below the candidate has been OFFERED to the
+    * merge (`store.offeredLsn ≥ index.requiredOfferFor(candidate)`).
+    * A backlog longer than one gc cycle now simply DEFERS promotion until
+    * the stream catches up, instead of silently re-opening the refusal
+    * race. */
   def run(spark: SparkSession, sourceDir: String, storeDir: String,
           checkpointDir: String, flushIntervalMs: Long = 500,
           table: String = "public.documents",
           attrCols: Seq[String] =
             Seq("title", "content", "created_at", "author"),
           gcHorizon: Option[() => Long] = None,
-          gcEveryBatches: Int = 64): StreamingQuery = {
+          gcEveryBatches: Int = 64,
+          wireFormat: String = "json",
+          retireSegments: Boolean = false,
+          maxFilesPerTrigger: Int = 16): StreamingQuery = {
     require(gcEveryBatches > 0)
+    require(wireFormat == "json" || wireFormat == "pgoutput",
+      s"unknown wireFormat '$wireFormat'")
+    require(!retireSegments || wireFormat == "pgoutput",
+      "segment retention requires the graft-pgoutput source — Spark's " +
+        "generic file source fails on files deleted under it")
     val store = new ParquetTableStore(storeDir, table, attrCols)
+    val index = new SegmentLsnIndex(sourceDir,
+      spark.sparkContext.hadoopConfiguration, wireFormat)
+    val retention =
+      if (retireSegments)
+        Some(new SegmentRetention(sourceDir,
+          spark.sparkContext.hadoopConfiguration, index))
+      else None
     var sinceGc = 0
-    CdcStream.readEnvelopes(spark, sourceDir).writeStream
+    val source =
+      if (wireFormat == "pgoutput")
+        CdcStream.readEnvelopesV2(spark, sourceDir,
+          maxFilesPerTrigger = maxFilesPerTrigger, wireFormat = "pgoutput")
+      else CdcStream.readEnvelopes(spark, sourceDir, maxFilesPerTrigger)
+    source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(flushIntervalMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -663,10 +726,19 @@ object MergeStream {
           sinceGc += 1
           if (sinceGc >= gcEveryBatches) {
             sinceGc = 0
+            // the throttle-invariant check: promotion only once every
+            // segment with content at or below the candidate was offered
+            val candidate = store.pendingGcHorizon(spark)
+            val safe = candidate < 0 ||
+              index.requiredOfferFor(candidate) <= store.offeredLsn
             // batchId is the promotion epoch: monotone and stable across
             // crash replays, so a replayed batch cannot promote the
             // candidate it captured itself
-            store.gcTwoPhase(spark, h(), batchId)
+            store.gcTwoPhase(spark, h(), batchId, promotionSafe = safe)
+            retention.foreach { r =>
+              val live = store.gcHorizon(spark)
+              if (live >= 0) r.retire(live)
+            }
           }
         }
       }

@@ -616,4 +616,154 @@ class MergeStreamSpec extends SparkSpec {
     assert(store.currentBuckets(spark) > 2, "auto-split never fired")
     assert(store.current(spark).count() == 8)
   }
+
+  // ---- round-10: throttle-invariant promotion gate + segment retention --
+
+  /** One self-contained binary segment (Relation + one committed change)
+    * in the tap's naming scheme; returns the change's commit LSN. */
+  private def writeSegment(dir: java.nio.file.Path, idx: Int, lsn: Long,
+                           op: String, pk: String, content: String): Unit = {
+    import graft.sources.PgOutputWire
+    val rel = PgOutputWire.relation(1, "public", "documents",
+      Seq("id", "content"))
+    val data = op match {
+      case "c" => PgOutputWire.insert(1,
+        PgOutputWire.tupleData(Seq(Some(pk), Some(content))))
+      case "d" => PgOutputWire.delete(1,
+        Some(PgOutputWire.tupleData(Seq(Some(pk), None))))
+    }
+    val frames = Seq(
+      (lsn, PgOutputWire.begin(lsn, idx)),
+      (lsn, rel),
+      (lsn, data),
+      (lsn, PgOutputWire.commit(lsn)))
+    val bytes = PgOutputWire.frame(frames)
+    val tmpF = dir.resolve(f".segment-$idx%08d.bin.tmp")
+    java.nio.file.Files.write(tmpF, bytes)
+    java.nio.file.Files.move(tmpF, dir.resolve(f"segment-$idx%08d.bin"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  test("throttle invariant: a backlog longer than one gc cycle defers " +
+    "promotion — a late-merging old segment's FIRST delivery is never " +
+    "refused") {
+    import graft.stream.SegmentLsnIndex
+    val segDir = java.nio.file.Files.createTempDirectory("graft-gate-segs")
+    // three single-change segments, LSN-ordered like the tap writes them;
+    // the provider has durably written ALL THREE and acked through 30
+    writeSegment(segDir, 0, 10, "c", "a", "va")
+    writeSegment(segDir, 1, 20, "c", "b", "vb")
+    writeSegment(segDir, 2, 30, "c", "c", "vc")
+    val index = new SegmentLsnIndex(segDir.toString,
+      spark.sparkContext.hadoopConfiguration, "pgoutput")
+    val store = new ParquetTableStore(tmp() + "/table")
+    def gateSafe(candidate: Long): Boolean =
+      candidate < 0 || index.requiredOfferFor(candidate) <= store.offeredLsn
+
+    // throttled stream has only consumed segment 0 when the gc timer fires
+    store.merge(change("c", "a", 10, "va"))
+    store.gcTwoPhase(spark, 30, epoch = 0, promotionSafe = gateSafe(
+      store.pendingGcHorizon(spark))) // capture cycle (no prior candidate)
+    assert(store.pendingGcHorizon(spark) == 30)
+    // next cycle: a LATER epoch — the pre-gate design would promote here
+    // (applied=10 < 30 clamps, but after more merges the clamp lifts);
+    // the gate sees segments 1..2 (content ≤ 30) unoffered and withholds
+    assert(!gateSafe(store.pendingGcHorizon(spark)),
+      "gate passed with two covered segments still unmerged")
+    store.gcTwoPhase(spark, 30, epoch = 1,
+      promotionSafe = gateSafe(store.pendingGcHorizon(spark)))
+    assert(store.gcHorizon(spark) == -1L,
+      "promotion outran the throttled backlog — the refusal race is open")
+    // the backlog drains: segment 1's content (lsn 20 ≤ candidate) must
+    // land as a FIRST delivery, not a refused replay
+    store.merge(change("c", "b", 20, "vb"))
+    store.merge(change("c", "c", 30, "vc"))
+    assert(gateSafe(store.pendingGcHorizon(spark)),
+      "gate still blocked after the backlog fully merged")
+    store.gcTwoPhase(spark, 30, epoch = 2,
+      promotionSafe = gateSafe(store.pendingGcHorizon(spark)))
+    assert(store.gcHorizon(spark) == 30, "promotion never happened")
+    assert(store.current(spark).select("pk", "content")
+      .as[(String, String)].collect().toSet ==
+      Set(("a", "va"), ("b", "vb"), ("c", "vc")),
+      "a throttled first delivery was refused — permanent row loss")
+    // post-promotion, pre-horizon replays ARE refused
+    store.merge(change("u", "b", 20, "replay"))
+    assert(store.current(spark).filter(col("pk") === "b")
+      .select("content").as[String].head() == "vb")
+  }
+
+  test("segment retention: files below the promoted horizon disappear on " +
+    "the gc timer, and a checkpointed restart over the retired prefix " +
+    "still converges") {
+    val segDir = java.nio.file.Files.createTempDirectory("graft-ret-segs")
+    val storeDir = tmp() + "/state"; val ckpt = tmp() + "/ckpt"
+    (0 until 8).foreach(i =>
+      writeSegment(segDir, i, 10L * (i + 1), "c", s"pk$i", s"v$i"))
+    // one segment per trigger, gc every batch: capture on the first tick,
+    // promote on a later one, retire below the promoted horizon
+    val q1 = MergeStream.run(spark, segDir.toString, storeDir, ckpt,
+      attrCols = Seq("content"),
+      gcHorizon = Some(() => 80L), gcEveryBatches = 1,
+      wireFormat = "pgoutput", retireSegments = true, maxFilesPerTrigger = 1)
+    q1.processAllAvailable(); q1.stop()
+    val store = new ParquetTableStore(storeDir, attrCols = Seq("content"))
+    assert(store.gcHorizon(spark) == 80L, "horizon never promoted")
+    val remaining = {
+      val l = java.nio.file.Files.list(segDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("segment-")).toSet
+      } finally l.close()
+    }
+    assert(remaining.isEmpty,
+      s"segments below the promoted horizon survived retention: $remaining")
+    assert(java.nio.file.Files.exists(
+      segDir.resolve(graft.stream.SegmentRetention.MarkerName)),
+      "retention marker missing")
+    assert(store.current(spark).count() == 8,
+      "retention lost rows")
+
+    // restart from checkpoint across the retired prefix, new traffic
+    // lands: two inserts (retirable under the new horizon 100) and one
+    // delete ABOVE it (must survive retention)
+    (8 until 10).foreach(i =>
+      writeSegment(segDir, i, 10L * (i + 1), "c", s"pk$i", s"v$i"))
+    writeSegment(segDir, 10, 110L, "d", "pk0", null)
+    val q2 = MergeStream.run(spark, segDir.toString, storeDir, ckpt,
+      attrCols = Seq("content"),
+      gcHorizon = Some(() => 100L), gcEveryBatches = 1,
+      wireFormat = "pgoutput", retireSegments = true, maxFilesPerTrigger = 1)
+    q2.processAllAvailable(); q2.stop()
+    assert(store.current(spark).select("pk", "content")
+      .as[(String, String)].collect().toSet ==
+      ((1 until 10).map(i => (s"pk$i", s"v$i")).toSet),
+      "restart over a retired prefix diverged")
+    assert(store.gcHorizon(spark) == 100L)
+    val remaining2 = {
+      val l = java.nio.file.Files.list(segDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("segment-")).toSet
+      } finally l.close()
+    }
+    assert(remaining2 == Set("segment-00000010.bin"),
+      s"retention under horizon 100 left: $remaining2")
+
+    // a FRESH checkpoint over the same retired directory also converges:
+    // the retired range replays EMPTY (its content is at or below the
+    // refusal horizon by construction), the live segment replays normally
+    val store2dir = tmp() + "/state2"
+    val q3 = MergeStream.run(spark, segDir.toString, store2dir,
+      tmp() + "/ckpt3", attrCols = Seq("content"),
+      wireFormat = "pgoutput", maxFilesPerTrigger = 1)
+    q3.processAllAvailable(); q3.stop()
+    val fresh = new ParquetTableStore(store2dir, attrCols = Seq("content"))
+    assert(fresh.current(spark).count() == 0)
+    assert(fresh.snapshot(spark).select("pk", "deleted")
+      .as[(String, Boolean)].collect().toSet == Set(("pk0", true)),
+      "fresh reader over a retired prefix did not replay the live tail")
+  }
 }
