@@ -58,8 +58,8 @@ object GroupY {
   /** Per-(type, day) mean value — the bounded series axis the trend
     * queries reduce the corpus to first. The mean is an exact DECIMAL sum
     * ÷ count (one IEEE divide), so both engines see identical doubles. */
-  private def dailyMeans(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): org.apache.spark.sql.DataFrame =
+  private[queries] def dailyMeans(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
     events(spark, dir)
       .groupBy(col("event_type").as("t"),
         expr("unix_micros(ts) div 86400000000").as("day"))
