@@ -182,7 +182,8 @@ object Main {
         val s = new QdrantSink(cfg.sinkUrl, cfg.sinkCollection)
         s.upsert(upserts); s.delete(deletes)
       case "milvus" =>
-        val s = new MilvusSink(cfg.sinkUrl, cfg.sinkCollection)
+        val s = new MilvusSink(cfg.sinkUrl, cfg.sinkCollection,
+          transport = cfg.sinkTransport)
         s.upsert(upserts); s.delete(deletes)
       case _ => () // parquet-only
     }

@@ -32,6 +32,7 @@ final case class GraftConfig(
     sinkType: String = "parquet",                // parquet | qdrant | milvus | kafka
     sinkUrl: String = "",
     sinkCollection: String = "vectors",
+    sinkTransport: String = "rest",              // milvus only: rest | grpc
     batchSize: Int = 64,
     flushIntervalMs: Long = 500L,
     httpAddr: String = ":8080",
@@ -104,6 +105,7 @@ object GraftConfig {
       sinkType = str(sink, "type", "parquet"),
       sinkUrl = str(sink, "url"),
       sinkCollection = str(sink, "collection", "vectors"),
+      sinkTransport = str(sink, "transport", "rest"),
       batchSize = num(pipe, "batch_size", 64L).toInt,
       flushIntervalMs = num(pipe, "flush_interval_ms", 500L),
       httpAddr = str(section("http"), "addr", ":8080"),

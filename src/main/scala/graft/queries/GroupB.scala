@@ -25,13 +25,19 @@ object GroupB {
         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         ship_date""".stripMargin) { (spark, dir) =>
+      // the fixture's (l_orderkey, l_linenumber) is NOT unique (real TPC-H's
+      // pk does not hold in the synthetic generator — the round-10 sf1
+      // scale run exposed the tie order as engine luck), so the ORDER BY
+      // totalizes over every projected column
       tbl(spark, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
           col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), dstr(col("l_shipdate")).as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("ship_date"))
     },
 
     // Dimension join chain with explicit broadcast of the small sides —

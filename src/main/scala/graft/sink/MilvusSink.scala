@@ -2,23 +2,43 @@ package graft.sink
 
 import org.apache.spark.sql.DataFrame
 
-/** Milvus sink over its RESTful v2 API (reference: internal/sink/milvus/
-  * milvus.go — which uses gRPC; the HTTP surface carries the same schema:
-  * `id VARCHAR primary key, vector FLOAT_VECTOR, payload JSON`,
-  * milvus.go:77-82). Two deliberate deviations recorded in SURVEY.md §7.6:
-  * true `upsert` instead of the reference's duplicate-row `Insert`
-  * (milvus.go:150), and no string-interpolated delete expressions — ids are
-  * sent as a JSON array, not spliced into a filter string (milvus.go:166 is
-  * injection-prone).
+/** Milvus sink (reference: internal/sink/milvus/milvus.go). Two wire
+  * transports behind one [[MilvusTransport]] seam:
+  *
+  *  - `"rest"` (default): the RESTful v2 API — same schema surface
+  *    (`id VARCHAR pk, vector FLOAT_VECTOR, payload JSON`,
+  *    milvus.go:77-82), JDK HttpClient, JSON bodies.
+  *  - `"grpc"`: the reference's own transport (milvus-sdk-go,
+  *    milvus.go:29-37) — hand-rolled h2c HTTP/2 + protobuf
+  *    ([[graft.sink.grpc.MilvusProto]]), the same protocol stance as the
+  *    from-scratch PostgreSQL replication client. `baseUrl` is then
+  *    `host:port` (a `grpc://` prefix is tolerated).
+  *
+  * Two deliberate deviations recorded in SURVEY.md §7.6 apply to BOTH
+  * transports: true `upsert` instead of the reference's duplicate-row
+  * `Insert` (milvus.go:150), and no string-interpolated delete ids
+  * without escaping (milvus.go:166 is injection-prone).
   */
 final class MilvusSink(baseUrl: String, collection: String,
                        requestBatchSize: Int = 128,
-                       metric: String = "IP") extends Serializable {
+                       metric: String = "IP",
+                       transport: String = "rest") extends Serializable {
+
+  require(transport == "rest" || transport == "grpc",
+    s"unknown milvus transport '$transport'")
 
   // one client per sink instance (per partition in the distributed paths):
   // a JDK HttpClient owns a selector thread + connection pool, so a fresh
   // client per request churns threads/FDs and defeats connection reuse
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  @transient private lazy val wire: MilvusTransport =
+    if (transport == "grpc") {
+      val hp = baseUrl.stripPrefix("grpc://").stripSuffix("/")
+      val i = hp.lastIndexOf(':')
+      require(i > 0, s"milvus grpc transport needs host:port, got '$baseUrl'")
+      new MilvusGrpcTransport(hp.substring(0, i), hp.substring(i + 1).toInt)
+    } else new RestTransport
 
   private def post(path: String, body: String): String = {
     val req = java.net.http.HttpRequest.newBuilder()
@@ -39,6 +59,32 @@ final class MilvusSink(baseUrl: String, collection: String,
     resp.body()
   }
 
+  /** REST v2 as a [[MilvusTransport]] — paths and bodies unchanged from
+    * the pre-seam sink (ConfigSpec pins them). */
+  private final class RestTransport extends MilvusTransport {
+    override def hasCollection(c: String): Boolean = MilvusSink.parseHas(
+      post("/v2/vectordb/collections/has", MilvusSink.collectionBody(c)))
+    override def createCollection(c: String, dim: Int): Unit = {
+      post("/v2/vectordb/collections/create",
+        MilvusSink.createCollectionBody(c, dim)); ()
+    }
+    override def createIndex(c: String, m: String): Unit = {
+      post("/v2/vectordb/indexes/create", MilvusSink.createIndexBody(c, m)); ()
+    }
+    override def describeDim(c: String): Int = MilvusSink.parseDim(
+      post("/v2/vectordb/collections/describe", MilvusSink.collectionBody(c)))
+    override def loadCollection(c: String): Unit = {
+      post("/v2/vectordb/collections/load", MilvusSink.collectionBody(c)); ()
+    }
+    override def upsert(c: String,
+                        points: Seq[(String, Seq[Float], Map[String, String])]): Unit = {
+      post("/v2/vectordb/entities/upsert", MilvusSink.upsertBody(c, points)); ()
+    }
+    override def delete(c: String, ids: Seq[String]): Unit = {
+      post("/v2/vectordb/entities/delete", MilvusSink.deleteBody(c, ids)); ()
+    }
+  }
+
   /** Dimension of the ensured collection; 0 = not yet checked (driver-side
     * cache, reference: milvus.go:53-57). */
   @volatile private var knownDim: Int = 0
@@ -50,35 +96,31 @@ final class MilvusSink(baseUrl: String, collection: String,
     * IP — milvus.go:93), then load; if present, verify its vector dimension
     * (a mismatch is a hard `drop or recreate` error, the same contract as
     * the Qdrant sink — the reference loads blindly and fails per insert)
-    * and load. */
+    * and load. Identical sequence over either transport
+    * (ConfigSpec/MilvusGrpcSpec pin both). */
   def ensureCollection(dim: Int): Unit = {
     if (knownDim > 0 && knownDim == dim) return
-    val has = MilvusSink.parseHas(
-      post("/v2/vectordb/collections/has", MilvusSink.collectionBody(collection)))
-    if (!has) {
+    if (!wire.hasCollection(collection)) {
       // two executors can race has→create; the loser's error is the
       // success condition (the QdrantSink conflict-tolerance contract)
       // narrowed to "already exist": the bare substring "exist" would
       // also swallow genuine failures like "database not exist"
-      def tolerateExists(f: => String): Unit =
-        try { f; () } catch {
+      def tolerateExists(f: => Unit): Unit =
+        try f catch {
           case e: java.io.IOException
             if e.getMessage != null &&
               e.getMessage.toLowerCase.contains("already exist") => ()
         }
-      tolerateExists(post("/v2/vectordb/collections/create",
-        MilvusSink.createCollectionBody(collection, dim)))
-      tolerateExists(post("/v2/vectordb/indexes/create",
-        MilvusSink.createIndexBody(collection, metric)))
+      tolerateExists(wire.createCollection(collection, dim))
+      tolerateExists(wire.createIndex(collection, metric))
     } else {
-      val existing = MilvusSink.parseDim(
-        post("/v2/vectordb/collections/describe", MilvusSink.collectionBody(collection)))
+      val existing = wire.describeDim(collection)
       if (existing > 0 && dim > 0 && existing != dim)
         throw new IllegalStateException(
           s"collection exists with dim=$existing but payload has dim=$dim; " +
             "drop or recreate the collection")
     }
-    post("/v2/vectordb/collections/load", MilvusSink.collectionBody(collection))
+    wire.loadCollection(collection)
     knownDim = dim
   }
 
@@ -94,31 +136,35 @@ final class MilvusSink(baseUrl: String, collection: String,
           org.apache.spark.sql.functions.col("vector")).as("d"))
         .limit(1).collect()
         .headOption.foreach(r => ensureCollection(r.getInt(0)))
-    val (url, coll, bs) = (baseUrl, collection, requestBatchSize)
+    val (url, coll, bs, m, tr) = (baseUrl, collection, requestBatchSize,
+      metric, transport)
     // skip null vectors the way the probe does — building an upsert body
     // from one would NPE the whole task (upstream pipelines pre-filter,
     // but the sink is public API)
     points.filter(org.apache.spark.sql.functions.col("vector").isNotNull)
       .select("id", "vector", "metadata").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val sink = new MilvusSink(url, coll, bs)
-        rows.grouped(bs).foreach { group =>
-          sink.post("/v2/vectordb/entities/upsert",
-            MilvusSink.upsertBody(coll, group.map { r =>
+        if (rows.hasNext) { // an empty partition must not dial a connection
+          val sink = new MilvusSink(url, coll, bs, m, tr)
+          try rows.grouped(bs).foreach { group =>
+            sink.wire.upsert(coll, group.map { r =>
               (r.getString(0), r.getSeq[Float](1), r.getMap[String, String](2).toMap)
-            }))
+            })
+          } finally sink.wire.close()
         }
     }
   }
 
   def delete(ids: DataFrame): Unit = {
-    val (url, coll, bs) = (baseUrl, collection, requestBatchSize)
+    val (url, coll, bs, m, tr) = (baseUrl, collection, requestBatchSize,
+      metric, transport)
     ids.select("id").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val sink = new MilvusSink(url, coll, bs)
-        rows.grouped(512).foreach { group =>
-          sink.post("/v2/vectordb/entities/delete",
-            MilvusSink.deleteBody(coll, group.map(_.getString(0))))
+        if (rows.hasNext) {
+          val sink = new MilvusSink(url, coll, bs, m, tr)
+          try rows.grouped(512).foreach { group =>
+            sink.wire.delete(coll, group.map(_.getString(0)))
+          } finally sink.wire.close()
         }
     }
   }
