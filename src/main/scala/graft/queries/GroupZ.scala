@@ -311,6 +311,164 @@ object GroupZ {
         .orderBy("a_id", "b_id")
     },
 
+    // Holt–Winters additive seasonal smoothing (period 7 — the weekly
+    // cycle q_dow_profile observes) per event type over daily means:
+    //   l′ = ((x − s_old) + 3(l + b))/4        (α = 1/4)
+    //   b′ = (l′ − l)/2 + b/2                  (β = 1/2)
+    //   s′ = (x − l′)/2 + s_old/2              (γ = 1/2)
+    // initialized l₁ = x₁, b₁ = 0, s = 0⁷ (seasonal indices learned in
+    // place) — the forecaster that beats q_holt exactly when
+    // q_seasonal_strength says the weekly cycle carries signal. All
+    // three smoothing constants dyadic, every step a fixed IEEE op
+    // sequence; the DuckDB oracle carries the 7-slot seasonal state as a
+    // LIST column through the same recursive fold, so doubles hash-match
+    // with no tolerance. Calendar-bounded fold after one hash agg, the
+    // q_cusum shape.
+    Q("q_holt_winters",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT t, day, m,
+        |             row_number() OVER (PARTITION BY t ORDER BY day) AS rn
+        |      FROM d),
+        |n AS (SELECT t, max(rn) AS n_days FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT t, rn, m AS l, CAST(0 AS DOUBLE) AS b,
+        |         [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0] AS sv
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.t, s.rn,
+        |         ((s.m - r.sv[(r.rn % 7) + 1]) + 3 * (r.l + r.b)) / 4,
+        |         ((((s.m - r.sv[(r.rn % 7) + 1]) + 3 * (r.l + r.b)) / 4)
+        |           - r.l) / 2 + r.b / 2,
+        |         list_transform(range(1, 8), i ->
+        |           CASE WHEN i = (r.rn % 7) + 1
+        |                THEN (s.m - (((s.m - r.sv[(r.rn % 7) + 1])
+        |                              + 3 * (r.l + r.b)) / 4)) / 2
+        |                     + r.sv[(r.rn % 7) + 1] / 2
+        |                ELSE r.sv[i] END)
+        |  FROM r JOIN s ON s.t = r.t AND s.rn = r.rn + 1)
+        |SELECT r.t AS event_type, CAST(n.n_days AS BIGINT) AS n_days,
+        |       round(r.l, 6) AS level, round(r.b, 6) AS trend,
+        |       round((r.l + r.b) + r.sv[(r.rn % 7) + 1], 6) AS forecast_1,
+        |       round(list_max(r.sv) - list_min(r.sv), 6)
+        |         AS seasonal_amplitude
+        |FROM r JOIN n USING (t) WHERE r.rn = n.n_days
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        array_repeat(lit(0.0), 7).as("sv"), lit(0L).as("n"))
+      GroupY.dailyMeans(spark, dir)
+        .groupBy("t")
+        .agg(sort_array(collect_list(struct(col("day"), col("m")))).as("ds"))
+        .select(col("t").as("event_type"),
+          big(size(col("ds"))).as("n_days"),
+          aggregate(col("ds"), acc0, (a, e) => {
+            val x = e.getField("m")
+            val slot = (a.getField("n") % 7).cast("int")
+            val sOld = element_at(a.getField("sv"), slot + 1)
+            val lp = ((x - sOld) +
+              lit(3.0) * (a.getField("l") + a.getField("b"))) / lit(4.0)
+            val bp = (lp - a.getField("l")) / lit(2.0) + a.getField("b") / lit(2.0)
+            val sp = (x - lp) / lit(2.0) + sOld / lit(2.0)
+            val first = a.getField("n") === 0L
+            struct(
+              when(first, x).otherwise(lp).as("l"),
+              when(first, lit(0.0)).otherwise(bp).as("b"),
+              when(first, a.getField("sv")).otherwise(
+                transform(sequence(lit(1), lit(7)), i =>
+                  when(i === slot + 1, sp)
+                    .otherwise(element_at(a.getField("sv"), i)))).as("sv"),
+              (a.getField("n") + 1L).as("n"))
+          }).as("st"),
+          // the NEXT day's slot after folding n_days elements is
+          // (n_days − 1) % 7 + 1 in 1-indexed terms — the oracle's
+          // r.rn % 7 + 1 at rn = n_days... both reduce to the same slot
+          size(col("ds")).as("nd"))
+        .select(col("event_type"), col("n_days"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round((col("st.l") + col("st.b")) +
+            element_at(col("st.sv"),
+              (((col("nd") % 7) + lit(1))).cast("int")), 6).as("forecast_1"),
+          round(array_max(col("st.sv")) - array_min(col("st.sv")), 6)
+            .as("seasonal_amplitude"))
+        .orderBy("event_type")
+    },
+
+    // Weekly-seasonality strength per event type: the share of daily-mean
+    // variance explained by the day-of-week factor — between-group sum of
+    // squares over total sum of squares, in ppm. THE pre-test for
+    // q_holt_winters vs q_holt: strength near 0 says the seasonal state
+    // is noise, near 1 says the weekly cycle dominates. Determinism: the
+    // grand and per-dow means are exact DECIMAL sums ÷ counts; every
+    // squared deviation routes through DECIMAL(25,6)·DECIMAL(25,6) exact
+    // products summed exactly, with ONE double divide at the end.
+    // Everything after the daily reduction runs on ≤7+366 bounded rows.
+    Q("q_seasonal_strength",
+      """WITH d AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT t, count(*) AS n,
+        |             CAST(sum(CAST(m AS DECIMAL(25,6))) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE) AS gm
+        |      FROM d GROUP BY 1),
+        |dw AS (
+        |  SELECT d.t, d.day % 7 AS dow, count(*) AS nd,
+        |         CAST(sum(CAST(d.m AS DECIMAL(25,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS dm
+        |  FROM d GROUP BY 1, 2),
+        |bss AS (
+        |  SELECT dw.t,
+        |         sum(CAST(nd AS DECIMAL(4,0))
+        |             * CAST(dm - g.gm AS DECIMAL(15,6))
+        |             * CAST(dm - g.gm AS DECIMAL(15,6))) AS b
+        |  FROM dw JOIN g USING (t) GROUP BY 1),
+        |tss AS (
+        |  SELECT d.t,
+        |         sum(CAST(d.m - g.gm AS DECIMAL(15,6))
+        |             * CAST(d.m - g.gm AS DECIMAL(15,6))) AS tot
+        |  FROM d JOIN g USING (t) GROUP BY 1)
+        |SELECT g.t AS event_type, CAST(g.n AS BIGINT) AS n_days,
+        |       CAST(CASE WHEN CAST(tss.tot AS DOUBLE) = 0 THEN 0
+        |            ELSE floor(1000000 * CAST(bss.b AS DOUBLE)
+        |                       / CAST(tss.tot AS DOUBLE)) END AS BIGINT)
+        |         AS strength_ppm
+        |FROM g JOIN bss USING (t) JOIN tss USING (t)
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val d = GroupY.dailyMeans(spark, dir)
+      val g = d.groupBy("t").agg(count(lit(1)).as("n"),
+        (sum(col("m").cast(DecimalType(25, 6))).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("gm"))
+      val dw = d.groupBy(col("t"), (col("day") % 7).as("dow"))
+        .agg(count(lit(1)).as("nd"),
+          (sum(col("m").cast(DecimalType(25, 6))).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType)).as("dm"))
+      // decimal widths sized so the 3-factor product stays inside 38
+      // digits on BOTH engines (DuckDB p1+p2, Spark p1+p2+1): (4,0)·
+      // (15,6)·(15,6) — nd ≤ 366 days, deviations are value-scaled
+      val bss = dw.join(g, Seq("t"))
+        .groupBy("t")
+        .agg(sum(col("nd").cast(DecimalType(4, 0))
+          * (col("dm") - col("gm")).cast(DecimalType(15, 6))
+          * (col("dm") - col("gm")).cast(DecimalType(15, 6))).as("b"))
+      val tss = d.join(g, Seq("t"))
+        .groupBy("t")
+        .agg(sum((col("m") - col("gm")).cast(DecimalType(15, 6))
+          * (col("m") - col("gm")).cast(DecimalType(15, 6))).as("tot"))
+      g.join(bss, Seq("t")).join(tss, Seq("t"))
+        // floor, not a bare BIGINT cast: DuckDB rounds double→int casts
+        // where Spark truncates — floor is identical on both
+        .select(col("t").as("event_type"), big(col("n")).as("n_days"),
+          big(when(col("tot").cast(DoubleType) === 0.0, lit(0L))
+            .otherwise(floor(lit(1000000.0) * col("b").cast(DoubleType)
+              / col("tot").cast(DoubleType)))).as("strength_ppm"))
+        .orderBy("event_type")
+    },
+
     // Nucleus (top-p) vocabulary size per language: the smallest number
     // of terms covering ≥90% of token mass — the tokenizer-sizing answer
     // q_vocab_coverage only brackets. NO vocabulary-sized rank window:

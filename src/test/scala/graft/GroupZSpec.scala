@@ -87,6 +87,53 @@ class GroupZSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q_holt_winters equals the brute additive-seasonal fold with " +
+    "7-slot state in day order") {
+    val expect = dailyMeans.groupBy(_._1._1).map { case (t, ms) =>
+      val sorted = ms.toSeq.map { case ((_, d), m) => (d, m) }.sortBy(_._1)
+      var l = sorted.head._2; var b = 0.0
+      val sv = Array.fill(7)(0.0)
+      sorted.zipWithIndex.drop(1).foreach { case ((_, x), i) =>
+        val slot = i % 7
+        val sOld = sv(slot)
+        val lp = ((x - sOld) + 3.0 * (l + b)) / 4.0
+        val bp = (lp - l) / 2.0 + b / 2.0
+        sv(slot) = (x - lp) / 2.0 + sOld / 2.0
+        l = lp; b = bp
+      }
+      val f1 = (l + b) + sv(sorted.size % 7)
+      (t, sorted.size.toLong, round6(l), round6(b), round6(f1),
+        round6(sv.max - sv.min))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_holt_winters")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("q_seasonal_strength equals brute between-over-total sum of " +
+    "squares on the dow factor") {
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = dailyMeans.groupBy(_._1._1).map { case (t, ms) =>
+      val series = ms.toSeq.map { case ((_, d), m) => (d, m) }
+      val gm = series.map(x => dec6(x._2)).sum.toDouble / series.size.toDouble
+      val byDow = series.groupBy(_._1 % 7)
+      val bss = byDow.values.map { xs =>
+        val dm = xs.map(x => dec6(x._2)).sum.toDouble / xs.size.toDouble
+        BigDecimal(xs.size) * dec6(dm - gm) * dec6(dm - gm)
+      }.sum
+      val tss = series.map(x => dec6(x._2 - gm) * dec6(x._2 - gm)).sum
+      val ppm =
+        if (tss.toDouble == 0.0) 0L
+        else math.floor(1000000.0 * bss.toDouble / tss.toDouble).toLong
+      (t, series.size.toLong, ppm)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_seasonal_strength")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("q_spearman_corr equals brute row_number ranks tie-broken by day") {
     val counts: Map[(String, Long), Long] =
       graft.queries.Q.events(spark, sfDir)
