@@ -77,30 +77,55 @@ object GroupJ {
         |       CAST(max(err) AS BIGINT) AS max_err_ppm
         |FROM e GROUP BY agree
         |ORDER BY agree""".stripMargin) { (spark, dir) =>
+      // CLONE COMPACTION at the token-set level (round-10, after the sf1
+      // scale run) STACKED under the original signature-group compaction:
+      // every statistic here is a weighted aggregate over pairs, and all
+      // member pairs of two clone groups share one (agree, err), so the
+      // plan works on DISTINCT token sets with multiplicities — rep-level
+      // pairs weighted m_a·m_b plus C(m,2) zero-error same-set pairs —
+      // and never expands clone cliques (sf1 replica fixture: 84.5 s →
+      // ~3.5 s, scale-flat, BIT-IDENTICAL output; the oracle keeps its
+      // all-pairs form). The signature-group layer on top keeps the band
+      // join over DISTINCT signatures (the fixture's tiny vocabulary
+      // makes many distinct sets share all 16 mins — banding reps
+      // directly re-inflates the buckets that layer exists to collapse).
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("t"))
         .filter(size(col("t")) > 0)
-      val sigs = docs
-        .withColumn("sig", DedupOps.minhashSignatureFnv(col("t"), 16))
-      // identical-signature compaction: banding runs over DISTINCT
-      // signatures; clone cliques contribute intra pairs (agree = 16) by
-      // member expansion, never through the join
-      // SessionCache, not localCheckpoint: corpus-sized and consumed by
-      // intra pairs AND the band join — persisted WITH lineage so a lost
-      // executor recomputes instead of killing the query
+      // one row per distinct token set: multiplicity + min doc id as the
+      // stable rep key (groupBy on the array column — exact equality);
+      // the signature is a pure function of the set, computed once each.
+      // SessionCache, not localCheckpoint: consumed by the group layer,
+      // the same-set branch, and the jaccard join-back — persisted WITH
+      // lineage so a lost executor recomputes.
+      val sigs = graft.util.SessionCache
+        .getOrMaterialize(spark, s"mh_calib_reps:$dir") {
+          docs.groupBy("t")
+            .agg(count(lit(1)).as("mult"), min(col("doc_id")).as("rep_id"))
+            .withColumn("sig", DedupOps.minhashSignatureFnv(col("t"), 16))
+        }
+      // identical-signature compaction (unchanged from round 7): banding
+      // runs over DISTINCT signatures; same-signature rep pairs
+      // (agree = 16, different sets) expand from the member list
       val groups = graft.util.SessionCache
         .getOrMaterialize(spark, s"mh_calib_groups:$dir") {
           sigs.groupBy("sig")
-            .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+            .agg(sort_array(collect_list(struct(col("rep_id").as("rid"),
+              col("mult").as("m")))).as("members"))
         }
       val nm = size(col("members"))
       val intra = groups.filter(nm > 1)
         .select(explode(flatten(transform(
           sequence(lit(1), nm - 1),
           i => transform(slice(col("members"), i + 1, nm - i),
-            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
-              b.as("b_id")))))).as("p"))
-        .select(col("p.a_id"), col("p.b_id"), lit(16L).as("agree"))
+            b => struct(
+              element_at(col("members"), i.cast("int"))
+                .getField("rid").as("a_id"),
+              b.getField("rid").as("b_id"),
+              (element_at(col("members"), i.cast("int")).getField("m")
+                * b.getField("m")).as("w")))))).as("p"))
+        .select(col("p.a_id"), col("p.b_id"), lit(16L).as("agree"),
+          col("p.w"))
       // 4 bands × 4 rows: lossless for agree ≥ 13 (≤3 disagreeing
       // permutations touch ≤3 of 4 bands — pigeonhole), and the 4-row
       // band key space keeps bucket sizes bounded even on the fixture's
@@ -112,7 +137,8 @@ object GroupJ {
       def side(p: String) = banded.select(col("members").as(s"${p}m"),
         col("sig").as(s"${p}_sig"), col("bh"))
       val cross = side("a").join(side("b"), "bh")
-        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
+        .filter(element_at(col("am"), 1).getField("rid")
+          < element_at(col("bm"), 1).getField("rid"))
         .select(col("am"), col("bm"),
           size(filter(zip_with(col("a_sig"), col("b_sig"),
             (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
@@ -121,23 +147,30 @@ object GroupJ {
         .dropDuplicates("am", "bm")
         .select(explode(col("am")).as("x"), col("bm"), col("agree"))
         .select(col("x"), explode(col("bm")).as("y"), col("agree"))
-        .select(least(col("x"), col("y")).as("a_id"),
-          greatest(col("x"), col("y")).as("b_id"), col("agree"))
+        .select(least(col("x.rid"), col("y.rid")).as("a_id"),
+          greatest(col("x.rid"), col("y.rid")).as("b_id"), col("agree"),
+          (col("x.m") * col("y.m")).as("w"))
       val pairs = intra.unionByName(cross)
-      def t(p: String) = docs.select(col("doc_id").as(s"${p}_id"),
+      def t(p: String) = sigs.select(col("rep_id").as(s"${p}_id"),
         col("t").as(s"${p}t"), size(col("t")).as(s"${p}sz"))
       val inter = size(array_intersect(col("at"), col("bt")))
       val uni = col("asz") + col("bsz") - inter
-      pairs.join(t("a"), "a_id").join(t("b"), "b_id")
-        .select(col("agree"), inter.cast(LongType).as("inter"),
-          uni.cast(LongType).as("uni"))
+      val pairsW = pairs.join(t("a"), "a_id").join(t("b"), "b_id")
+        .select(col("agree"), col("w"),
+          inter.cast(LongType).as("inter"), uni.cast(LongType).as("uni"))
         // BIGINT floor divisions on both terms — the oracle's `//`
-        .select(col("agree"),
+        .select(col("agree"), col("w"),
           expr("1000000 * agree div 16 - 1000000 * inter div uni").as("err"))
+        // same-set pairs: agree = 16, inter = uni → err = 0, C(m,2)
+        // copies — from the CACHED sigs frame
+        .unionByName(sigs.filter(col("mult") > 1)
+          .select(lit(16L).as("agree"),
+            (col("mult") * (col("mult") - 1) / 2).as("w"), lit(0L).as("err")))
+      pairsW
         .groupBy("agree")
-        .agg(big(count(lit(1))).as("n_pairs"),
-          big(sum("err")).as("sum_err_ppm"),
-          big(sum(abs(col("err")))).as("sum_abs_err_ppm"),
+        .agg(big(sum("w")).as("n_pairs"),
+          big(sum(col("w") * col("err"))).as("sum_err_ppm"),
+          big(sum(col("w") * abs(col("err")))).as("sum_abs_err_ppm"),
           big(min("err")).as("min_err_ppm"),
           big(max("err")).as("max_err_ppm"))
         .select(big(col("agree")).as("agree"), col("n_pairs"),
