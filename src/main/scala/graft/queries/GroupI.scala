@@ -20,8 +20,9 @@ object GroupI {
 
   /** DuckDB HUGEINT FNV-1a fold over the characters of a string SQL
     * expression — the oracle twin of [[Fnv1a64.foldCodePoints]] (same
-    * contract q_embed_det / q_media_meta already prove). */
-  private def fnvSql(s: String): String =
+    * contract q_embed_det / q_media_meta already prove). Shared with
+    * GroupP's panel-rank oracle. */
+  private[queries] def fnvSql(s: String): String =
     s"""list_reduce(
        |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |    list_transform(list_filter(string_split($s, ''), c -> c <> ''),

@@ -13,20 +13,36 @@ object GroupP {
   val all: Seq[Q] = Seq(
 
     // Label-noise detection (the confident-learning first pass): audit a
-    // deterministic 10% sample — vectors whose 5 nearest neighbors
-    // (exact quantized cosine, the q_knn_vote contract) vote a DIFFERENT
-    // label than their own; ship the disagreements with both labels and
-    // the vote count. Shape: the sampled audit side broadcasts against
-    // the corpus stream (50 queries here — the full-corpus sweep buckets
-    // through q_ann_lsh instead of widening this broadcast); the vote is
-    // a 5-row-per-query agg + argmax window.
+    // FIXED-size deterministic panel — the 64 vectors ranking lowest by
+    // fnv1a64("ln:" || vec_id) (a salted hash rank: an unbiased sample
+    // whose SIZE does not grow with the corpus, so the broadcast side is
+    // a constant 64 rows at any scale — the round-10 sf1 run measured the
+    // previous vec_id%10 panel at 95× for 10× data, the textbook
+    // growing-broadcast killer; the full-corpus sweep buckets through
+    // q_ann_lsh instead of widening this broadcast). Panel members whose
+    // 5 nearest neighbors (exact quantized cosine, the q_knn_vote
+    // contract) vote a DIFFERENT label than their own ship with both
+    // labels and the vote count; the vote is a 5-row-per-query agg + an
+    // argmax window. The hash rank replays in DuckDB as the per-character
+    // HUGEINT FNV fold wrapped to signed BIGINT.
     Q("q_label_noise",
       s"""WITH ${Q.quantNormsCte("label")},
+         |rk AS (
+         |  SELECT vec_id,
+         |         CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
+         |                   THEN f - CAST(18446744073709551616 AS HUGEINT)
+         |                   ELSE f END AS BIGINT) AS r
+         |  FROM (SELECT vec_id,
+         |               ${GroupI.fnvSql("'ln:' || CAST(vec_id AS VARCHAR)")} AS f
+         |        FROM embeddings)),
+         |panel AS (
+         |  SELECT vec_id FROM rk ORDER BY r, vec_id LIMIT 64),
          |pairs AS (
          |  SELECT q.vec_id AS query_id, q.label AS own_label,
          |         c.vec_id AS neighbor_id, c.label,
          |         ${Q.quantCosSql("q", "c")} AS sim
-         |  FROM qn q JOIN qn c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |  FROM qn q JOIN panel p ON q.vec_id = p.vec_id
+         |  JOIN qn c ON c.vec_id <> q.vec_id),
          |topk AS (
          |  SELECT query_id, own_label, label FROM (
          |    SELECT query_id, own_label, label,
@@ -50,7 +66,13 @@ object GroupP {
       val e = tbl(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"),
           Q.quantN2(col("embedding")).as("n2"))
-      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      // fixed 64-row panel: global top-64 by salted hash rank — a
+      // TakeOrdered (no full sort materializes), then a constant-size
+      // broadcast regardless of corpus scale
+      val queries = e
+        .withColumn("r", graft.ops.expr.Fnv1a64.columnCodePoints(
+          concat(lit("ln:"), col("vec_id").cast("string"))))
+        .orderBy(col("r"), col("vec_id")).limit(64)
         .select(col("vec_id").as("query_id"), col("label").as("own_label"),
           col("embedding").as("qv"), col("n2").as("qn2"))
       val cands = e.select(col("vec_id").as("neighbor_id"),

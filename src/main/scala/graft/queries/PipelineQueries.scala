@@ -870,25 +870,65 @@ object PipelineQueries {
           .dist2Column(col("embedding"), typedLit(c.map(_.toLong))).as("d2"),
           lit(cid).as("cluster"))
       }: _*))
-      val mem = e.select(col("vec_id"), col("embedding"),
-        quantN2(col("embedding")).as("n2"),
-        nearest.getField("cluster").as("cluster"),
-        nearest.getField("d2").as("d2"))
-      val x = mem.select(col("cluster"), col("vec_id"), col("d2"),
-        col("embedding").as("xv"), col("n2").as("xn2"))
-      val y = mem.select(col("cluster"), col("vec_id").as("y_id"),
-        col("d2").as("yd2"), col("embedding").as("yv"), col("n2").as("yn2"))
-      x.join(y, Seq("cluster"))
-        .filter(col("vec_id") =!= col("y_id"))
+      // CLONE COMPACTION (round-11, after the sf1 run measured the member-
+      // level pair join 39× for 10× data on the clone fixture): cluster,
+      // d², n², and every pairwise cosine are pure functions of the
+      // embedding VALUES, so the within-cell quadratic runs over DISTINCT
+      // vectors — one row per distinct embedding carrying its sorted
+      // member list — and clone cliques never expand into pairs. The
+      // per-member output stays linear: n_dups(x) = Σ m_b over qualifying
+      // neighbor groups (+ m−1 for x's own clones), and the drop decision
+      // decomposes exactly — (yd2 > xd2) is group-uniform, the yd2 = xd2
+      // tie only needs the SMALLEST qualifying equal-d² neighbor id
+      // (min member = that group's rep), and same-group pairs (d² equal,
+      // sim = cos(v,v) — computed with the identical kernel so a
+      // zero-norm NaN keeps its engine semantics) drop every member but
+      // the group minimum. The oracle keeps its all-pairs form — output
+      // is bit-identical. groupBy on the raw float array is exact
+      // equality (Spark normalizes -0.0, invisible under quantization).
+      val groups = graft.util.SessionCache
+        .getOrMaterialize(spark, s"semdedup_groups:$dir") {
+          e.groupBy(col("embedding"))
+            .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+              count(lit(1)).as("mult"))
+            .select(col("embedding"), col("members"), col("mult"),
+              element_at(col("members"), 1).as("rep_id"),
+              quantN2(col("embedding")).as("n2"),
+              nearest.getField("cluster").as("cluster"),
+              nearest.getField("d2").as("d2"))
+        }
+      val x = groups.select(col("cluster"), col("rep_id").as("a_rep"),
+        col("d2").as("xd2"), col("embedding").as("xv"), col("n2").as("xn2"))
+      val y = groups.select(col("cluster"), col("rep_id").as("b_rep"),
+        col("mult").as("b_m"), col("d2").as("yd2"),
+        col("embedding").as("yv"), col("n2").as("yn2"))
+      val crossAgg = x.join(y, Seq("cluster"))
+        .filter(col("a_rep") =!= col("b_rep"))
         .withColumn("sim", quantCos(col("xv"), col("yv"), col("xn2"), col("yn2")))
         .filter(col("sim") >= 0.35)
-        .groupBy(col("cluster"), col("vec_id"))
-        .agg(big(count(lit(1))).as("n_dups"),
-          big(max(when(col("yd2") > col("d2") ||
-            (col("yd2") === col("d2") && col("y_id") < col("vec_id")), 1)
-            .otherwise(0))).as("dropped"))
+        .groupBy(col("a_rep"))
+        .agg(sum(col("b_m")).as("cross_dups"),
+          max(when(col("yd2") > col("xd2"), 1).otherwise(0)).as("any_greater"),
+          min(when(col("yd2") === col("xd2"), col("b_rep"))).as("min_eq_id"))
+      groups
+        .withColumn("same_q", col("mult") > 1 &&
+          quantCos(col("embedding"), col("embedding"),
+            col("n2"), col("n2")) >= 0.35)
+        .join(crossAgg, col("rep_id") === col("a_rep"), "left")
+        .select(col("cluster"), col("members"), col("mult"), col("same_q"),
+          col("cross_dups"), col("any_greater"), col("min_eq_id"),
+          explode(col("members")).as("vec_id"))
+        .withColumn("n_dups", coalesce(col("cross_dups"), lit(0L)) +
+          when(col("same_q"), col("mult") - 1).otherwise(lit(0L)))
+        .filter(col("n_dups") > 0)
+        .withColumn("dropped",
+          when(col("any_greater") === 1, 1)
+            .when(col("min_eq_id") < col("vec_id"), 1)
+            .when(col("same_q") &&
+              col("vec_id") =!= element_at(col("members"), 1), 1)
+            .otherwise(0))
         .select(big(col("cluster")).as("cluster"), col("vec_id"),
-          col("n_dups"), col("dropped"))
+          big(col("n_dups")).as("n_dups"), big(col("dropped")).as("dropped"))
         .orderBy("vec_id")
     },
 

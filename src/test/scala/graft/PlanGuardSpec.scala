@@ -47,7 +47,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_mmr_diversify",   // shortlist from the 10-query broadcast scan
       "q_rfm_segments",    // ONE-ROW max-date + ONE-ROW median cross joins
       "q_rollup_share",    // ONE-ROW grand-total cross join (scalar shape)
-      "q_label_noise",     // 10%-sample broadcast scan (the q_knn_vote shape)
+      "q_label_noise",     // FIXED 64-row panel broadcast scan (q_knn_vote shape)
       "q_dow_profile",     // ONE-ROW grand-total cross join (scalar shape)
       "q_benford",         // ONE-ROW grand-total cross join (scalar shape)
       "q_rolling_median",  // ≤7-offset calendar range join (bounded day axis)
