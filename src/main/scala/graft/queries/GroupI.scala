@@ -403,22 +403,46 @@ object GroupI {
 
     // Margin-based bitext mining (Artetxe & Schwenk 2019, the absolute-
     // margin variant): treat label 0 as the source-language pool and
-    // label 1 as the target pool; for every source vector, the best target
-    // by quantized cosine and its margin over the runner-up — the score
-    // parallel-corpus miners threshold on. Determinism: cosines are the
-    // quantized-integer contract rounded to 6 (identical doubles in both
-    // engines), ranked with vec_id as the total tiebreak; the margin is
-    // one subtraction of those identical doubles. Shape: the ~10% query
-    // pool broadcasts against the target pool (no corpus shuffle); at
-    // 100 TB the LSH bucket join (q_ann_lsh) replaces the cross — this is
-    // the exact contract it would be rescored by.
+    // label 1 as the target pool; for every source vector, the best
+    // LSH-retrieved target by quantized cosine and its margin over the
+    // runner-up — the score parallel-corpus miners threshold on.
+    // Candidates come from a multi-table LSH bucket equi-join (8 tables ×
+    // 6 FNV-derived integer planes, the q_ann_lsh/NN-descent index
+    // family) — the registered form IS the 100 TB contract: no pool
+    // broadcasts against the corpus (the round-10 sf1 run measured the
+    // previous broadcast-pool form at 26× for 10× data), and both sides
+    // shuffle only on the bucket key. The Spark plan additionally
+    // clone-compacts each pool to DISTINCT vectors (buckets, cosines and
+    // ranks are pure functions of the embedding): member-level top-2 can
+    // only land on a target group's two SMALLEST member ids (within a
+    // group cosines tie and smaller ids rank first), so scoring group
+    // pairs and merging (id1, id2) unit candidates reproduces the
+    // member-level ranking exactly — the oracle keeps the member-level
+    // form. Determinism: quantized-integer cosines rounded to 6, vec_id
+    // total tiebreaks, margin = one subtraction of identical doubles.
     Q("q_bitext_margin", {
       val qn = quantNormsCte("label")
-      s"""WITH $qn,
+      s"""WITH ${PipelineQueries.planesCte("bt", 48)},
+         |${PipelineQueries.quantElemsCte},
+         |${PipelineQueries.quantDotsCte},
+         |tk AS (SELECT vec_id, p // 6 AS t, p % 6 AS i, dp FROM dots),
+         |keys AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN dp >= 0
+         |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+         |              + (t << 6) AS BIGINT) AS bucket
+         |  FROM tk GROUP BY vec_id, t),
+         |$qn,
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id AS q_id, t.vec_id AS cand_id
+         |  FROM keys s JOIN keys t ON s.bucket = t.bucket
+         |  JOIN qn a ON s.vec_id = a.vec_id
+         |  JOIN qn b ON t.vec_id = b.vec_id
+         |  WHERE a.label = 0 AND b.label = 1),
          |pairs AS (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
-         |         ${quantCosSql("a", "b")} AS cos
-         |  FROM qn a JOIN qn b ON a.label = 0 AND b.label = 1),
+         |  SELECT cand.q_id, cand.cand_id, ${quantCosSql("a", "b")} AS cos
+         |  FROM cand JOIN qn a ON cand.q_id = a.vec_id
+         |            JOIN qn b ON cand.cand_id = b.vec_id),
          |r AS (
          |  SELECT q_id, cand_id, cos,
          |         row_number() OVER (PARTITION BY q_id
@@ -434,25 +458,47 @@ object GroupI {
          |GROUP BY q_id
          |ORDER BY q_id""".stripMargin
     }) { (spark, dir) =>
+      val (tables, ppt) = (8, 6)
+      val planes = graft.ops.Lsh.fnvPlanesL(tables * ppt, dim = 64, salt = "bt")
       val emb = tbl(spark, dir, "embeddings")
-        .withColumn("n2", quantN2(col("embedding")))
-      val src = emb.filter(col("label") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("n2").as("qn2"))
-      val cand = emb.filter(col("label") === 1)
-        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-          col("n2").as("cn2"))
-      val cos = quantCos(col("qv"), col("cv"), col("qn2"), col("cn2"))
-      val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-      cand.crossJoin(broadcast(src))
-        .withColumn("cos", cos)
+      def groups(lbl: Int) = emb.filter(col("label") === lbl)
+        .groupBy(col("embedding"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+      val srcK = groups(0)
+        .select(col("embedding").as("qv"), col("members").as("qm"),
+          element_at(col("members"), 1).as("q_rep"),
+          quantN2(col("embedding")).as("qn2"))
+        .withColumn("bucket",
+          explode(graft.ops.Lsh.tableKeysQ(col("qv"), planes, tables, ppt)))
+      val tgtK = groups(1)
+        .select(col("embedding").as("cv"),
+          element_at(col("members"), 1).as("id1"),
+          when(size(col("members")) > 1, element_at(col("members"), 2))
+            .as("id2"),
+          quantN2(col("embedding")).as("cn2"))
+        .withColumn("bucket",
+          explode(graft.ops.Lsh.tableKeysQ(col("cv"), planes, tables, ppt)))
+      val cand = srcK.join(tgtK, Seq("bucket"))
+        .dropDuplicates("q_rep", "id1") // multi-table dups out before scoring
+        .withColumn("cos", quantCos(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      // member-level unit candidates: each target group's two smallest ids
+      val units = cand
+        .select(col("q_rep"), col("qm"), col("cos"), col("id1").as("cand_id"))
+        .unionByName(cand.filter(col("id2").isNotNull)
+          .select(col("q_rep"), col("qm"), col("cos"),
+            col("id2").as("cand_id")))
+      val byQ = Window.partitionBy("q_rep")
+        .orderBy(col("cos").desc, col("cand_id"))
+      units
         .withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= 2)
-        .groupBy("q_id")
+        .groupBy("q_rep", "qm")
         .agg(
           max(when(col("rn") === 1, col("cand_id"))).as("best_id"),
           max(when(col("rn") === 1, col("cos"))).as("cos1"),
           max(when(col("rn") === 2, col("cos"))).as("cos2"))
+        .select(explode(col("qm")).as("q_id"), col("best_id"),
+          col("cos1"), col("cos2"))
         .select(big(col("q_id")).as("q_id"), big(col("best_id")).as("best_id"),
           col("cos1"), col("cos2"),
           round(col("cos1") - col("cos2"), 6).as("margin"))

@@ -38,7 +38,7 @@ object PipelineQueries {
   // candidate sets match bit-for-bit, with no decimal folds on either side.
 
   /** `planes(p, d, comp)`: comp = fnv1a64("pl:salt:p:d") mod 15 − 7. */
-  private def planesCte(salt: String, numPlanes: Int, dim: Int = 64): String =
+  private[queries] def planesCte(salt: String, numPlanes: Int, dim: Int = 64): String =
     s"""planes AS (
        |  SELECT p, d,
        |    CAST(list_reduce(
@@ -53,7 +53,7 @@ object PipelineQueries {
        |  FROM range(0, $numPlanes) tp(p), range(0, $dim) td(d))""".stripMargin
 
   /** `qe(vec_id, d, qx)`: quantized components floor(x·2²⁴), 0-indexed. */
-  private val quantElemsCte: String =
+  private[queries] val quantElemsCte: String =
     """qe AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0)
@@ -61,7 +61,7 @@ object PipelineQueries {
       |  FROM embeddings)""".stripMargin
 
   /** `dots(vec_id, p, dp)`: integer plane projections Σ comp·qx. */
-  private val quantDotsCte: String =
+  private[queries] val quantDotsCte: String =
     """dots AS (
       |  SELECT v.vec_id, pl.p, CAST(sum(pl.comp * v.qx) AS BIGINT) AS dp
       |  FROM qe v JOIN planes pl ON v.d = pl.d

@@ -40,7 +40,6 @@ class PlanGuardSpec extends SparkSpec {
       "q_log_rank",        // ONE-ROW horizon cross join (scalar shape)
       "q_mann_whitney",    // 2-row type grid cross + ONE-ROW counts cross
       "q_skyline",         // calendar-bounded date-max × date-max dominance
-      "q_bitext_margin",   // broadcast source-pool scan (the q_cosine_topk shape)
       "q_rolling_distinct", // ≤7-offset calendar range join over the bounded day axis
       "q_basket_pairs",    // ONE-ROW order-count cross join (scalar shape)
       "q_skew_advisor",    // ONE-ROW Σc² cross join (scalar shape)
