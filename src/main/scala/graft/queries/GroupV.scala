@@ -228,6 +228,13 @@ object GroupV {
         |ORDER BY name_a, name_b""".stripMargin) { (spark, dir) =>
       val v = tbl(spark, dir, "supplier")
         .select(col("s_name").as("nm"))
+        // clone compaction: the output is DISTINCT name pairs and a name
+        // never pairs with its own copies (a.nm < b.nm), so duplicate
+        // names contribute nothing — dedupe BEFORE the variant expansion
+        // or clone-heavy corpora square every variant bucket (the sf1
+        // clone fixture measured the uncompacted join at 26× for 10×
+        // data; distinct-first is exactly equivalent, no weights needed)
+        .distinct()
         .withColumn("var", explode(expr(
           "array_union(transform(sequence(0, length(nm) - 1), " +
             "i -> concat(substring(nm, 1, i), " +
