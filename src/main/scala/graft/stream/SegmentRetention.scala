@@ -23,26 +23,75 @@ import scala.collection.mutable
   * the files it covers are deleted. A crash between the two leaves
   * already-counted stragglers on disk; the reader treats any file at or
   * below the marker's highest name as retired (never double-counted), and
-  * the next retirement cycle re-deletes them.
+  * the next retirement cycle re-deletes them. The rename itself is
+  * delete-then-rename (HDFS rename does not overwrite), so the
+  * delete→rename instant is its own crash window: both [[SegmentRetention
+  * .readMarker]] (reader fallback) and [[SegmentRetention.healMarker]]
+  * (writer re-commit) recover the committed state from the tmp file,
+  * which is always fully written and closed before the old marker is
+  * deleted.
   */
 object SegmentRetention {
   val MarkerName = "_retired.txt"
+  private[stream] val TmpMarkerName = s".$MarkerName.tmp"
 
-  /** (count, highestRetiredName) from the marker, or (0, ""). */
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  private def parseMarker(text: String): Option[(Long, String)] =
+    text.trim.split(' ') match {
+      case Array("retired", n, name) =>
+        try Some((n.toLong, name)) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** (count, highestRetiredName) from the marker, or (0, "") for a
+    * never-retired directory.
+    *
+    * Crash-window recovery: [[SegmentRetention.retire]] commits via
+    * tmp-write → delete(marker) → rename(tmp, marker). A crash between
+    * the delete and the rename leaves NO marker while PRIOR cycles'
+    * segment files are already gone — reading (0, "") there would shift
+    * the replay source's count-based offset domain by the retired count
+    * and a restored checkpoint would silently skip live segments. The
+    * tmp file is fully written and closed BEFORE the delete, so when the
+    * marker is missing but a tmp exists, the tmp IS the committed state.
+    * An unparseable tmp can only be the FIRST cycle's torn write (every
+    * later cycle still has the old marker while its tmp is open), and
+    * first-cycle state is exactly (0, ""). */
   def readMarker(fs: FileSystem, dir: String): (Long, String) = {
     val p = new Path(dir, MarkerName)
-    if (!fs.exists(p)) (0L, "")
+    if (fs.exists(p))
+      parseMarker(readFile(fs, p)).getOrElse(
+        sys.error(s"bad retirement marker: ${readFile(fs, p).trim}"))
     else {
-      val in = fs.open(p)
-      val text = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-        new String(bytes.toByteArray, UTF_8)
-      } finally in.close()
-      text.trim.split(' ') match {
-        case Array("retired", n, name) => (n.toLong, name)
-        case other => sys.error(s"bad retirement marker: ${other.mkString(" ")}")
-      }
+      val tmp = new Path(dir, TmpMarkerName)
+      if (!fs.exists(tmp)) (0L, "")
+      else parseMarker(readFile(fs, tmp)).getOrElse((0L, ""))
+    }
+  }
+
+  /** Writer-side healing of the same crash window: if the marker is
+    * missing but a complete tmp exists, promote the tmp to the marker
+    * BEFORE the caller overwrites the tmp for its own cycle (otherwise a
+    * second crash during that overwrite would destroy the only copy of
+    * the committed state). A torn tmp (first cycle only, see
+    * [[readMarker]]) is discarded. */
+  private[stream] def healMarker(fs: FileSystem, dir: String): Unit = {
+    val marker = new Path(dir, MarkerName)
+    val tmp = new Path(dir, TmpMarkerName)
+    if (!fs.exists(marker) && fs.exists(tmp)) {
+      if (parseMarker(readFile(fs, tmp)).isDefined) {
+        if (!fs.rename(tmp, marker))
+          throw new java.io.IOException(
+            s"retention: could not heal marker in $dir")
+      } else fs.delete(tmp, false)
     }
   }
 }
@@ -162,6 +211,8 @@ final class SegmentRetention(dir: String, conf: Configuration,
     * prior cycle). Marker first, deletes second. Returns files deleted. */
   def retire(horizon: Long): Int = {
     val f = fs
+    // re-commit a crashed cycle's tmp before this cycle overwrites it
+    SegmentRetention.healMarker(f, dir)
     val (retired, highest) = SegmentRetention.readMarker(f, dir)
     val listed = index.listIndexed()
     // the retirable prefix: stop at the FIRST file that neither belongs to
@@ -174,7 +225,7 @@ final class SegmentRetention(dir: String, conf: Configuration,
     if (fresh.nonEmpty) {
       val newCount = retired + fresh.size
       val newHighest = fresh.last._1.getPath.getName
-      val tmp = new Path(dir, s".${SegmentRetention.MarkerName}.tmp")
+      val tmp = new Path(dir, SegmentRetention.TmpMarkerName)
       val out = f.create(tmp, true)
       try out.write(s"retired $newCount $newHighest\n".getBytes(UTF_8))
       finally out.close()

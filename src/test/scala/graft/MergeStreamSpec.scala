@@ -766,4 +766,67 @@ class MergeStreamSpec extends SparkSpec {
       .as[(String, Boolean)].collect().toSet == Set(("pk0", true)),
       "fresh reader over a retired prefix did not replay the live tail")
   }
+
+  test("retention marker crash window: a kill between delete(marker) and " +
+    "rename(tmp, marker) loses neither the retired count nor live rows") {
+    import graft.stream.{SegmentLsnIndex, SegmentRetention}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val segDir = java.nio.file.Files.createTempDirectory("graft-crash-segs")
+    val fs = new org.apache.hadoop.fs.Path(segDir.toString)
+      .getFileSystem(hconf)
+
+    // cycle 1 committed normally: segments 0..1 retired, files gone
+    (0 until 4).foreach(i =>
+      writeSegment(segDir, i, 10L * (i + 1), "c", s"pk$i", s"v$i"))
+    val retention = new SegmentRetention(segDir.toString, hconf,
+      new SegmentLsnIndex(segDir.toString, hconf, "pgoutput"))
+    assert(retention.retire(20L) == 2)
+    assert(SegmentRetention.readMarker(fs, segDir.toString) ==
+      ((2L, "segment-00000001.bin")))
+
+    // cycle 2 crashes EXACTLY between delete(marker) and rename(tmp,
+    // marker): reproduce that instant byte-for-byte — the tmp holds the
+    // new state (complete, closed), the old marker is gone, cycle 2's
+    // files are NOT yet deleted (deletes follow the commit)
+    val marker = new org.apache.hadoop.fs.Path(segDir.toString,
+      SegmentRetention.MarkerName)
+    val tmpP = new org.apache.hadoop.fs.Path(segDir.toString,
+      ".%s.tmp".format(SegmentRetention.MarkerName))
+    val out = fs.create(tmpP, true)
+    out.write("retired 4 segment-00000003.bin\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(fs.delete(marker, false))
+
+    // reader-side recovery: the committed state comes back from the tmp
+    // (the pre-fix code read (0, "") here — with segments 0..1 already
+    // deleted, the count-based offset domain shifted by 2 and a restored
+    // checkpoint silently skipped two live segments)
+    assert(SegmentRetention.readMarker(fs, segDir.toString) ==
+      ((4L, "segment-00000003.bin")),
+      "crash window lost the retired count")
+
+    // end-to-end: a fresh reader over the crashed directory + one live
+    // segment replays EXACTLY the live tail at the right offsets
+    writeSegment(segDir, 4, 50L, "c", "pk4", "v4")
+    val storeDir = tmp() + "/state"
+    val q = MergeStream.run(spark, segDir.toString, storeDir,
+      tmp() + "/ckpt", attrCols = Seq("content"),
+      wireFormat = "pgoutput", maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    val store = new ParquetTableStore(storeDir, attrCols = Seq("content"))
+    assert(store.current(spark).select("pk", "content")
+      .as[(String, String)].collect().toSet == Set(("pk4", "v4")),
+      "restart over the crash window diverged")
+
+    // writer-side healing: the next retire() re-commits the tmp as the
+    // marker before writing its own cycle (so a second crash during the
+    // tmp overwrite cannot destroy the only copy of the committed state)
+    val retention2 = new SegmentRetention(segDir.toString, hconf,
+      new SegmentLsnIndex(segDir.toString, hconf, "pgoutput"))
+    retention2.retire(-1L) // nothing retirable: heal only
+    assert(fs.exists(marker), "healMarker never promoted the tmp")
+    assert(SegmentRetention.readMarker(fs, segDir.toString) ==
+      ((4L, "segment-00000003.bin")))
+  }
 }
