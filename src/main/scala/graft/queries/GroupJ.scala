@@ -84,7 +84,7 @@ object GroupJ {
       // plan works on DISTINCT token sets with multiplicities — rep-level
       // pairs weighted m_a·m_b plus C(m,2) zero-error same-set pairs —
       // and never expands clone cliques (sf1 replica fixture: 84.5 s →
-      // ~3.5 s, scale-flat, BIT-IDENTICAL output; the oracle keeps its
+      // 1.22 s, scale-flat, BIT-IDENTICAL output; the oracle keeps its
       // all-pairs form). The signature-group layer on top keeps the band
       // join over DISTINCT signatures (the fixture's tiny vocabulary
       // makes many distinct sets share all 16 mins — banding reps
@@ -165,12 +165,17 @@ object GroupJ {
         // copies — from the CACHED sigs frame
         .unionByName(sigs.filter(col("mult") > 1)
           .select(lit(16L).as("agree"),
-            (col("mult") * (col("mult") - 1) / 2).as("w"), lit(0L).as("err")))
+            // integral C(m,2): Spark '/' returns double and unionByName
+            // would coerce the whole weight column (and thus every
+            // weighted sum) to floating point — exact only below 2^53
+            expr("(mult * (mult - 1)) div 2").as("w"), lit(0L).as("err")))
       pairsW
         .groupBy("agree")
-        .agg(big(sum("w")).as("n_pairs"),
-          big(sum(col("w") * col("err"))).as("sum_err_ppm"),
-          big(sum(col("w") * abs(col("err")))).as("sum_abs_err_ppm"),
+        // DECIMAL accumulators: w·err reaches pair-count × 10⁶ ppm — past
+        // BIGINT at the 100× clone densities this query exists to survive
+        .agg(big(sum(Q.dec(col("w")))).as("n_pairs"),
+          big(sum(Q.dec(col("w")) * Q.dec(col("err")))).as("sum_err_ppm"),
+          big(sum(Q.dec(col("w")) * Q.dec(abs(col("err"))))).as("sum_abs_err_ppm"),
           big(min("err")).as("min_err_ppm"),
           big(max("err")).as("max_err_ppm"))
         .select(big(col("agree")).as("agree"), col("n_pairs"),
