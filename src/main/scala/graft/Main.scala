@@ -184,7 +184,8 @@ object Main {
       case "milvus" =>
         val s = new MilvusSink(cfg.sinkUrl, cfg.sinkCollection,
           transport = cfg.sinkTransport)
-        s.upsert(upserts); s.delete(deletes)
+        // close releases the driver-side wire ensureCollection dialed
+        try { s.upsert(upserts); s.delete(deletes) } finally s.close()
       case _ => () // parquet-only
     }
   }

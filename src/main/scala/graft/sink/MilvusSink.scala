@@ -22,7 +22,8 @@ import org.apache.spark.sql.DataFrame
 final class MilvusSink(baseUrl: String, collection: String,
                        requestBatchSize: Int = 128,
                        metric: String = "IP",
-                       transport: String = "rest") extends Serializable {
+                       transport: String = "rest")
+  extends Serializable with AutoCloseable {
 
   require(transport == "rest" || transport == "grpc",
     s"unknown milvus transport '$transport'")
@@ -168,6 +169,12 @@ final class MilvusSink(baseUrl: String, collection: String,
         }
     }
   }
+
+  /** Releases the DRIVER-side wire (the one `ensureCollection` and the
+    * upsert/delete probe path dial); per-partition wires already close in
+    * their `foreachPartition` bodies. Closing a sink whose wire never
+    * dialed is a no-op (the grpc transport guards its lazy client). */
+  override def close(): Unit = wire.close()
 }
 
 object MilvusSink {

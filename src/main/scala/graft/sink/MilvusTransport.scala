@@ -27,7 +27,10 @@ trait MilvusTransport extends AutoCloseable {
   * paths), calls serialized like the sink's request loop. */
 final class MilvusGrpcTransport(host: String, port: Int) extends MilvusTransport {
 
-  private lazy val client = new H2cGrpcClient(host, port)
+  // close() on a never-used transport must stay a no-op: forcing the lazy
+  // client there would dial a connection just to close it
+  @volatile private var dialed = false
+  private lazy val client = { dialed = true; new H2cGrpcClient(host, port) }
 
   private def call(method: String, body: Array[Byte]): Array[Byte] =
     client.call(MilvusProto.ServicePrefix + method, body)
@@ -61,5 +64,5 @@ final class MilvusGrpcTransport(host: String, port: Int) extends MilvusTransport
     MilvusProto.parseMutation(call("Delete", MilvusProto.delete(c, ids)),
       "Delete")
 
-  override def close(): Unit = client.close()
+  override def close(): Unit = if (dialed) client.close()
 }

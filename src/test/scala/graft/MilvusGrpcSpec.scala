@@ -21,10 +21,21 @@ class MilvusGrpcSpec extends AnyFunSuite {
 
   /** One mock MilvusService over h2c. Dispatch gets (method, request
     * message) and returns the response message (or throws GrpcFail to
-    * send a non-zero grpc-status). */
+    * send a non-zero grpc-status).
+    *
+    * `huffman` switches every response header block to HUFFMAN-coded
+    * literals (grpc-go's encoder path). `streamWindow`/`maxFrame` are
+    * advertised in the server SETTINGS and ENFORCED the way grpc-go
+    * does: an oversized frame, a DATA byte beyond the granted window, or
+    * a client that keeps sending while its window is exhausted all land
+    * in `violations`. */
   private final class MockMilvus(
-      dispatch: (String, Array[Byte]) => Array[Byte]) extends AutoCloseable {
+      dispatch: (String, Array[Byte]) => Array[Byte],
+      huffman: Boolean = false,
+      streamWindow: Int = 65535,
+      maxFrame: Int = 16384) extends AutoCloseable {
     val calls = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val violations = new java.util.concurrent.CopyOnWriteArrayList[String]()
     private val server = new ServerSocket(0, 8,
       java.net.InetAddress.getByName("127.0.0.1"))
     def port: Int = server.getLocalPort
@@ -46,13 +57,26 @@ class MilvusGrpcSpec extends AnyFunSuite {
       val preface = new Array[Byte](H2.Preface.length)
       in.readFully(preface)
       assert(preface.sameElements(H2.Preface), "bad h2c preface")
-      H2.writeFrame(out, H2.Frame(H2.Settings, 0, 0, Array.emptyByteArray))
+      // initial SETTINGS advertises this test's window/frame limits
+      val sb = java.nio.ByteBuffer.allocate(12)
+      sb.putShort(H2.SettingsInitialWindowSize.toShort).putInt(streamWindow)
+      sb.putShort(H2.SettingsMaxFrameSize.toShort).putInt(maxFrame)
+      H2.writeFrame(out, H2.Frame(H2.Settings, 0, 0, sb.array()))
+      def encode(hs: Seq[(String, String)]): Array[Byte] =
+        if (huffman) H2.encodeHeadersHuffman(hs) else H2.encodeHeaders(hs)
       val hpack = new H2.HpackDecoder
       // per-stream state: path from HEADERS, body from DATA
       val paths = scala.collection.mutable.Map[Int, String]()
       val bodies = scala.collection.mutable.Map[Int, java.io.ByteArrayOutputStream]()
+      // send-side flow-control enforcement (per connection; the client
+      // runs one stream at a time)
+      var granted = streamWindow.toLong
+      var received = 0L
       while (true) {
         val f = H2.readFrame(in)
+        if (f.payload.length > maxFrame)
+          violations.add(s"${f.payload.length}-byte frame exceeds " +
+            s"advertised SETTINGS_MAX_FRAME_SIZE $maxFrame")
         f.tpe match {
           case H2.Settings if (f.flags & H2.Ack) == 0 =>
             H2.writeFrame(out, H2.Frame(H2.Settings, H2.Ack, 0, Array.emptyByteArray))
@@ -63,8 +87,24 @@ class MilvusGrpcSpec extends AnyFunSuite {
               hs("content-type") == "application/grpc" &&
               hs("te") == "trailers", s"bad grpc request headers: $hs")
           case H2.Data =>
+            received += f.payload.length
+            if (received > granted)
+              violations.add(s"DATA beyond the granted window " +
+                s"($received > $granted)")
             bodies.getOrElseUpdate(f.streamId,
               new java.io.ByteArrayOutputStream()).write(f.payload)
+            if ((f.flags & H2.EndStream) == 0 && received >= granted) {
+              // the window is exhausted mid-request: a compliant client is
+              // now BLOCKED — loopback delivers violating bytes well
+              // within the grace, so a quiet socket proves the block
+              Thread.sleep(150)
+              if (in.available() > 0)
+                violations.add("client kept sending on an exhausted window")
+              val inc = java.nio.ByteBuffer.allocate(4).putInt(1 << 20).array()
+              H2.writeFrame(out, H2.Frame(H2.WindowUpdate, 0, f.streamId, inc))
+              H2.writeFrame(out, H2.Frame(H2.WindowUpdate, 0, 0, inc))
+              granted += (1L << 20)
+            }
             if ((f.flags & H2.EndStream) != 0) {
               val path = paths(f.streamId)
               val method = path.stripPrefix(MilvusProto.ServicePrefix)
@@ -77,14 +117,14 @@ class MilvusGrpcSpec extends AnyFunSuite {
                 try ("0", "", dispatch(method, req))
                 catch { case GrpcFail(s, m) => (s, m, Array.emptyByteArray) }
               H2.writeFrame(out, H2.Frame(H2.Headers, H2.EndHeaders, f.streamId,
-                H2.encodeHeaders(Seq(":status" -> "200",
+                encode(Seq(":status" -> "200",
                   "content-type" -> "application/grpc"))))
               val framed = java.nio.ByteBuffer.allocate(5 + resp.length)
               framed.put(0.toByte).putInt(resp.length).put(resp)
               H2.writeFrame(out, H2.Frame(H2.Data, 0, f.streamId, framed.array()))
               H2.writeFrame(out, H2.Frame(H2.Headers,
                 H2.EndHeaders | H2.EndStream, f.streamId,
-                H2.encodeHeaders(Seq("grpc-status" -> status) ++
+                encode(Seq("grpc-status" -> status) ++
                   (if (msg.nonEmpty) Seq("grpc-message" -> msg) else Nil))))
             }
           case _ => () // SETTINGS ack, WINDOW_UPDATE, PING — ignored
@@ -220,6 +260,53 @@ class MilvusGrpcSpec extends AnyFunSuite {
         val e = intercept[java.io.IOException] { t.delete("c", Seq("x")) }
         assert(e.getMessage.contains("status 7") &&
           e.getMessage.contains("PERMISSION_DENIED"))
+      } finally t.close()
+    } finally mock.close()
+  }
+
+  test("huffman-coded response headers and trailers decode (grpc-go " +
+    "huffman-compresses literals; grpc-status is not in the static table)") {
+    var exists = false
+    val mock = new MockMilvus((m, req) => m match {
+      case "Delete" => throw GrpcFail("7", "PERMISSION_DENIED")
+      case _ => standardDispatch(() => exists)(m, req)
+    }, huffman = true)
+    try {
+      // full bootstrap through huffman-coded responses
+      val base = s"grpc://127.0.0.1:${mock.port}"
+      new MilvusSink(base, "c", transport = "grpc").ensureCollection(64)
+      assert(mock.calls.toArray.toSeq == Seq("HasCollection",
+        "CreateCollection", "CreateIndex", "LoadCollection"))
+      exists = true
+      // and the huffman-coded error trailer surfaces with its message
+      val t = new graft.sink.MilvusGrpcTransport("127.0.0.1", mock.port)
+      try {
+        val e = intercept[java.io.IOException] { t.delete("c", Seq("x")) }
+        assert(e.getMessage.contains("status 7") &&
+          e.getMessage.contains("PERMISSION_DENIED"))
+      } finally t.close()
+    } finally mock.close()
+  }
+
+  test("request DATA splits at SETTINGS_MAX_FRAME_SIZE and blocks on the " +
+    "flow-control window (the limits a real grpc-go server enforces)") {
+    val reqs = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    // a 1 KiB stream window and 2 KiB frames force the client to chunk
+    // and to block for WINDOW_UPDATE several times on a ~50 KiB upsert
+    val mock = new MockMilvus((m, req) => {
+      reqs.put(m, req); standardDispatch(() => true)(m, req)
+    }, streamWindow = 1024, maxFrame = 2048)
+    try {
+      val t = new graft.sink.MilvusGrpcTransport("127.0.0.1", mock.port)
+      try {
+        val points = (0 until 300).map(i =>
+          (s"pk:$i", (0 until 32).map(d => (i * 32 + d).toFloat),
+            Map("pk" -> i.toString)))
+        t.upsert("c", points)
+        val up = ProtoWire.parse(reqs.get("Upsert"))
+        assert(up.int(7).contains(300L), "upsert did not round-trip intact")
+        assert(mock.violations.isEmpty,
+          s"wire violations: ${mock.violations.toArray.mkString("; ")}")
       } finally t.close()
     } finally mock.close()
   }
