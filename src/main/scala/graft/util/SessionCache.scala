@@ -64,8 +64,23 @@ object SessionCache {
     * and kills the late install itself. */
   private final class Holder {
     val memos = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+    // access-ordered view for the optional LRU bound; guarded by `this`
+    val lru = new java.util.LinkedHashMap[String, Memo](16, 0.75f, true)
     @volatile var retired = false
   }
+
+  /** Optional LRU bound on live (persisted) artifacts per session —
+    * `-Dgraft.sessionCache.maxEntries=N` or GRAFT_SESSION_CACHE_MAX.
+    * Unbounded by default (a cluster deployment sizes executors for its
+    * artifact set); the bound exists for memory-constrained single-JVM
+    * suite runs (the sf1 bench keeps every artifact of 260+ queries in
+    * ONE driver heap). Eviction unpersists the least-recently-USED
+    * artifact; its lineage survives, so a later consumer transparently
+    * rebuilds — correctness is unaffected, only recompute cost. */
+  private def maxEntries: Int = // re-read per get: cheap, and testable
+    sys.props.get("graft.sessionCache.maxEntries")
+      .orElse(sys.env.get("GRAFT_SESSION_CACHE_MAX"))
+      .map(_.toInt).getOrElse(Int.MaxValue)
 
   private val cache = new java.util.IdentityHashMap[SparkSession, Holder]()
 
@@ -84,6 +99,18 @@ object SessionCache {
     // ourselves (kill is idempotent; the returned frame stays valid,
     // merely uncached — the same contract as building after a kill)
     if (holder.retired) memo.kill()
+    else holder.synchronized {
+      holder.lru.put(key, memo) // marks `key` most-recently-used
+      val it = holder.lru.entrySet().iterator()
+      while (holder.lru.size > maxEntries && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != key) { // never evict the entry just served
+          eldest.getValue.kill()
+          holder.memos.remove(eldest.getKey)
+          it.remove()
+        }
+      }
+    }
     df
   }
 
@@ -94,6 +121,7 @@ object SessionCache {
     if (removed != null) {
       removed.retired = true // installs from here on self-kill in the getter
       removed.memos.values().forEach(_.kill())
+      removed.synchronized(removed.lru.clear())
     }
   }
 }

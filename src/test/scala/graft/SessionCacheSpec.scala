@@ -29,6 +29,34 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.invalidate(spark)
   }
 
+  test("the optional LRU bound evicts the least-recently-USED artifact; " +
+    "an evicted key rebuilds transparently on its next request") {
+    val builds = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // distinct row counts per key: identical plans would ALIAS in Spark's
+    // CacheManager (unpersisting one clears the shared buffers of all)
+    val rows = Map("a" -> 5, "b" -> 6, "c" -> 7)
+    def get(k: String) = SessionCache.getOrMaterialize(spark, s"scs-lru-$k") {
+      builds(k) += 1
+      spark.range(rows(k).toLong).toDF("n")
+    }
+    sys.props("graft.sessionCache.maxEntries") = "2"
+    try {
+      val a = get("a"); get("b")
+      get("a") // touch a: b becomes the LRU entry
+      val c = get("c") // over the bound: evicts b, keeps a and c
+      assert(a.storageLevel != StorageLevel.NONE, "recently-used a evicted")
+      assert(c.storageLevel != StorageLevel.NONE)
+      assert(builds("a") == 1 && builds("b") == 1 && builds("c") == 1)
+      get("b") // evicted: rebuilds (and evicts a, the new LRU)
+      assert(builds("b") == 2, "evicted key did not rebuild")
+      get("a")
+      assert(builds("a") == 2, "a should have been evicted by b's return")
+    } finally {
+      sys.props.remove("graft.sessionCache.maxEntries")
+      SessionCache.invalidate(spark)
+    }
+  }
+
   test("first get() stores the cache buffers eagerly, before any consumer") {
     // Regression: a bare persist() is lazy — a consumer whose first action
     // reads the cached subtree through a broadcast build computes it
