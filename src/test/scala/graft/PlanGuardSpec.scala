@@ -55,7 +55,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_join_sample",     // ONE-ROW exact×sample cross join (scalar shape)
       "q_fair_quota",      // ONE-ROW budget + water-level cross joins
       "q_join_order",      // ONE-ROW cardinality-probe cross joins
-      "q_fk_violations")   // ONE-ROW child-total cross join per relationship
+      "q_fk_violations",   // ONE-ROW child-total cross join per relationship
+      "q_kruskal_wallis")  // ONE-ROW (N, Σq) H-statistic cross join (scalar shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
@@ -65,7 +66,8 @@ class PlanGuardSpec extends SparkSpec {
     Set("q_revenue_growth", "q_wilson_rank",
       "q_fair_quota", // waterfilling over the ≤|sources|-row mass axis
       "q_kaplan_meier", // at-risk cumsum over the calendar-bounded axis
-      "q_log_rank")     // same bounded-axis per-cohort cumsums
+      "q_log_rank",     // same bounded-axis per-cohort cumsums
+      "q_kruskal_wallis") // global rank over the bounded types×days axis
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
