@@ -748,20 +748,48 @@ object PipelineQueries {
         .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"), DedupOps.simhashFnv(col("toks")).as("sim"))
+      // IDENTICAL-SIGNATURE COMPACTION (round-11, the q_dedup_minhash
+      // layer applied here): clone-heavy corpora put every copy of a doc
+      // at the SAME simhash, so the member-level chunk join paid the
+      // clone square through ~20 block-triple tables and the distinct
+      // (sf1 measured 59× for 10× data). Grouping by signature first
+      // makes chunk-join volume a function of DISTINCT signatures; the
+      // chunk join is symmetric (both sides explode all keys), so every
+      // member pair of a qualifying group pair qualifies — expansion is
+      // a pure explode with least/greatest ordering. Intra-group pairs
+      // are hamming 0 by construction. Output identical; the oracle
+      // keeps its all-pairs form.
+      val groups = sims.groupBy("sim")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .localCheckpoint(true) // two consumers: intra pairs + chunk join
+      val n = size(col("members"))
+      val intra = groups.filter(n > 1)
+        .select(explode(flatten(transform(
+          sequence(lit(1), n - 1),
+          i => transform(slice(col("members"), i + 1, n - i),
+            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
+              b.as("b_id")))))).as("p"))
+        .select(col("p.a_id"), col("p.b_id"), lit(0L).as("hamming"))
       // multi-index block-triple keys (lossless for hamming≤3, ~32-bit key
       // space): random-collision candidate volume stays sub-quadratic out
-      // to 1e6-1e7 docs where single 16-bit chunks saturate around 1e5 —
-      // the oracle is unaffected because candidates are verified exactly
-      val chunked = sims
+      // to 1e6-1e7 DISTINCT docs where single 16-bit chunks saturate
+      // around 1e5 — the oracle is unaffected because candidates are
+      // verified exactly
+      val chunked = groups
         .withColumn("chunk", explode(DedupOps.simhashMultiKeys(col("sim"))))
-      def side(p: String) = chunked.select(col("doc_id").as(s"${p}_id"),
+      def side(p: String) = chunked.select(col("members").as(s"${p}m"),
         col("sim").as(s"${p}_sim"), col("chunk"))
-      side("a").join(side("b"), "chunk")
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
+      val cross = side("a").join(side("b"), "chunk")
+        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
+        .select(col("am"), col("bm"),
           big(DedupOps.hamming(col("a_sim"), col("b_sim"))).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
+        .filter(col("hamming") <= 3) // ≥1 implicit: distinct signatures
+        .dropDuplicates("am", "bm")
+        .select(explode(col("am")).as("x"), col("bm"), col("hamming"))
+        .select(col("x"), explode(col("bm")).as("y"), col("hamming"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+      intra.unionByName(cross)
         .orderBy("a_id", "b_id")
     },
 
@@ -800,29 +828,68 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
       val planes = Lsh.fnvPlanesL(numPlanes = 4, dim = 64, salt = "dd")
       val e = tbl(spark, dir, "embeddings")
-      // quantized norms computed once per vector; multi-probe duplicate
-      // pairs removed BEFORE the O(d) per-pair dot product
-      val bucketed = e.select(col("vec_id"),
-        Lsh.bucketQ(col("embedding"), planes).as("bucket"))
-      val probed = bucketed.select(col("vec_id"),
-        explode(Lsh.probesQ(col("bucket"), planes.size)).as("bucket"))
-      // the dedupe shuffle moves bare id pairs (16 bytes/row); vectors are
-      // broadcast-joined back only for the surviving candidates
-      val pairs = probed.as("a")
-        .join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .dropDuplicates("a_id", "b_id")
-      val side = e.select(col("vec_id"), col("embedding"),
-        quantN2(col("embedding")).as("n2"))
-      pairs
-        .join(broadcast(side.select(col("vec_id").as("a_id"),
-          col("embedding").as("av"), col("n2").as("n2a"))), "a_id")
-        .join(broadcast(side.select(col("vec_id").as("b_id"),
-          col("embedding").as("bv"), col("n2").as("n2b"))), "b_id")
-        .withColumn("cos", quantCos(col("av"), col("bv"), col("n2a"), col("n2b")))
+      // CLONE COMPACTION (round-11): buckets, probes, and cosines are
+      // pure functions of the embedding, so the probe join runs over
+      // DISTINCT vectors (sf1 measured the member-level join 48× for 10×
+      // data — every clone pair re-paid the candidate shuffle and the
+      // cosine). The probe join is ASYMMETRIC (only the a-side probes),
+      // so a member pair (u, v) with u < v qualifies iff u's GROUP
+      // probed v's group — both directed qualifications are kept per
+      // unordered group pair and the member expansion filters on the
+      // direction the smaller id belongs to. Output identical; the
+      // oracle keeps its member-level form.
+      val groups = e.groupBy(col("embedding"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+        .select(col("embedding"), col("members"),
+          element_at(col("members"), 1).as("rep"),
+          Lsh.bucketQ(col("embedding"), planes).as("bucket"),
+          quantN2(col("embedding")).as("n2"))
+        .localCheckpoint(true) // probe side, exact side, and expansion
+      // intra-group pairs: every clone pair shares its bucket (probes
+      // prepend the unflipped bucket), so only the cos ≥ 0.35 predicate
+      // decides — computed with the identical kernel (cos(v, v))
+      val n = size(col("members"))
+      val intra = groups.filter(n > 1)
+        .withColumn("cos", quantCos(col("embedding"), col("embedding"),
+          col("n2"), col("n2")))
         .filter(col("cos") >= 0.35)
-        .select("a_id", "b_id", "cos")
+        .select(explode(flatten(transform(
+          sequence(lit(1), n - 1),
+          i => transform(slice(col("members"), i + 1, n - i),
+            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
+              b.as("b_id")))))).as("p"), col("cos"))
+        .select(col("p.a_id"), col("p.b_id"), col("cos"))
+      val probed = groups.select(col("rep").as("a_rep"),
+        explode(Lsh.probesQ(col("bucket"), planes.size)).as("bucket"))
+      // directed candidates (a-group probed b-group), bare rep pairs
+      val dirCand = probed
+        .join(groups.select(col("rep").as("b_rep"), col("bucket")), Seq("bucket"))
+        .filter(col("a_rep") =!= col("b_rep"))
+        .select(col("a_rep"), col("b_rep"))
+        .dropDuplicates("a_rep", "b_rep")
+      val und = dirCand
+        .select(least(col("a_rep"), col("b_rep")).as("lo"),
+          greatest(col("a_rep"), col("b_rep")).as("hi"),
+          (col("a_rep") < col("b_rep")).as("fw"))
+        .groupBy("lo", "hi")
+        .agg(max(when(col("fw"), 1).otherwise(0)).as("q_lo_hi"),
+          max(when(!col("fw"), 1).otherwise(0)).as("q_hi_lo"))
+      val cross = und
+        .join(groups.select(col("rep").as("lo"), col("embedding").as("lv"),
+          col("n2").as("ln2"), col("members").as("lm")), Seq("lo"))
+        .join(groups.select(col("rep").as("hi"), col("embedding").as("hv"),
+          col("n2").as("hn2"), col("members").as("hm")), Seq("hi"))
+        .withColumn("cos", quantCos(col("lv"), col("hv"), col("ln2"), col("hn2")))
+        .filter(col("cos") >= 0.35)
+        .select(explode(col("lm")).as("x"), col("hm"),
+          col("q_lo_hi"), col("q_hi_lo"), col("cos"))
+        .select(col("x"), explode(col("hm")).as("y"),
+          col("q_lo_hi"), col("q_hi_lo"), col("cos"))
+        .filter((col("x") < col("y") && col("q_lo_hi") === 1) ||
+          (col("y") < col("x") && col("q_hi_lo") === 1))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("cos"))
+      intra.unionByName(cross)
         .orderBy("a_id", "b_id")
     },
 
