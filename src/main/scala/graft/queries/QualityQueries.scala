@@ -227,55 +227,82 @@ object QualityQueries {
         |FROM shared s JOIN sz za ON s.a_id = za.doc_id
         |WHERE s.c * 10 >= za.n * 6
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val t = docToks(spark, dir)
+      // CLONE COMPACTION (round-11): containment is a pure function of
+      // the two shingle SETS, so docs group by raw text first and
+      // everything downstream — df, canonical prefix order, probe join,
+      // exact verification — runs over DISTINCT texts' sets
+      // (the sf1 clone fixture measured the member-level probe join at
+      // 7.4× for 10× data; compacted it is flat). df counts DISTINCT
+      // sets rather than documents — losslessness of prefix filtering
+      // needs only SOME globally consistent total order (pigeonhole on
+      // |A∩B| ≥ ⌈0.6|A|⌉), not the document-frequency one, and exact
+      // verification decides membership either way. Intra-group pairs
+      // are containment 1.0 by construction (c = n); cross pairs expand
+      // DIRECTIONALLY (A→B uses prefix(A)) so each directed rep pair
+      // explodes to members(A) × members(B). Output identical; the
+      // oracle keeps its member-level form.
+      // docs group by RAW TEXT (identical text ⟹ identical shingle set;
+      // one narrow shuffle of the text itself — grouping by the derived
+      // shingle arrays measured ~5× heavier), tokens/shingles computed
+      // once per distinct text
+      val groups = tbl(spark, dir, "documents")
+        .groupBy(col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .select(col("members"), element_at(col("members"), 1).as("rep"),
+          graft.ops.DedupOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("rep"), col("members"), col("t"))
+        .localCheckpoint(true) // shingle build + both expansions
       // candidate plumbing runs on xxhash64 LONGS of the shingles, never
-      // the ~30-byte strings: df counting, the canonical sort key, and the
-      // prefix probe join all only need a consistent identity, and a hash
-      // collision merely adds a candidate that exact STRING verification
-      // rejects. Losslessness of prefix filtering needs only a globally
-      // consistent total order — (df, gh) with gh unique-per-string-modulo-
-      // collision keeps it one, and a shared shingle always shares gh, so
-      // a true pair still hits the probe.
-      val sh = t.filter(size(col("t")) >= 5)
-        .select(col("doc_id"), explode(transform(
+      // the ~30-byte strings: a hash collision merely adds a candidate
+      // that exact STRING verification rejects
+      val sh = groups
+        .select(col("rep"), explode(transform(
           sequence(lit(1), size(col("t")) - 4),
           i => array_join(slice(col("t"), i, lit(5)), " "))).as("g"))
         .distinct()
         .withColumn("gh", xxhash64(col("g")))
-        .localCheckpoint(true) // feeds df, the set build, AND the probe side
-      // ONE materialization serves prefix generation, the probe side, and
-      // verification: per-doc shingle arrays in canonical order (rarity
-      // first — df asc, gh as tiebreak), built by a hash agg + in-array
-      // sort, no window functions over the exploded stream. The struct
-      // sort keys on df first, so slice(…, prefix) is exactly the rare
-      // prefix; the string field rides along for exact verification.
+        .localCheckpoint(true) // feeds df, the set build, AND the probe
       val df = sh.groupBy("gh").agg(count(lit(1)).as("df"))
+      // canonical per-SET arrays, rarity first (df asc, gh tiebreak)
       val sets = sh.join(df, "gh")
-        .groupBy("doc_id")
+        .groupBy("rep")
         .agg(sort_array(collect_list(struct(col("df"), col("gh"), col("g"))))
           .as("sgs"))
-        .select(col("doc_id"),
+        .select(col("rep"),
           transform(col("sgs"), s => s.getField("g")).as("gs"),
           transform(col("sgs"), s => s.getField("gh")).as("ghs"),
           size(col("sgs")).as("n"))
         .localCheckpoint(true) // three consumers, one computation
       // prefix length |A| − ⌈3|A|/5⌉ + 1, all-integer arithmetic
       val prefLen = col("n") - expr("(n * 3 + 4) DIV 5") + 1
-      val aPrefix = sets.select(col("doc_id").as("a_id"),
+      val aPrefix = sets.select(col("rep").as("a_rep"),
         explode(slice(col("ghs"), lit(1), prefLen)).as("gh"))
       val cands = aPrefix
-        .join(sh.select(col("doc_id").as("b_id"), col("gh")), "gh")
-        .filter(col("a_id") =!= col("b_id"))
-        .select("a_id", "b_id").distinct()
-      cands
-        .join(sets.select(col("doc_id").as("a_id"), col("gs").as("ags"),
-          col("n").as("an")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("gs").as("bgs")), "b_id")
+        .join(sh.select(col("rep").as("b_rep"), col("gh")), "gh")
+        .filter(col("a_rep") =!= col("b_rep"))
+        .select("a_rep", "b_rep").distinct()
+      val cross = cands
+        .join(sets.select(col("rep").as("a_rep"), col("gs").as("ags"),
+          col("n").as("an")), "a_rep")
+        .join(sets.select(col("rep").as("b_rep"), col("gs").as("bgs")), "b_rep")
         .withColumn("c", size(array_intersect(col("ags"), col("bgs"))))
         .filter(col("c") * 10 >= col("an") * 6)
-        .select(col("a_id"), col("b_id"),
-          round(col("c").cast(DoubleType) / col("an").cast(DoubleType), 9)
-            .as("containment"))
+        .withColumn("containment",
+          round(col("c").cast(DoubleType) / col("an").cast(DoubleType), 9))
+        .join(groups.select(col("rep").as("a_rep"), col("members").as("am")),
+          Seq("a_rep"))
+        .join(groups.select(col("rep").as("b_rep"), col("members").as("bm")),
+          Seq("b_rep"))
+        .select(explode(col("am")).as("a_id"), col("bm"), col("containment"))
+        .select(col("a_id"), explode(col("bm")).as("b_id"), col("containment"))
+      // identical sets: c = n, threshold always passes, ratio exactly 1.0
+      val intra = groups.filter(size(col("members")) > 1)
+        .select(col("members"), explode(col("members")).as("a_id"))
+        .select(col("a_id"), explode(col("members")).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(1.0d).as("containment"))
+      cross.unionByName(intra)
         .orderBy("a_id", "b_id")
     },
 
