@@ -34,6 +34,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * windows carry total tiebreaks, statistics integerize as ppm via
   * truncating division (`div` ≡ DuckDB `//`), and the Page–Hinkley fold
   * is a fixed IEEE op sequence mirrored in a recursive CTE.
+  *
+  * The wave's second half are dedup-TUNING advisors over the shared
+  * verified ≥0.95 pair artifact ([[PipelineQueries.jaccardPairs]] —
+  * computed once per session, so both sweeps are near-free):
+  * `q_lsh_curve` evaluates the banding S-curve 1 − (1 − sʳ)ᵇ on the
+  * corpus's OBSERVED similarity buckets (fixed multiply chains, never
+  * libm pow), and `q_dup_threshold_sweep` counts surviving pairs and
+  * dropped docs at each candidate threshold — the two numbers that
+  * decide banding parameters and τ before a 100 TB pass.
   */
 object GroupAA {
 
@@ -308,6 +317,117 @@ object GroupAA {
             "* (n1 + n2 + 2 * n1 * n2)) div (n1 + n2)"))
             .as("expected_runs_ppm"))
         .orderBy("event_type")
+    },
+
+    // LSH banding S-curve advisor on the OBSERVED similarity profile:
+    // per 0.01-wide Jaccard bucket of the verified ≥0.95 near-dup pairs
+    // (the shared session artifact every dedup query consumes), the
+    // probability the banding catches a pair at the bucket midpoint —
+    // p = 1 − (1 − s^r)^b for the engine's own (b=2, r=8) config and the
+    // calibration family's (b=4, r=4) — plus the expected caught count.
+    // This is the number that decides banding parameters BEFORE a 100 TB
+    // pass. Determinism: s^r and (1−s^r)^b are FIXED multiply chains
+    // (s²→s⁴→s⁸; q²; (q²)²·(q²)² …) mirrored token-for-token — never
+    // pow(), whose libm rounding differs across engines; ppm via floor.
+    Q("q_lsh_curve",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |               / CAST(len(list_distinct(list_concat(a.t, b.t)))
+        |                      AS DOUBLE), 6) AS jac
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t)))
+        |                     AS DOUBLE), 6) >= 0.95),
+        |bk AS (
+        |  SELECT CAST(floor(jac * 100) AS BIGINT) AS bucket, count(*) AS n
+        |  FROM pairs GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n,
+        |         (CAST(bucket AS DOUBLE) + 0.5) / 100 AS s
+        |  FROM bk),
+        |e AS (
+        |  SELECT bucket, n, s,
+        |         ((s * s) * (s * s)) AS s4,
+        |         (((s * s) * (s * s)) * ((s * s) * (s * s))) AS s8
+        |  FROM c)
+        |SELECT bucket, CAST(n AS BIGINT) AS n_pairs,
+        |       CAST(floor(1000000 * (1 - (1 - s8) * (1 - s8))) AS BIGINT)
+        |         AS p_b2r8_ppm,
+        |       CAST(floor(1000000 * (1 - ((1 - s4) * (1 - s4))
+        |                                 * ((1 - s4) * (1 - s4))))
+        |            AS BIGINT) AS p_b4r4_ppm,
+        |       CAST(floor(CAST(n AS DOUBLE)
+        |                  * (1 - (1 - s8) * (1 - s8))) AS BIGINT)
+        |         AS exp_caught_b2r8
+        |FROM e
+        |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      val s = (col("bucket").cast(DoubleType) + lit(0.5)) / lit(100)
+      val s2 = s * s
+      val s4 = s2 * s2
+      val s8 = s4 * s4
+      val p28 = lit(1) - (lit(1) - s8) * (lit(1) - s8)
+      val q4 = lit(1) - s4
+      val p44 = lit(1) - (q4 * q4) * (q4 * q4)
+      PipelineQueries.jaccardPairs(spark, dir)
+        .groupBy(floor(col("jac") * lit(100)).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), big(col("n")).as("n_pairs"),
+          big(floor(lit(1000000) * p28)).as("p_b2r8_ppm"),
+          big(floor(lit(1000000) * p44)).as("p_b4r4_ppm"),
+          big(floor(col("n").cast(DoubleType) * p28)).as("exp_caught_b2r8"))
+        .orderBy("bucket")
+    },
+
+    // Dedup threshold sensitivity: how many verified pairs (and how many
+    // dropped documents, keep-smallest-id convention) survive each
+    // candidate Jaccard threshold from 0.95 to 1.0 — the sweep a
+    // pipeline owner reads before moving τ, directly from the shared
+    // pair artifact (6 grid rows per pair via one explode — no join, no
+    // second dedup pass). Integer threshold compare on the ppm-scaled
+    // double (identical product both engines).
+    Q("q_dup_threshold_sweep",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                   x -> x <> '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |               / CAST(len(list_distinct(list_concat(a.t, b.t)))
+        |                      AS DOUBLE), 6) AS jac
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |              / CAST(len(list_distinct(list_concat(a.t, b.t)))
+        |                     AS DOUBLE), 6) >= 0.95),
+        |g AS (SELECT 950000 + 10000 * CAST(i AS BIGINT) AS threshold_ppm
+        |      FROM range(0, 6) t(i))
+        |SELECT g.threshold_ppm,
+        |       CAST(count(CASE WHEN p.jac * 1000000 >= g.threshold_ppm
+        |                       THEN 1 END) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT CASE WHEN p.jac * 1000000 >= g.threshold_ppm
+        |                                THEN p.b_id END) AS BIGINT)
+        |         AS n_docs_dropped
+        |FROM g, pairs p
+        |GROUP BY g.threshold_ppm
+        |ORDER BY threshold_ppm""".stripMargin) { (spark, dir) =>
+      PipelineQueries.jaccardPairs(spark, dir)
+        .withColumn("threshold_ppm", explode(array(
+          (0 until 6).map(i => lit(950000L + 10000L * i)): _*)))
+        .groupBy("threshold_ppm")
+        .agg(
+          big(count(when(col("jac") * lit(1000000) >= col("threshold_ppm"),
+            1))).as("n_pairs"),
+          big(countDistinct(when(
+            col("jac") * lit(1000000) >= col("threshold_ppm"),
+            col("b_id")))).as("n_docs_dropped"))
+        .orderBy("threshold_ppm")
     }
   )
 }

@@ -107,6 +107,49 @@ class GroupAASpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q_lsh_curve and q_dup_threshold_sweep equal brute S-curve math " +
+    "and threshold counting over the collected pair artifact") {
+    // same construction as the session artifact (jaccardPairs is
+    // package-private): verified ≥0.95 banded near-dup pairs
+    val pairs = {
+      import org.apache.spark.sql.functions.{col, size}
+      val docs = graft.queries.Q.tbl(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ops.DedupOps.sortedTokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      graft.ops.DedupOps.nearDupPairs(docs).collect()
+        .map(r => (r.getLong(r.fieldIndex("a_id")),
+          r.getLong(r.fieldIndex("b_id")), r.getDouble(r.fieldIndex("jac"))))
+    }
+    assert(pairs.nonEmpty)
+    // S-curve per bucket: the exact multiply chains, never pow()
+    val expCurve = pairs.groupBy(p => math.floor(p._3 * 100).toLong)
+      .map { case (bucket, ps) =>
+        val s = (bucket.toDouble + 0.5) / 100
+        val s2 = s * s; val s4 = s2 * s2; val s8 = s4 * s4
+        val p28 = 1 - (1 - s8) * (1 - s8)
+        val q4 = 1 - s4
+        val p44 = 1 - (q4 * q4) * (q4 * q4)
+        (bucket, ps.size.toLong, math.floor(1000000 * p28).toLong,
+          math.floor(1000000 * p44).toLong,
+          math.floor(ps.size.toDouble * p28).toLong)
+      }.toSeq.sortBy(_._1)
+    val gotCurve = graft.queries.GroupAA.all.find(_.name == "q_lsh_curve")
+      .get.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(gotCurve == expCurve)
+    val expSweep = (0 until 6).map { i =>
+      val t = 950000L + 10000L * i
+      val hit = pairs.filter(_._3 * 1000000 >= t)
+      (t, hit.size.toLong, hit.map(_._2).distinct.size.toLong)
+    }
+    val gotSweep = graft.queries.GroupAA.all
+      .find(_.name == "q_dup_threshold_sweep").get.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotSweep == expSweep)
+  }
+
   test("q_runs_test equals brute above/below-lower-median run counting " +
     "and the exact expected-runs ppm") {
     val expect = types.map { t =>
