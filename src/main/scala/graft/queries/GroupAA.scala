@@ -349,7 +349,7 @@ object GroupAA {
         |  FROM pairs GROUP BY 1),
         |c AS (
         |  SELECT bucket, n,
-        |         (CAST(bucket AS DOUBLE) + 0.5) / 100 AS s
+        |         least((CAST(bucket AS DOUBLE) + 0.5) / 100, 1.0) AS s
         |  FROM bk),
         |e AS (
         |  SELECT bucket, n, s,
@@ -367,7 +367,12 @@ object GroupAA {
         |         AS exp_caught_b2r8
         |FROM e
         |ORDER BY bucket""".stripMargin) { (spark, dir) =>
-      val s = (col("bucket").cast(DoubleType) + lit(0.5)) / lit(100)
+      // clamp the midpoint: the exact-duplicate bucket (jac=1.0 → bucket
+      // 100) must be scored at s=1.0, not the s=1.005 extrapolation whose
+      // (1−s^r)^b dips below zero and reports ≈998343 ppm for the bucket
+      // the advisory matters most for
+      val s = least((col("bucket").cast(DoubleType) + lit(0.5)) / lit(100),
+        lit(1.0))
       val s2 = s * s
       val s4 = s2 * s2
       val s8 = s4 * s4

@@ -516,9 +516,15 @@ object PipelineQueries {
       // of DISTINCT signatures, not corpus multiplicity; clique-internal
       // pairs (agree = 16 by construction) and the member expansion of
       // group-level matches are pure explodes with no shuffle.
-      val groups = sigs.groupBy("sig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-        .localCheckpoint(true) // two consumers: intra pairs + banded join
+      // SessionCache persist (lineage kept), not localCheckpoint: the
+      // group table feeds two consumers (intra pairs + banded join), and
+      // a non-replicated checkpoint block is unrecoverable after an
+      // executor loss at cluster scale — the persisted form rebuilds
+      val groups = graft.util.SessionCache.getOrMaterialize(
+        spark, s"mh_groups:$dir") {
+        sigs.groupBy("sig")
+          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      }
       val n = size(col("members"))
       // within-group ordered pairs: members is sorted, so (m[i], m[j>i])
       // is already (a_id < b_id)
@@ -759,9 +765,13 @@ object PipelineQueries {
       // a pure explode with least/greatest ordering. Intra-group pairs
       // are hamming 0 by construction. Output identical; the oracle
       // keeps its all-pairs form.
-      val groups = sims.groupBy("sim")
-        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-        .localCheckpoint(true) // two consumers: intra pairs + chunk join
+      // SessionCache persist (lineage kept), not localCheckpoint — same
+      // executor-loss argument as the q_dedup_minhash group table
+      val groups = graft.util.SessionCache.getOrMaterialize(
+        spark, s"sh_groups:$dir") {
+        sims.groupBy("sim")
+          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      }
       val n = size(col("members"))
       val intra = groups.filter(n > 1)
         .select(explode(flatten(transform(
@@ -838,13 +848,18 @@ object PipelineQueries {
       // unordered group pair and the member expansion filters on the
       // direction the smaller id belongs to. Output identical; the
       // oracle keeps its member-level form.
-      val groups = e.groupBy(col("embedding"))
-        .agg(sort_array(collect_list(col("vec_id"))).as("members"))
-        .select(col("embedding"), col("members"),
-          element_at(col("members"), 1).as("rep"),
-          Lsh.bucketQ(col("embedding"), planes).as("bucket"),
-          quantN2(col("embedding")).as("n2"))
-        .localCheckpoint(true) // probe side, exact side, and expansion
+      // SessionCache persist (lineage kept), not localCheckpoint — the
+      // frame feeds three plans (probe side, exact side, expansion) and
+      // must survive executor loss at cluster scale
+      val groups = graft.util.SessionCache.getOrMaterialize(
+        spark, s"emb_groups:$dir") {
+        e.groupBy(col("embedding"))
+          .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+          .select(col("embedding"), col("members"),
+            element_at(col("members"), 1).as("rep"),
+            Lsh.bucketQ(col("embedding"), planes).as("bucket"),
+            quantN2(col("embedding")).as("n2"))
+      }
       // intra-group pairs: every clone pair shares its bucket (probes
       // prepend the unflipped bucket), so only the cos ≥ 0.35 predicate
       // decides — computed with the identical kernel (cos(v, v))

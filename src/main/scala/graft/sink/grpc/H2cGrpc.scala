@@ -28,6 +28,7 @@ object H2 {
   // frame types
   val Data = 0x0; val Headers = 0x1; val RstStream = 0x3; val Settings = 0x4
   val Ping = 0x6; val GoAway = 0x7; val WindowUpdate = 0x8
+  val Continuation = 0x9
 
   // flags
   val EndStream = 0x1; val Ack = 0x1; val EndHeaders = 0x4
@@ -338,9 +339,21 @@ object H2 {
   * frames while blocked. Response frames that arrive mid-send (a server
   * may answer before the request ends) are queued for the receive loop.
   */
-final class H2cGrpcClient(host: String, port: Int) extends AutoCloseable {
+object H2cGrpcClient {
+  /** Socket read-timeout backstop (5 min): far above any healthy RPC,
+    * small enough that a peer that never grants credit and never ends
+    * the stream fails the task instead of wedging it. 0 disables. */
+  val DefaultReadTimeoutMs: Int = 300000
+}
+
+final class H2cGrpcClient(host: String, port: Int,
+                          readTimeoutMs: Int = H2cGrpcClient.DefaultReadTimeoutMs)
+  extends AutoCloseable {
 
   private val socket = new Socket(host, port)
+  // backstop against a peer that neither grants window credit nor ends the
+  // stream: a blocked partition task must eventually fail, not hang forever
+  if (readTimeoutMs > 0) socket.setSoTimeout(readTimeoutMs)
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
   private val hpackIn = new H2.HpackDecoder
@@ -426,22 +439,46 @@ final class H2cGrpcClient(host: String, port: Int) extends AutoCloseable {
     val body = java.nio.ByteBuffer.allocate(5 + request.length)
       .put(0.toByte).putInt(request.length).put(request).array()
     var off = 0
-    while (off < body.length) {
-      while (math.min(connWindow, streamWindow) <= 0) {
-        val f = H2.readFrame(in) // blocked: wait for window credit
-        if (control(f, sid, path)) pending.enqueue(f)
+    // a server may end the stream early instead of granting credit — a
+    // trailers-only error response is HEADERS+END_STREAM with no
+    // RST_STREAM and no further WINDOW_UPDATE. Waiting only for credit
+    // would then block forever; once the peer half-closes, abandon the
+    // remaining DATA and let the receive loop surface its grpc-status.
+    var peerEnded = false
+    while (off < body.length && !peerEnded) {
+      while (math.min(connWindow, streamWindow) <= 0 && !peerEnded) {
+        val f = H2.readFrame(in) // blocked: wait for credit OR early end
+        if (control(f, sid, path)) {
+          pending.enqueue(f)
+          if ((f.tpe == H2.Headers || f.tpe == H2.Data) &&
+            (f.flags & H2.EndStream) != 0) peerEnded = true
+        }
       }
-      val n = math.min(math.min(connWindow, streamWindow),
-        math.min(maxFrameSize.toLong, (body.length - off).toLong)).toInt
-      val flags = if (off + n == body.length) H2.EndStream else 0
-      H2.writeFrame(out, H2.Frame(H2.Data, flags, sid,
-        java.util.Arrays.copyOfRange(body, off, off + n)))
-      connWindow -= n; streamWindow -= n; off += n
+      if (!peerEnded) {
+        val n = math.min(math.min(connWindow, streamWindow),
+          math.min(maxFrameSize.toLong, (body.length - off).toLong)).toInt
+        val flags = if (off + n == body.length) H2.EndStream else 0
+        H2.writeFrame(out, H2.Frame(H2.Data, flags, sid,
+          java.util.Arrays.copyOfRange(body, off, off + n)))
+        connWindow -= n; streamWindow -= n; off += n
+      }
     }
 
     val data = new java.io.ByteArrayOutputStream()
     var headers = Map.empty[String, String]
     var done = false
+    // a header block larger than the PEER's max frame size arrives split
+    // across HEADERS + CONTINUATION frames (RFC 7540 §6.10): buffer until
+    // END_HEADERS before HPACK-decoding — a partial block is not decodable
+    // (its last prefixed integer may be cut mid-varint). END_STREAM lives
+    // on the initial HEADERS frame only.
+    val headerBuf = new java.io.ByteArrayOutputStream()
+    var headerEndStream = false
+    def endHeaderBlock(): Unit = {
+      headers ++= hpackIn.decode(headerBuf.toByteArray).toMap
+      headerBuf.reset()
+      if (headerEndStream) done = true
+    }
     while (!done) {
       val (f, fresh) =
         if (pending.nonEmpty) (pending.dequeue(), false)
@@ -449,8 +486,12 @@ final class H2cGrpcClient(host: String, port: Int) extends AutoCloseable {
       val relevant = if (fresh) control(f, sid, path) else true
       if (relevant) f.tpe match {
         case H2.Headers =>
-          headers ++= hpackIn.decode(f.payload).toMap
-          if ((f.flags & H2.EndStream) != 0) done = true
+          headerBuf.write(f.payload)
+          headerEndStream = (f.flags & H2.EndStream) != 0
+          if ((f.flags & H2.EndHeaders) != 0) endHeaderBlock()
+        case H2.Continuation =>
+          headerBuf.write(f.payload)
+          if ((f.flags & H2.EndHeaders) != 0) endHeaderBlock()
         case H2.Data =>
           data.write(f.payload)
           // replenish RECEIVE windows so long responses never stall

@@ -67,9 +67,13 @@ object SegmentRetention {
     * first-cycle state is exactly (0, ""). */
   def readMarker(fs: FileSystem, dir: String): (Long, String) = {
     val p = new Path(dir, MarkerName)
-    if (fs.exists(p))
-      parseMarker(readFile(fs, p)).getOrElse(
-        sys.error(s"bad retirement marker: ${readFile(fs, p).trim}"))
+    if (fs.exists(p)) {
+      // single read: a second read for the error message could race a
+      // concurrent retire cycle's delete→rename and turn the intended
+      // diagnostic into a confusing FileNotFoundException
+      val raw = readFile(fs, p)
+      parseMarker(raw).getOrElse(sys.error(s"bad retirement marker: ${raw.trim}"))
+    }
     else {
       val tmp = new Path(dir, TmpMarkerName)
       if (!fs.exists(tmp)) (0L, "")

@@ -80,7 +80,22 @@ object SessionCache {
   private def maxEntries: Int = // re-read per get: cheap, and testable
     sys.props.get("graft.sessionCache.maxEntries")
       .orElse(sys.env.get("GRAFT_SESSION_CACHE_MAX"))
-      .map(_.toInt).getOrElse(Int.MaxValue)
+      .map { raw =>
+        // a malformed knob must not fail queries AFTER their artifact was
+        // already built (a bare .toInt would throw from inside the get):
+        // warn once per distinct bad value and fall back to unbounded
+        scala.util.Try(raw.trim.toInt).filter(_ > 0).getOrElse {
+          if (warnedBadBound.add(raw))
+            System.err.println(s"[graft] ignoring invalid session-cache " +
+              s"bound '$raw' (set -Dgraft.sessionCache.maxEntries / " +
+              s"GRAFT_SESSION_CACHE_MAX to a positive integer); " +
+              s"cache stays unbounded")
+          Int.MaxValue
+        }
+      }.getOrElse(Int.MaxValue)
+
+  private val warnedBadBound =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val cache = new java.util.IdentityHashMap[SparkSession, Holder]()
 

@@ -125,7 +125,8 @@ class GroupAASpec extends SparkSpec {
     // S-curve per bucket: the exact multiply chains, never pow()
     val expCurve = pairs.groupBy(p => math.floor(p._3 * 100).toLong)
       .map { case (bucket, ps) =>
-        val s = (bucket.toDouble + 0.5) / 100
+        // clamped midpoint: the exact-dup bucket (100) scores at s=1.0
+        val s = math.min((bucket.toDouble + 0.5) / 100, 1.0)
         val s2 = s * s; val s4 = s2 * s2; val s8 = s4 * s4
         val p28 = 1 - (1 - s8) * (1 - s8)
         val q4 = 1 - s4

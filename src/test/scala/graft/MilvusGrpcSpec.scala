@@ -33,7 +33,15 @@ class MilvusGrpcSpec extends AnyFunSuite {
       dispatch: (String, Array[Byte]) => Array[Byte],
       huffman: Boolean = false,
       streamWindow: Int = 65535,
-      maxFrame: Int = 16384) extends AutoCloseable {
+      maxFrame: Int = 16384,
+      // split every trailer block across HEADERS+CONTINUATION (RFC 7540
+      // §6.10 — what a peer does when the block exceeds ITS max frame size)
+      splitTrailers: Boolean = false,
+      // instead of granting window credit on exhaustion, end the stream
+      // with a trailers-only error response (grpc-status, END_STREAM, no
+      // RST, no WINDOW_UPDATE) — grpc-go's shape for an early
+      // RESOURCE_EXHAUSTED rejection of a too-large request
+      earlyTrailerStatus: Option[(String, String)] = None) extends AutoCloseable {
     val calls = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val violations = new java.util.concurrent.CopyOnWriteArrayList[String]()
     private val server = new ServerSocket(0, 8,
@@ -100,10 +108,19 @@ class MilvusGrpcSpec extends AnyFunSuite {
               Thread.sleep(150)
               if (in.available() > 0)
                 violations.add("client kept sending on an exhausted window")
-              val inc = java.nio.ByteBuffer.allocate(4).putInt(1 << 20).array()
-              H2.writeFrame(out, H2.Frame(H2.WindowUpdate, 0, f.streamId, inc))
-              H2.writeFrame(out, H2.Frame(H2.WindowUpdate, 0, 0, inc))
-              granted += (1L << 20)
+              earlyTrailerStatus match {
+                case Some((status, msg)) =>
+                  // reject early: trailers-only response, never any credit
+                  writeTrailers(out, encode, f.streamId,
+                    Seq(":status" -> "200",
+                      "content-type" -> "application/grpc",
+                      "grpc-status" -> status, "grpc-message" -> msg))
+                case None =>
+                  val inc = java.nio.ByteBuffer.allocate(4).putInt(1 << 20).array()
+                  H2.writeFrame(out, H2.Frame(H2.WindowUpdate, 0, f.streamId, inc))
+                  H2.writeFrame(out, H2.Frame(H2.WindowUpdate, 0, 0, inc))
+                  granted += (1L << 20)
+              }
             }
             if ((f.flags & H2.EndStream) != 0) {
               val path = paths(f.streamId)
@@ -122,15 +139,34 @@ class MilvusGrpcSpec extends AnyFunSuite {
               val framed = java.nio.ByteBuffer.allocate(5 + resp.length)
               framed.put(0.toByte).putInt(resp.length).put(resp)
               H2.writeFrame(out, H2.Frame(H2.Data, 0, f.streamId, framed.array()))
-              H2.writeFrame(out, H2.Frame(H2.Headers,
-                H2.EndHeaders | H2.EndStream, f.streamId,
-                encode(Seq("grpc-status" -> status) ++
-                  (if (msg.nonEmpty) Seq("grpc-message" -> msg) else Nil))))
+              writeTrailers(out, encode, f.streamId,
+                Seq("grpc-status" -> status) ++
+                  (if (msg.nonEmpty) Seq("grpc-message" -> msg) else Nil))
             }
           case _ => () // SETTINGS ack, WINDOW_UPDATE, PING — ignored
         }
       }
     } catch { case _: Exception => () } finally sock.close()
+
+    /** Trailer block, optionally split HEADERS+CONTINUATION: END_STREAM
+      * rides the initial HEADERS frame; END_HEADERS only on the final
+      * fragment (RFC 7540 §6.10). The cut lands mid-block — a partial
+      * fragment is not independently HPACK-decodable, so a client that
+      * decodes per-frame mis-parses here. */
+    private def writeTrailers(out: DataOutputStream,
+        encode: Seq[(String, String)] => Array[Byte], sid: Int,
+        hs: Seq[(String, String)]): Unit = {
+      val block = encode(hs)
+      if (splitTrailers && block.length >= 2) {
+        val cut = block.length / 2
+        H2.writeFrame(out, H2.Frame(H2.Headers, H2.EndStream, sid,
+          java.util.Arrays.copyOfRange(block, 0, cut)))
+        H2.writeFrame(out, H2.Frame(H2.Continuation, H2.EndHeaders, sid,
+          java.util.Arrays.copyOfRange(block, cut, block.length)))
+      } else
+        H2.writeFrame(out,
+          H2.Frame(H2.Headers, H2.EndHeaders | H2.EndStream, sid, block))
+    }
 
     override def close(): Unit = { running = false; server.close() }
   }
@@ -284,6 +320,63 @@ class MilvusGrpcSpec extends AnyFunSuite {
         val e = intercept[java.io.IOException] { t.delete("c", Seq("x")) }
         assert(e.getMessage.contains("status 7") &&
           e.getMessage.contains("PERMISSION_DENIED"))
+      } finally t.close()
+    } finally mock.close()
+  }
+
+  test("trailer block split across HEADERS+CONTINUATION decodes (a peer " +
+    "whose block exceeds its own max frame size must split; END_HEADERS " +
+    "gates the HPACK decode)") {
+    var exists = false
+    val mock = new MockMilvus((m, req) => m match {
+      case "Delete" => throw GrpcFail("7", "PERMISSION_DENIED")
+      case _ => standardDispatch(() => exists)(m, req)
+    }, huffman = true, splitTrailers = true)
+    try {
+      // full bootstrap through split (and huffman-coded) trailer blocks
+      val base = s"grpc://127.0.0.1:${mock.port}"
+      new MilvusSink(base, "c", transport = "grpc").ensureCollection(64)
+      assert(mock.calls.toArray.toSeq == Seq("HasCollection",
+        "CreateCollection", "CreateIndex", "LoadCollection"))
+      exists = true
+      // the split error trailer reassembles with its full message intact
+      val t = new graft.sink.MilvusGrpcTransport("127.0.0.1", mock.port)
+      try {
+        val e = intercept[java.io.IOException] { t.delete("c", Seq("x")) }
+        assert(e.getMessage.contains("status 7") &&
+          e.getMessage.contains("PERMISSION_DENIED"))
+      } finally t.close()
+    } finally mock.close()
+  }
+
+  test("early trailers-only error while the send is flow-control-blocked " +
+    "surfaces the grpc-status instead of hanging (no RST, no credit ever)") {
+    // 1 KiB window + a ~40 KiB upsert: the client WILL block for credit;
+    // the server answers with a trailers-only RESOURCE_EXHAUSTED and
+    // never grants another byte — the pre-fix client waits forever here
+    val mock = new MockMilvus(standardDispatch(() => true),
+      streamWindow = 1024, maxFrame = 2048,
+      earlyTrailerStatus = Some(("8", "RESOURCE_EXHAUSTED: request too large")))
+    try {
+      val t = new graft.sink.MilvusGrpcTransport("127.0.0.1", mock.port)
+      try {
+        val points = (0 until 300).map(i =>
+          (s"pk:$i", (0 until 32).map(d => (i * 32 + d).toFloat),
+            Map("pk" -> i.toString)))
+        val done = new java.util.concurrent.CountDownLatch(1)
+        @volatile var thrown: Throwable = null
+        val worker = new Thread(() => {
+          try t.upsert("c", points)
+          catch { case e: Throwable => thrown = e }
+          finally done.countDown()
+        })
+        worker.setDaemon(true); worker.start()
+        // generous bound: the call must FAIL promptly, not block forever
+        assert(done.await(20, java.util.concurrent.TimeUnit.SECONDS),
+          "upsert hung while flow-control-blocked on an early-ended stream")
+        assert(thrown.isInstanceOf[java.io.IOException] &&
+          thrown.getMessage.contains("status 8") &&
+          thrown.getMessage.contains("RESOURCE_EXHAUSTED"), s"got: $thrown")
       } finally t.close()
     } finally mock.close()
   }
