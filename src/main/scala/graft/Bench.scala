@@ -5,12 +5,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    def newSession(): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    var spark = newSession()
     spark.sparkContext.setLogLevel("WARN")
     // Warm each query's whole-stage-codegen classes on the smallest fixture:
     // generated code is scale-independent, so the compile cost (which
@@ -45,30 +46,60 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    def pass(over: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Map[String, Double] = over.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     // Two full timed passes, min per query: the box the bench runs on is
     // shared, and a scheduler hiccup in a single pass shows up as a uniform
     // 1.3-3x inflation of every query — the min of two passes measures the
     // plan, not the neighbor's load. Passes alternate over the whole suite
     // so both see the same cache state ordering.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    // absorb first-position bias: the alphabetically-first query pays any
-    // residual first-touch cost (JIT tails, allocator warm-up) in BOTH
-    // timed passes — min-of-two cannot remove a bias that hits both. One
-    // untimed execution moves it out of the measurement (observed: the
-    // first query reading 3–4× its quiet-box time while the rest of the
-    // suite sat at a uniform ~1.2× load factor).
-    ordered.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
-    val (p1, p2) = (pass(), pass())
-    val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+    //
+    // SPARK_GRAFT_RECYCLE=N (unset for driver runs — behavior unchanged):
+    // the big-fixture evidence runs (bench_sf1.sh) chunk the suite into
+    // N-query groups, each on a FRESH SparkSession. One 270-query pass in
+    // a single JVM accretes every query's SessionCache artifacts and
+    // shuffle buffers into one old generation, and late-alphabet queries
+    // then measure the collector, not their plan (r11 committed 9x
+    // distortions: q_ann_graph 8.9 s in-suite vs 1.0 s isolated). Per
+    // chunk: recycle session -> one untimed warm run (rebuilds the chunk's
+    // shared artifacts + any fresh codegen) -> the two timed passes. Heap
+    // never holds more than one chunk's artifacts, min-of-2 still strips
+    // scheduler noise, and artifact-build cost stays out of the timings
+    // exactly as in the single-session form (built pre-timing, reused
+    // warm). Whole-stage-codegen classes survive recycling (the code cache
+    // is static, keyed by generated source), so the sf0.001 warmup above
+    // is not repeated.
+    val recycle: Option[Int] =
+      sys.env.get("SPARK_GRAFT_RECYCLE").map(_.trim.toInt).filter(_ > 0)
+    val results: Seq[(String, Double)] = recycle match {
+      case None =>
+        // absorb first-position bias: the alphabetically-first query pays
+        // any residual first-touch cost (JIT tails, allocator warm-up) in
+        // BOTH timed passes — min-of-two cannot remove a bias that hits
+        // both. One untimed execution moves it out of the measurement
+        // (observed: the first query reading 3–4× its quiet-box time while
+        // the rest of the suite sat at a uniform ~1.2× load factor).
+        ordered.headOption.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+        }
+        val (p1, p2) = (pass(ordered), pass(ordered))
+        ordered.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+      case Some(n) =>
+        ordered.grouped(n).toSeq.flatMap { chunk =>
+          graft.util.SessionCache.invalidate(spark)
+          spark.stop()
+          spark = newSession()
+          spark.sparkContext.setLogLevel("WARN")
+          pass(chunk) // untimed warm: artifacts + first-touch, discarded
+          val (p1, p2) = (pass(chunk), pass(chunk))
+          chunk.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+        }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Growth-law measurement for the scale-critical query tail (VERDICT r11
+  * #5): run a named query subset against one fixture directory and report
+  * per-query min-of-2 wall time AND output row count as one JSON line.
+  *
+  * Rows matter because the derived fixtures (ScaleUp's key-shifted clone
+  * shards) grow TRUE near-dup pairs quadratically in the replica count by
+  * construction — a pair-emitting query's wall time at k replicas is
+  * dominated by k² legitimate output, not candidate work, and only the
+  * time-per-output-row exponent is meaningful for it. Reporting rows next
+  * to seconds lets tools/bench_scale.sh separate compute growth from
+  * output growth instead of committing another distorted table.
+  *
+  * Protocol per invocation (one fixture, fresh JVM per scale point by way
+  * of the wrapper script): sf0.001 codegen warmup for the subset, target
+  * pre-read, one untimed warm run (builds shared SessionCache artifacts),
+  * then two timed runs, min per query — Bench's measurement discipline.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_ONLY=q_a,q_b \
+  *          runMain graft.tools.ScaleLaw
+  */
+object ScaleLaw {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env("SPARK_GRAFT_SF_DIR")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val names = sys.env("SPARK_GRAFT_ONLY").split(",").map(_.trim).toSeq
+    val unknown = names.toSet.diff(graft.SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val subset = names.map(n => n -> graft.SparkEntry.queries(n))
+    subset.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+    new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getPath)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    def pass(): Map[String, (Double, Long)] = subset.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      name -> ((System.nanoTime() - t0) / 1e9, rows)
+    }.toMap
+    pass() // warm: artifacts + first touch, discarded
+    val (p1, p2) = (pass(), pass())
+    val qs = subset.map { case (name, _) =>
+      val (t1, r1) = p1(name); val (t2, _) = p2(name)
+      s"""\"$name\":{\"sec\":${math.min(t1, t2)},\"rows\":$r1}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scalelaw","sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env bash
+# Second scale decade for the scale-critical query tail (VERDICT r11 #5):
+# the 10x point (tools/bench_sf1.json) showed the compacted plans flat at
+# one decade; the 100 TB claim extrapolates two more. This derives a 30x
+# fixture (ScaleUp, 30 key-shifted clone shards) next to the 10x one and
+# measures the heavy tail at sf0.1 / sf1 / sf3 with graft.tools.ScaleLaw
+# (fresh JVM per scale point, warm run + min-of-2, rows recorded), then
+# fits per-query growth exponents:
+#
+#   e(a->b) = log(t_b/t_a) / log(scale_b/scale_a)
+#
+# reported both for wall seconds and for seconds-per-output-row — the
+# latter is the honest exponent for pair-emitting dedup queries, whose
+# OUTPUT grows quadratically in the replica count by fixture construction
+# (k clone shards make k^2 true pairs per original dup group).
+#
+# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r12.json)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-tools/growthlaw_r12.json}"
+
+QUERIES="q_dedup_minhash,q_dedup_simhash,q_dedup_embedding,q_semdedup,\
+q_minhash_weighted,q_minhash_calibration,q_ngram_jaccard,q_ngram_containment,\
+q_dup_components,q_symspell,q_label_noise,q_bitext_margin,q_nn_descent,\
+q_ann_graph,q_link_predict,q_graph_khop,q_basket_pairs,q_pagerank,\
+q_boilerplate,q_lm_surprise,q_decontaminate,q_top_terms,q_dsir,q_cooccur"
+
+derive() { # derive <replicas> <dir>
+  local reps="$1" dir="$2"
+  if [ ! -e "$dir/lineitem.parquet" ]; then
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $dir $reps"
+  fi
+}
+derive 10 tmp/sf1_raw
+derive 30 tmp/sf3_raw
+
+mkdir -p tmp
+run() { # run <sfdir> <log>
+  SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$1" \
+    SPARK_GRAFT_ONLY="$QUERIES" \
+    sbt -batch "runMain graft.tools.ScaleLaw" 2>&1 | tee "$2" \
+    | grep -o '{"metric":"scalelaw".*' > "$2.json"
+}
+run /root/testdata/sf0.1 tmp/scalelaw_sf01.log
+run "$PWD/tmp/sf1_raw"   tmp/scalelaw_sf1.log
+run "$PWD/tmp/sf3_raw"   tmp/scalelaw_sf3.log
+
+python3 - "$OUT" <<'EOF'
+import json, math, sys
+pts = [("sf0.1", 0.1, "tmp/scalelaw_sf01.log.json"),
+       ("sf1",   1.0, "tmp/scalelaw_sf1.log.json"),
+       ("sf3",   3.0, "tmp/scalelaw_sf3.log.json")]
+data = {}
+for name, sf, path in pts:
+    data[name] = json.loads(open(path).read())["queries"]
+out = {}
+def expo(ta, tb, sa, sb):
+    if ta <= 0 or tb <= 0: return None
+    return round(math.log(tb / ta) / math.log(sb / sa), 3)
+for q in data["sf0.1"]:
+    t01, r01 = data["sf0.1"][q]["sec"], data["sf0.1"][q]["rows"]
+    t1,  r1  = data["sf1"][q]["sec"],  data["sf1"][q]["rows"]
+    t3,  r3  = data["sf3"][q]["sec"],  data["sf3"][q]["rows"]
+    rec = {"sec":  {"sf0.1": round(t01,3), "sf1": round(t1,3), "sf3": round(t3,3)},
+           "rows": {"sf0.1": r01, "sf1": r1, "sf3": r3},
+           "e_time": {"0.1->1": expo(t01,t1,0.1,1), "1->3": expo(t1,t3,1,3)}}
+    # seconds per output row, when output itself grows: the honest
+    # exponent for pair-emitting queries on the clone fixture
+    if r01 and r1 and r3 and r01 > 0 and r3 > r01 * 30:
+        rec["e_per_row"] = {"0.1->1": expo(t01/r01, t1/r1, 0.1, 1),
+                            "1->3":   expo(t1/r1,  t3/r3,  1,   3)}
+    out[q] = rec
+json.dump({"queries": out,
+           "note": "min-of-2 warm passes, fresh JVM per scale point; "
+                   "e_per_row reported where output grows superlinearly "
+                   "(clone-shard fixture makes true pairs quadratic in "
+                   "replicas by construction)"},
+          open(sys.argv[1], "w"), indent=1)
+print("wrote", sys.argv[1])
+EOF

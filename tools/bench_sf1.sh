@@ -11,6 +11,11 @@
 #    localCheckpoint artifacts at sf1 need the headroom (the default 8g
 #    dies with Spark OOM exit code 52). SPARK_DRIVER_MEM feeds the
 #    forked runMain heap via build.sbt javaOptions — SBT_OPTS does NOT.
+# 3. SPARK_GRAFT_RECYCLE=24 (round 12): chunked session recycling inside
+#    Bench — every 24 queries get a fresh SparkSession plus one untimed
+#    warm run before their two timed passes, so late-alphabet queries
+#    measure their plan, not the GC debt of 250 predecessors' artifacts
+#    (r11's committed file carried 9x distortions from exactly that).
 #
 # Usage: tools/bench_sf1.sh [outJson]     (default tools/bench_sf1.json)
 set -euo pipefail
@@ -40,6 +45,7 @@ mkdir -p tmp
 # tee the raw log: grep -o alone would discard the crash diagnostics if
 # the JVM died mid-suite
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR="$PWD/$SF1" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_RECYCLE="${SPARK_GRAFT_RECYCLE:-24}" \
   sbt -batch "runMain graft.Bench" 2>&1 | tee tmp/bench_sf1.log \
   | grep -o '{"metric".*' > "$OUT"
 echo "wrote $OUT"
