@@ -56,7 +56,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_fair_quota",      // ONE-ROW budget + water-level cross joins
       "q_join_order",      // ONE-ROW cardinality-probe cross joins
       "q_fk_violations",   // ONE-ROW child-total cross join per relationship
-      "q_kruskal_wallis")  // ONE-ROW (N, Σq) H-statistic cross join (scalar shape)
+      "q_kruskal_wallis",  // ONE-ROW (N, Σq) H-statistic cross join (scalar shape)
+      "q_detector_agreement", // ONE-ROW truth-count cross join (scalar shape)
+      "q_cuped",           // ONE-ROW calendar-midpoint + moment cross joins
+      "q_friedman",        // ONE-ROW k + (n,k,ΣR²) statistic cross joins
+      "q_source_divergence") // bounded |sources|² pair grid (the q_ks_drift shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
