@@ -44,7 +44,7 @@ object GroupAB {
 
   /** Shared oracle CTE: per-(type, day) count + exact mean (GroupAA's
     * daily axis — the calendar-bounded reduction every monitor runs on). */
-  private val dailyCte =
+  private[queries] val dailyCte =
     """d AS (
       |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
       |         count(*) AS cnt,
@@ -52,28 +52,23 @@ object GroupAB {
       |           / CAST(count(*) AS DOUBLE) AS m
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
-  private def daily(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): org.apache.spark.sql.DataFrame =
+  private[queries] def daily(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
     events(spark, dir)
       .groupBy(col("event_type").as("t"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).as("cnt"),
         (dsum(col("value")) / count(lit(1)).cast(DoubleType)).as("m"))
 
-  val all: Seq[Q] = Seq(
-
-    // Near-dup detector confusion audit: precision/recall (ppm floors) of
-    // the MinHash estimator (≥15/16 permutation agreement) and the SimHash
-    // detector (hamming ≤3) against the exact ≥0.95 token-Jaccard truth
-    // set. The Spark side COMPOSES the three already-registered pipelines
-    // (the q_recall_at_k pattern): detectors re-run from their
-    // session-cached group tables, truth is the shared verified pair
-    // artifact — so the audit is near-free after any of them has run. The
-    // oracle recomputes all three pair sets its own all-pairs way. Shapes:
-    // two equi-joins on (a_id, b_id) + per-detector counts; the ONE-ROW
-    // truth count cross-joins back (the q_bm25 scalar shape).
-    Q("q_detector_agreement",
-      """WITH toks AS (
+  /** Shared oracle CTE block: the three pair sets every detector-evaluation
+    * query compares — `jp` (exact ≥0.95 token-Jaccard truth), `mh` (MinHash
+    * ≥15/16 agreement), `sh` (SimHash hamming ≤3), plus `net` (docs with a
+    * non-empty token set — the universe the detectors run on). Recomputed
+    * all-pairs by DuckDB so the oracle never depends on which Spark
+    * banding/verification path produced them. Used by q_detector_agreement
+    * here and Group AC's q_mcnemar / q_cohens_kappa. */
+  private[queries] val detectorCtes: String =
+    """toks AS (
         |  SELECT doc_id, lang,
         |         list_distinct(list_filter(string_split(lower(text), ' '),
         |                                   x -> x <> '')) AS t
@@ -131,7 +126,24 @@ object GroupAB {
         |sh AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-        |  WHERE len(list_filter(range(0, 64), k -> a.b[k+1] <> b.b[k+1])) <= 3),
+        |  WHERE len(list_filter(range(0, 64), k -> a.b[k+1] <> b.b[k+1])) <= 3)"""
+      .stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Near-dup detector confusion audit: precision/recall (ppm floors) of
+    // the MinHash estimator (≥15/16 permutation agreement) and the SimHash
+    // detector (hamming ≤3) against the exact ≥0.95 token-Jaccard truth
+    // set. The Spark side COMPOSES the three already-registered pipelines
+    // (the q_recall_at_k pattern): detectors re-run from their
+    // session-cached group tables, truth is the shared verified pair
+    // artifact — so the audit is near-free after any of them has run. The
+    // oracle recomputes all three pair sets its own all-pairs way
+    // ([[detectorCtes]]). Shapes: two equi-joins on (a_id, b_id) +
+    // per-detector counts; the ONE-ROW truth count cross-joins back (the
+    // q_bm25 scalar shape).
+    Q("q_detector_agreement",
+      s"""WITH $detectorCtes,
         |det AS (
         |  SELECT 'minhash' AS detector, a_id, b_id FROM mh
         |  UNION ALL SELECT 'simhash', a_id, b_id FROM sh),
@@ -152,9 +164,12 @@ object GroupAB {
         |FROM agg, tt
         |ORDER BY detector""".stripMargin) { (spark, dir) =>
       val truth = PipelineQueries.jaccardPairs(spark, dir).select("a_id", "b_id")
-      val det = graft.SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      // the detectors' session-cached PAIR artifacts, not the registered
+      // queries: re-deriving both pair sets re-paid the full emission per
+      // audit (190 s at sf1 on the ×100-pair clone fixture — round-12 fix)
+      val det = PipelineDedup.minhashPairs(spark, dir)
         .select(lit("minhash").as("detector"), col("a_id"), col("b_id"))
-        .unionByName(graft.SparkEntry.queries("q_dedup_simhash")(spark, dir)
+        .unionByName(PipelineDedup.simhashPairs(spark, dir)
           .select(lit("simhash").as("detector"), col("a_id"), col("b_id")))
       val agg = det
         .join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
@@ -178,9 +193,26 @@ object GroupAB {
     // shuffle: explode ×16, ONE hash agg with map-side combine; at 100 TB
     // the 16× row amplification is pipelined inside the partial aggregate,
     // never materialized). Determinism contract: the draw is bucket =
-    // fnv1a64('bs:' ∥ rowkey ∥ ':' ∥ hex(b)) mod 16 mapped through the
+    // fnv1a64('bs:' ∥ rowkey ∥ ':' ∥ chr(48+b)) mod 16 mapped through the
     // 16-bucket Poisson(1) pmf quantization {6,6,3,1}/16 → weights
     // {0,1,2,3} (mean 15/16; the mean STATISTIC is weight-ratio invariant).
+    // REPLICATE CODES ASCII 48..63 ('0'..'9',':'..'?'), NOT hex chars —
+    // the round-12 aliasing fix. The low k bits of the closing FNV
+    // multiply depend only on the low k bits of its operands (odd
+    // multiplier: bucket = 3·(kh₄ ⊕ code₄) mod 16), so hex codes, whose
+    // low nibbles collide ('1'…'6' vs 'a'…'f'), made replicate 10 ≡ 1 …
+    // 15 ≡ 6 on EVERY row — 16 nominal replicates, 10 distinct, invisible
+    // to the hash gate because both engines shared the flaw. No fixed
+    // bit window can fix this (a single mod-2⁶⁴ multiply diffuses
+    // differences UPWARD only — bits 40..43 alias '1'/'a' pairs because
+    // their xor, 80, is a multiple of 16; measured, not theoretical). With
+    // 16 codes DISTINCT mod 16, the per-row bucket map b ↦ 3·(kh₄⊕b) is a
+    // BIJECTION: every row sees each bucket exactly once across its 16
+    // replicates — the BALANCED bootstrap (Davison & Hinkley's variance-
+    // reduced design): per-replicate marginals keep the exact pmf, every
+    // row's weights across replicates are the same {0⁶,1⁶,2³,3¹} multiset
+    // (Σ_b w_b = 15 exactly), and replicate pairs now disagree on every
+    // row. GroupABSpec pins the bijection and the balance.
     // DuckDB folds the row prefix once and extends by the single replicate
     // character — fnv(s1∥c) = one xor-multiply step from fnv(s1) — so 16
     // replicates cost 16 integer ops, not 16 refolds. Replicate means are
@@ -208,9 +240,7 @@ object GroupAB {
         |              WHEN bucket < 15 THEN 2 ELSE 3 END AS w
         |  FROM (
         |    SELECT flag, qty, b,
-        |           ((xor(kh, CAST(CASE WHEN b < 10 THEN 48 + b
-        |                               ELSE 87 + b END AS HUGEINT))
-        |             * 1099511628211)
+        |           ((xor(kh, CAST(48 + b AS HUGEINT)) * 1099511628211)
         |            % CAST(18446744073709551616 AS HUGEINT)) % 16 AS bucket
         |    FROM h, range(0, 16) tb(b))),
         |rep AS (
@@ -233,7 +263,9 @@ object GroupAB {
         |FROM base JOIN rk ON base.flag = rk.flag
         |GROUP BY base.flag, n_rows, mean_qty
         |ORDER BY flag""".stripMargin) { (spark, dir) =>
-      val hexChars = typedLit("0123456789abcdef".map(_.toString))
+      // ascii 48..63: the 16 replicate codes distinct mod 16 (see the
+      // aliasing note above)
+      val repChars = typedLit((48 to 63).map(_.toChar.toString))
       val r = tbl(spark, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         concat(lit("bs:"),
@@ -247,7 +279,7 @@ object GroupAB {
       val w = r
         .withColumn("b", explode(sequence(lit(0), lit(15))))
         .withColumn("hb",
-          VectorOps.fnv1a64(concat(col("ks"), element_at(hexChars, col("b") + 1))))
+          VectorOps.fnv1a64(concat(col("ks"), element_at(repChars, col("b") + 1))))
         .withColumn("bucket", pmod(col("hb"), lit(16L)))
         .withColumn("w",
           when(col("bucket") < 6, 0L).when(col("bucket") < 12, 1L)
@@ -434,11 +466,15 @@ object GroupAB {
         |ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
       val wide = DecimalType(38, 0)
       // vocabulary-sized count table, read by three plans (both join
-      // sides + the totals) — materialize once
-      val c = tbl(spark, dir, "documents")
-        .select(col("source"), explode(DedupOps.tokens(col("text"))).as("term"))
-        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+      // sides + the totals) — materialize once; SessionCache persist
+      // (lineage kept, executor-loss safe, LRU-boundable), not
+      // localCheckpoint — the round-11 artifact policy
+      val c = graft.util.SessionCache.getOrMaterialize(
+        spark, s"src_divergence_counts:$dir") {
+        tbl(spark, dir, "documents")
+          .select(col("source"), explode(DedupOps.tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      }
       val tot = c.groupBy("source").agg(sum(col("cnt")).as("tot"))
       val grid = tot.select(col("source").as("sa"), col("tot").as("ta"))
         .join(tot.select(col("source").as("sb"), col("tot").as("tb")),

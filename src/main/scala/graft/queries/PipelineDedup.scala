@@ -18,6 +18,151 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object PipelineDedup {
   import PipelineQueries._
 
+  /** MinHash ≥15/16 near-dup PAIR TABLE (a_id, b_id, agree) — a session
+    * artifact like [[PipelineQueries.jaccardPairs]]: the pair set is the
+    * pipeline product every downstream evaluation reads
+    * (q_detector_agreement, q_mcnemar, q_cohens_kappa), and a real
+    * pipeline computes it ONCE per corpus. Round 12 hoisted it out of the
+    * q_dedup_minhash closure after the recycled sf1 run measured the
+    * composed audits re-paying the full pair emission (190 s for
+    * q_detector_agreement alone — 3 detectors × the clone fixture's ×100
+    * pair volume); with the artifact shared, the emission is paid once and
+    * every consumer joins the materialized table. Construction unchanged:
+    * identical-signature compaction, then intra-group explode + lossless
+    * 2×8 banded join over DISTINCT signatures. */
+  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"mh_pairs:$dir") {
+      val sigs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          DedupOps.minhashSignatureFnv(col("toks"), 16).as("sig"))
+      // IDENTICAL-SIGNATURE COMPACTION before the banded join: exact-dup
+      // cliques (hundreds of members in this corpus) would otherwise sit in
+      // one band bucket and pay a quadratic bucket×bucket join through the
+      // shuffle. Grouping by signature first makes join volume a function
+      // of DISTINCT signatures, not corpus multiplicity; clique-internal
+      // pairs (agree = 16 by construction) and the member expansion of
+      // group-level matches are pure explodes with no shuffle.
+      // SessionCache persist (lineage kept), not localCheckpoint: the
+      // group table feeds two consumers (intra pairs + banded join), and
+      // a non-replicated checkpoint block is unrecoverable after an
+      // executor loss at cluster scale — the persisted form rebuilds
+      val groups = graft.util.SessionCache.getOrMaterialize(
+        spark, s"mh_groups:$dir") {
+        sigs.groupBy("sig")
+          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      }
+      val n = size(col("members"))
+      // within-group ordered pairs by DOUBLE EXPLODE, not flatten(transform):
+      // flatten materializes a group's whole C(m,2) pair ARRAY in one
+      // allocation, and on a 30-replica clone fixture a 500-doc dup group
+      // becomes 15,000 members → a single ~3.6 GB array (measured: the sf3
+      // scale run died exactly there). Two generates stream the same pairs
+      // row-by-row with memory bounded by one members list; a_id < b_id on
+      // the sorted-distinct members keeps each pair once.
+      val intra = groups.filter(n > 1)
+        .select(explode(col("members")).as("a_id"), col("members"))
+        .select(col("a_id"), explode(col("members")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(16L).as("agree"))
+      // cross-group candidates: 2 bands × 8 rows over DISTINCT signatures —
+      // lossless for the ≥15 floor (≤1 disagreeing permutation cannot touch
+      // both bands); a band-key hash collision only adds a candidate the
+      // agree floor rejects
+      val banded = groups
+        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 2, 8)))
+        .withColumn("bh", xxhash64(col("band")))
+      def side(p: String) = banded.select(col("members").as(s"${p}m"),
+        col("sig").as(s"${p}_sig"), col("bh"))
+      val cross = side("a").join(side("b"), "bh")
+        // order group pairs by their (distinct) first members so each
+        // unordered group pair appears once before the member expansion
+        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
+        .select(col("am"), col("bm"),
+          big(size(filter(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)))
+            .as("agree"))
+        .filter(col("agree") >= 15 && col("agree") < 16)
+        .dropDuplicates("am", "bm")
+        .select(explode(col("am")).as("x"), col("bm"), col("agree"))
+        .select(col("x"), explode(col("bm")).as("y"), col("agree"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("agree"))
+      // rebalance before the persist: explode output inherits its PARENT's
+      // partitioning, so one mega-group's pairs land in one partition and
+      // the columnar cache must unroll them as one block (the second half
+      // of the measured sf3 OOM). A hash repartition bounds every cached
+      // block and every downstream join task.
+      intra.unionByName(cross)
+        .repartition(spark.sparkContext.defaultParallelism * 8,
+          col("a_id"), col("b_id"))
+    }
+
+  /** SimHash hamming ≤3 near-dup PAIR TABLE (a_id, b_id, hamming) — the
+    * [[minhashPairs]] principle for the second detector: computed once per
+    * session, read by q_dedup_simhash and every detector-evaluation query.
+    * Construction unchanged: identical-signature compaction, intra-group
+    * explode (hamming 0 by construction), lossless multi-index
+    * block-triple join over DISTINCT signatures. */
+  private[queries] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"sh_pairs:$dir") {
+      val sims = tbl(spark, dir, "documents")
+        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), DedupOps.simhashFnv(col("toks")).as("sim"))
+      // IDENTICAL-SIGNATURE COMPACTION (round-11, the q_dedup_minhash
+      // layer applied here): clone-heavy corpora put every copy of a doc
+      // at the SAME simhash, so the member-level chunk join paid the
+      // clone square through ~20 block-triple tables and the distinct
+      // (sf1 measured 59× for 10× data). Grouping by signature first
+      // makes chunk-join volume a function of DISTINCT signatures; the
+      // chunk join is symmetric (both sides explode all keys), so every
+      // member pair of a qualifying group pair qualifies — expansion is
+      // a pure explode with least/greatest ordering. Intra-group pairs
+      // are hamming 0 by construction. Output identical; the oracle
+      // keeps its all-pairs form.
+      // SessionCache persist (lineage kept), not localCheckpoint — same
+      // executor-loss argument as the q_dedup_minhash group table
+      val groups = graft.util.SessionCache.getOrMaterialize(
+        spark, s"sh_groups:$dir") {
+        sims.groupBy("sim")
+          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      }
+      val n = size(col("members"))
+      // double explode, not flatten(transform) — the [[minhashPairs]]
+      // mega-group allocation argument
+      val intra = groups.filter(n > 1)
+        .select(explode(col("members")).as("a_id"), col("members"))
+        .select(col("a_id"), explode(col("members")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+      // multi-index block-triple keys (lossless for hamming≤3, ~32-bit key
+      // space): random-collision candidate volume stays sub-quadratic out
+      // to 1e6-1e7 DISTINCT docs where single 16-bit chunks saturate
+      // around 1e5 — the oracle is unaffected because candidates are
+      // verified exactly
+      val chunked = groups
+        .withColumn("chunk", explode(DedupOps.simhashMultiKeys(col("sim"))))
+      def side(p: String) = chunked.select(col("members").as(s"${p}m"),
+        col("sim").as(s"${p}_sim"), col("chunk"))
+      val cross = side("a").join(side("b"), "chunk")
+        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
+        .select(col("am"), col("bm"),
+          big(DedupOps.hamming(col("a_sim"), col("b_sim"))).as("hamming"))
+        .filter(col("hamming") <= 3) // ≥1 implicit: distinct signatures
+        .dropDuplicates("am", "bm")
+        .select(explode(col("am")).as("x"), col("bm"), col("hamming"))
+        .select(col("x"), explode(col("bm")).as("y"), col("hamming"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+      // rebalance before the persist — the [[minhashPairs]] mega-group
+      // cached-block argument
+      intra.unionByName(cross)
+        .repartition(spark.sparkContext.defaultParallelism * 8,
+          col("a_id"), col("b_id"))
+    }
+
   val all: Seq[Q] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -193,61 +338,9 @@ object PipelineDedup {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(0, 16), i -> a.s[i+1] = b.s[i+1])) >= 15
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val sigs = tbl(spark, dir, "documents")
-        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          DedupOps.minhashSignatureFnv(col("toks"), 16).as("sig"))
-      // IDENTICAL-SIGNATURE COMPACTION before the banded join: exact-dup
-      // cliques (hundreds of members in this corpus) would otherwise sit in
-      // one band bucket and pay a quadratic bucket×bucket join through the
-      // shuffle. Grouping by signature first makes join volume a function
-      // of DISTINCT signatures, not corpus multiplicity; clique-internal
-      // pairs (agree = 16 by construction) and the member expansion of
-      // group-level matches are pure explodes with no shuffle.
-      // SessionCache persist (lineage kept), not localCheckpoint: the
-      // group table feeds two consumers (intra pairs + banded join), and
-      // a non-replicated checkpoint block is unrecoverable after an
-      // executor loss at cluster scale — the persisted form rebuilds
-      val groups = graft.util.SessionCache.getOrMaterialize(
-        spark, s"mh_groups:$dir") {
-        sigs.groupBy("sig")
-          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      }
-      val n = size(col("members"))
-      // within-group ordered pairs: members is sorted, so (m[i], m[j>i])
-      // is already (a_id < b_id)
-      val intra = groups.filter(n > 1)
-        .select(explode(flatten(transform(
-          sequence(lit(1), n - 1),
-          i => transform(slice(col("members"), i + 1, n - i),
-            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
-              b.as("b_id")))))).as("p"))
-        .select(col("p.a_id"), col("p.b_id"), lit(16L).as("agree"))
-      // cross-group candidates: 2 bands × 8 rows over DISTINCT signatures —
-      // lossless for the ≥15 floor (≤1 disagreeing permutation cannot touch
-      // both bands); a band-key hash collision only adds a candidate the
-      // agree floor rejects
-      val banded = groups
-        .withColumn("band", explode(DedupOps.bandKeys(col("sig"), 2, 8)))
-        .withColumn("bh", xxhash64(col("band")))
-      def side(p: String) = banded.select(col("members").as(s"${p}m"),
-        col("sig").as(s"${p}_sig"), col("bh"))
-      val cross = side("a").join(side("b"), "bh")
-        // order group pairs by their (distinct) first members so each
-        // unordered group pair appears once before the member expansion
-        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
-        .select(col("am"), col("bm"),
-          big(size(filter(zip_with(col("a_sig"), col("b_sig"),
-            (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)))
-            .as("agree"))
-        .filter(col("agree") >= 15 && col("agree") < 16)
-        .dropDuplicates("am", "bm")
-        .select(explode(col("am")).as("x"), col("bm"), col("agree"))
-        .select(col("x"), explode(col("bm")).as("y"), col("agree"))
-        .select(least(col("x"), col("y")).as("a_id"),
-          greatest(col("x"), col("y")).as("b_id"), col("agree"))
-      intra.unionByName(cross)
+      // the pair table is the session artifact ([[minhashPairs]] — built
+      // once, read by this query and every detector-evaluation audit)
+      minhashPairs(spark, dir)
         .withColumn("est", col("agree").cast(DoubleType) / lit(16.0d))
         .orderBy("a_id", "b_id")
     },
@@ -439,57 +532,9 @@ object PipelineDedup {
         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(0, 64), k -> a.b[k+1] <> b.b[k+1])) <= 3
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val sims = tbl(spark, dir, "documents")
-        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), DedupOps.simhashFnv(col("toks")).as("sim"))
-      // IDENTICAL-SIGNATURE COMPACTION (round-11, the q_dedup_minhash
-      // layer applied here): clone-heavy corpora put every copy of a doc
-      // at the SAME simhash, so the member-level chunk join paid the
-      // clone square through ~20 block-triple tables and the distinct
-      // (sf1 measured 59× for 10× data). Grouping by signature first
-      // makes chunk-join volume a function of DISTINCT signatures; the
-      // chunk join is symmetric (both sides explode all keys), so every
-      // member pair of a qualifying group pair qualifies — expansion is
-      // a pure explode with least/greatest ordering. Intra-group pairs
-      // are hamming 0 by construction. Output identical; the oracle
-      // keeps its all-pairs form.
-      // SessionCache persist (lineage kept), not localCheckpoint — same
-      // executor-loss argument as the q_dedup_minhash group table
-      val groups = graft.util.SessionCache.getOrMaterialize(
-        spark, s"sh_groups:$dir") {
-        sims.groupBy("sim")
-          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      }
-      val n = size(col("members"))
-      val intra = groups.filter(n > 1)
-        .select(explode(flatten(transform(
-          sequence(lit(1), n - 1),
-          i => transform(slice(col("members"), i + 1, n - i),
-            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
-              b.as("b_id")))))).as("p"))
-        .select(col("p.a_id"), col("p.b_id"), lit(0L).as("hamming"))
-      // multi-index block-triple keys (lossless for hamming≤3, ~32-bit key
-      // space): random-collision candidate volume stays sub-quadratic out
-      // to 1e6-1e7 DISTINCT docs where single 16-bit chunks saturate
-      // around 1e5 — the oracle is unaffected because candidates are
-      // verified exactly
-      val chunked = groups
-        .withColumn("chunk", explode(DedupOps.simhashMultiKeys(col("sim"))))
-      def side(p: String) = chunked.select(col("members").as(s"${p}m"),
-        col("sim").as(s"${p}_sim"), col("chunk"))
-      val cross = side("a").join(side("b"), "chunk")
-        .filter(element_at(col("am"), 1) < element_at(col("bm"), 1))
-        .select(col("am"), col("bm"),
-          big(DedupOps.hamming(col("a_sim"), col("b_sim"))).as("hamming"))
-        .filter(col("hamming") <= 3) // ≥1 implicit: distinct signatures
-        .dropDuplicates("am", "bm")
-        .select(explode(col("am")).as("x"), col("bm"), col("hamming"))
-        .select(col("x"), explode(col("bm")).as("y"), col("hamming"))
-        .select(least(col("x"), col("y")).as("a_id"),
-          greatest(col("x"), col("y")).as("b_id"), col("hamming"))
-      intra.unionByName(cross)
-        .orderBy("a_id", "b_id")
+      // the pair table is the session artifact ([[simhashPairs]] — built
+      // once, read by this query and every detector-evaluation audit)
+      simhashPairs(spark, dir).orderBy("a_id", "b_id")
     },
 
     // Embedding near-dup: hyperplane buckets (multi-probe on one side),
@@ -557,12 +602,13 @@ object PipelineDedup {
         .withColumn("cos", quantCos(col("embedding"), col("embedding"),
           col("n2"), col("n2")))
         .filter(col("cos") >= 0.35)
-        .select(explode(flatten(transform(
-          sequence(lit(1), n - 1),
-          i => transform(slice(col("members"), i + 1, n - i),
-            b => struct(element_at(col("members"), i.cast("int")).as("a_id"),
-              b.as("b_id")))))).as("p"), col("cos"))
-        .select(col("p.a_id"), col("p.b_id"), col("cos"))
+        // double explode, not flatten(transform) — the minhashPairs
+        // mega-group allocation argument (one clone group's C(m,2) pair
+        // array must never materialize as a single allocation)
+        .select(explode(col("members")).as("a_id"), col("members"), col("cos"))
+        .select(col("a_id"), explode(col("members")).as("b_id"), col("cos"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("cos"))
       val probed = groups.select(col("rep").as("a_rep"),
         explode(Lsh.probesQ(col("bucket"), planes.size)).as("bucket"))
       // directed candidates (a-group probed b-group), bare rep pairs

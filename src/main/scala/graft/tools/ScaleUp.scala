@@ -51,7 +51,10 @@ object ScaleUp {
     }
 
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // one part file per table: the downstream oracle tooling (DuckDB)
+      // reads parquet FILES, and bench_sf1.sh fails on multi-part dirs —
+      // a big sf0.1 source scan can split (lineitem at 30×), so force it
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 

@@ -117,22 +117,34 @@ class GroupABSpec extends SparkSpec {
     // re-derive the registered bucket rule over the fixture and check the
     // weight histogram is near the designed pmf (hash uniformity)
     import org.apache.spark.sql.functions._
-    val hexChars = typedLit("0123456789abcdef".map(_.toString))
-    val buckets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val repChars = typedLit((48 to 63).map(_.toChar.toString))
+    val perRow = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(concat(lit("bs:"),
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("string"),
         lit(":")).as("ks"))
       .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .select(pmod(graft.ops.VectorOps.fnv1a64(
-        concat(col("ks"), element_at(hexChars, col("b") + 1))), lit(16L))
-        .as("bucket"))
-      .groupBy("bucket").count().collect()
+      .withColumn("hb", graft.ops.VectorOps.fnv1a64(
+        concat(col("ks"), element_at(repChars, col("b") + 1))))
+      .select(col("ks"), col("b").cast("long").as("b"),
+        pmod(col("hb"), lit(16L)).as("bucket"))
+    val buckets = perRow.groupBy("bucket").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = buckets.values.sum.toDouble
     (0L to 15L).foreach { b =>
       val share = buckets.getOrElse(b, 0L) / total
       assert(math.abs(share - 1.0 / 16) < 0.01,
         s"bucket $b share $share not uniform")
+    }
+    // the balanced-design contract: with replicate codes distinct mod 16,
+    // each row's bucket map b ↦ 3·(kh₄⊕b) mod 16 is a BIJECTION — every
+    // row sees every bucket exactly once across its 16 replicates (so
+    // replicate pairs disagree on every row, where the old hex codes made
+    // replicate 10 ≡ 1 … 15 ≡ 6 identical on every row)
+    val byRow: Map[String, Set[Long]] = perRow.collect()
+      .groupBy(_.getString(0))
+      .map { case (ks, rs) => ks -> rs.map(_.getLong(2)).toSet }
+    byRow.foreach { case (ks, bs) =>
+      assert(bs.size == 16, s"row $ks buckets not a bijection: $bs")
     }
     val rows = q("q_poisson_bootstrap")(spark, sfDir).collect()
     assert(rows.nonEmpty)

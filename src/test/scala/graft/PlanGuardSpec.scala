@@ -60,7 +60,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_detector_agreement", // ONE-ROW truth-count cross join (scalar shape)
       "q_cuped",           // ONE-ROW calendar-midpoint + moment cross joins
       "q_friedman",        // ONE-ROW k + (n,k,ΣR²) statistic cross joins
-      "q_source_divergence") // bounded |sources|² pair grid (the q_ks_drift shape)
+      "q_source_divergence", // bounded |sources|² pair grid (the q_ks_drift shape)
+      "q_cohens_kappa",      // ONE-ROW count cross joins (scalar shape)
+      "q_permutation_test",  // ONE-ROW observed-gap + 64-row replicate crosses
+      "q_ab_lift")           // ONE-ROW obs × 16-row replicate-rank cross
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):
@@ -71,7 +74,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_fair_quota", // waterfilling over the ≤|sources|-row mass axis
       "q_kaplan_meier", // at-risk cumsum over the calendar-bounded axis
       "q_log_rank",     // same bounded-axis per-cohort cumsums
-      "q_kruskal_wallis") // global rank over the bounded types×days axis
+      "q_kruskal_wallis", // global rank over the bounded types×days axis
+      "q_ab_lift")        // rank over EXACTLY 16 replicate rows (literal-bounded)
 
   test("no global windows, cartesian products, or stray nested-loop joins") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
