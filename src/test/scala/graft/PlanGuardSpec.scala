@@ -63,7 +63,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_source_divergence", // bounded |sources|² pair grid (the q_ks_drift shape)
       "q_cohens_kappa",      // ONE-ROW count cross joins (scalar shape)
       "q_permutation_test",  // ONE-ROW observed-gap + 64-row replicate crosses
-      "q_ab_lift")           // ONE-ROW obs × 16-row replicate-rank cross
+      "q_ab_lift",           // ONE-ROW obs × 16-row replicate-rank cross
+      "q_winsorized_lift")   // ONE-ROW arm × ONE-ROW arm cross (scalar shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):

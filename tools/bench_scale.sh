@@ -35,15 +35,21 @@ derive 10 tmp/sf1_raw
 derive 30 tmp/sf3_raw
 
 mkdir -p tmp
-run() { # run <sfdir> <log>
-  SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$1" \
+run() { # run <sfdir> <log> <mem> <cpus>
+  # skip-if-complete: a non-empty .json means this point already ran
+  # (re-running a 30x point costs ~30 min; delete the json to force)
+  if [ -s "$2.json" ]; then echo "skip $1 ($2.json exists)"; return; fi
+  SPARK_DRIVER_MEM="$3" SPARK_GRAFT_CPUS="$4" SPARK_GRAFT_SF_DIR="$1" \
     SPARK_GRAFT_ONLY="$QUERIES" \
     sbt -batch "runMain graft.tools.ScaleLaw" 2>&1 | tee "$2" \
     | grep -o '{"metric":"scalelaw".*' > "$2.json"
 }
-run /root/testdata/sf0.1 tmp/scalelaw_sf01.log
-run "$PWD/tmp/sf1_raw"   tmp/scalelaw_sf1.log
-run "$PWD/tmp/sf3_raw"   tmp/scalelaw_sf3.log
+run /root/testdata/sf0.1 tmp/scalelaw_sf01.log 48g 32
+run "$PWD/tmp/sf1_raw"   tmp/scalelaw_sf1.log  48g 32
+# the 30x point holds the WHOLE heavy tail's session artifacts in one JVM
+# (the 1.2B-row minhash pair table alone is ~30 GiB columnar): more heap,
+# fewer concurrent tasks (measured: 48g/32 OOMs in the warm pass)
+run "$PWD/tmp/sf3_raw"   tmp/scalelaw_sf3.log  88g 16
 
 python3 - "$OUT" <<'EOF'
 import json, math, sys
