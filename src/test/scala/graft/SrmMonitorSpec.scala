@@ -1,0 +1,68 @@
+package graft
+
+import graft.stream.{SrEvent, SrPoint, SrmMonitor}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming SRM guardrail: bit-exact equality with the oracle-gated batch
+  * q_srm under ANY micro-batch split, any arrival order, AND duplicate
+  * re-delivery — the set-union state is commutative and idempotent, the
+  * strongest invariance contract in the monitor family. */
+class SrmMonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val arrivals: Seq[SrEvent] =
+    graft.queries.Q.events(spark, sfDir)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day", "user_id")
+      .collect().map(r => SrEvent(r.getLong(0), r.getLong(1))).toSeq
+
+  private def streamed(batches: Seq[Seq[SrEvent]],
+                       name: String): Map[Long, SrPoint] = {
+    val mem = MemoryStream[SrEvent](spark)
+    val q = SrmMonitor.track(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    val out = spark.table(name).as[SrPoint].collect().toSeq
+    q.stop()
+    out.groupBy(_.day).map { case (d, ps) =>
+      d -> ps.maxBy(p => p.n_even + p.n_odd) }
+  }
+
+  private lazy val batchRows: Array[(Long, Long, Long, Long, Long)] =
+    graft.queries.GroupAC.all.find(_.name == "q_srm").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+  private def assertMatches(fin: Map[Long, SrPoint]): Unit = {
+    assert(batchRows.nonEmpty)
+    assert(fin.keySet == batchRows.map(_._1).toSet)
+    batchRows.foreach { case (day, ne, no, chi2, flag) =>
+      val p = fin(day)
+      assert(p.n_even == ne && p.n_odd == no && p.chi2_ppm == chi2 &&
+        p.srm_flag == flag,
+        s"day $day: streamed (${p.n_even}, ${p.n_odd}, ${p.chi2_ppm}, " +
+          s"${p.srm_flag}) vs batch ($ne, $no, $chi2, $flag)")
+    }
+  }
+
+  test("streamed guardrail equals the oracle-gated batch q_srm bit-for-bit " +
+    "across micro-batch splits") {
+    val (a, rest) = arrivals.splitAt(arrivals.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    assertMatches(streamed(Seq(a, b, c), "srm_3way"))
+    val twin = SrmMonitor.trackBatch(arrivals.toDS()).collect()
+      .map(p => p.day -> p).toMap
+    assertMatches(twin)
+  }
+
+  test("duplicate re-delivery is a no-op: an at-least-once upstream that " +
+    "replays a whole batch cannot move the statistic") {
+    val (a, rest) = arrivals.splitAt(arrivals.size / 2)
+    val shuffledRest = new scala.util.Random(13).shuffle(rest)
+    // batch 2 re-delivers ALL of batch 1 (shuffled) alongside new data
+    assertMatches(streamed(Seq(a, new scala.util.Random(17).shuffle(a),
+      shuffledRest ++ a), "srm_dup"))
+  }
+}
