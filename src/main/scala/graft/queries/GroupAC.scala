@@ -33,10 +33,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Determinism contracts follow the house rules: exact-DECIMAL sums, fixed
   * IEEE op sequences mirrored term-for-term in the oracle, integer ppm with
   * explicit truncation, and all replicate randomness from FNV-1a folds
-  * whose replicate character extends the row hash by ONE fold step — with
-  * buckets drawn from bits 40+ of the closing multiply (see
-  * q_poisson_bootstrap's avalanche note; low bits of the FNV multiply are
-  * a bijection of the char's low nibble and would alias replicates).
+  * whose replicate character extends the row hash by ONE fold step.
+  * Buckets are the LOW k bits of that extended hash (`% 2^k`), with the
+  * replicate CODES chosen distinct mod 2^k (ASCII 48..63 for k=4, 48..111
+  * for k=6): one closing mod-2⁶⁴ multiply diffuses differences upward
+  * only, so the low k bits are an odd-multiplier bijection of
+  * (kh ⊕ code) mod 2^k — distinct codes therefore give every row a
+  * bucket map that is a BIJECTION over replicates (the balanced design,
+  * spec-pinned by GroupABSpec's replicate-bijection test). No fixed
+  * "upper bit window" works: GroupAB's round-12 note records that a
+  * bits-40+ extraction aliased replicates at 100% row agreement and was
+  * rejected. See `repStep` below for the per-row algebra.
   */
 object GroupAC {
 

@@ -880,13 +880,23 @@ object PipelineAnn {
          |ORDER BY query_id, rnk""".stripMargin
     }) { (spark, dir) =>
       val g = nnDescentGraph(spark, dir).select(col("vec_id").as("src"), col("nb"))
-      val base = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), quantN2(col("embedding")).as("n2"))
-        .localCheckpoint(true) // rescored once per round, 3 rounds
-      val queries = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("n2").as("qn2"))
-        .localCheckpoint(true)
+      // SessionCache persist (lineage kept), not localCheckpoint: `base` is
+      // CORPUS-sized (every embedding + its norm), rescored once per beam
+      // round — a non-replicated eager checkpoint of it cannot survive an
+      // executor loss, and the cache makes it shareable + LRU-boundable
+      // like the dedup artifacts.
+      val base = graft.util.SessionCache.getOrMaterialize(
+        spark, s"ann_emb_n2:$dir") {
+        tbl(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), quantN2(col("embedding")).as("n2"))
+      }
+      // tiny (10 query rows) but read by every score() round — same policy
+      val queries = graft.util.SessionCache.getOrMaterialize(
+        spark, s"ann_graph_queries:$dir") {
+        base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("n2").as("qn2"))
+      }
       val entry = base.agg(min(col("vec_id"))).head().getLong(0)
       def score(cand: org.apache.spark.sql.DataFrame) = cand
         .join(queries, Seq("qid"))

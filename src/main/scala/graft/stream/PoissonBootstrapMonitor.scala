@@ -69,23 +69,34 @@ object PoissonBootstrapMonitor {
     S(0L, BigDecimal(0), Vector.fill(16)(BigDecimal(0)), Vector.fill(16)(0L))
 
   /** Fold arrivals into the state — commutative and associative, so no
-    * per-batch sort is needed (contrast the sequential monitors). */
-  def fold(prior: Option[S], rows: Iterator[PbEvent]): S =
-    rows.foldLeft(prior.getOrElse(zero)) { (s, e) =>
+    * per-batch sort is needed (contrast the sequential monitors).
+    * Accumulates into local arrays and wraps into the immutable state ONCE
+    * per group call: the per-row `Vector.updated` form copied up to 32
+    * 16-slot vectors per arriving row on the hot streaming path. The sum
+    * order per slot is unchanged (BigDecimal + is exact), so the emitted
+    * point stays bit-identical. */
+  def fold(prior: Option[S], rows: Iterator[PbEvent]): S = {
+    val p = prior.getOrElse(zero)
+    var n = p.n
+    var base = p.base
+    val ws = p.wsum.toArray
+    val wt = p.wtot.toArray
+    rows.foreach { e =>
       val d = dec6(e.value)
-      var ws = s.wsum
-      var wt = s.wtot
       var b = 0
       while (b < 16) {
         val w = weight(e.rowkey, b)
         if (w != 0L) {
-          ws = ws.updated(b, ws(b) + d * w)
-          wt = wt.updated(b, wt(b) + w)
+          ws(b) = ws(b) + d * w
+          wt(b) += w
         }
         b += 1
       }
-      S(s.n + 1, s.base + d, ws, wt)
+      n += 1
+      base = base + d
     }
+    if (n == p.n) p else S(n, base, ws.toVector, wt.toVector)
+  }
 
   /** Emit the batch-shape point: exact accumulators divided in double,
     * CI = (2nd, 15th) order statistics of the replicate means ranked by
@@ -110,6 +121,40 @@ object PoissonBootstrapMonitor {
           state.update(next)
           Iterator.single(point(key, next))
         })
+  }
+
+  /** The evicting form's state handler, exposed for TestGroupState specs:
+    * on timeout the key's state retires (the last point it emitted while
+    * active IS the key's final CI — nothing new to say at eviction);
+    * otherwise fold, emit, and re-arm the idle timer. */
+  private[graft] def evictingHandler(idleMs: Long)(
+      key: String, rows: Iterator[PbEvent],
+      state: GroupState[S]): Iterator[PbPoint] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val next = fold(state.getOption, rows)
+      state.update(next)
+      state.setTimeoutDuration(idleMs)
+      Iterator.single(point(key, next))
+    }
+
+  /** [[track]] with BOUNDED state — the deployment form: emissions are
+    * identical to [[track]] while a key is live, but a key that receives
+    * nothing for `idleRetention` retires its state (ProcessingTimeTimeout:
+    * no watermark column needed on the input, and late stragglers after
+    * retirement start a fresh—rather than silently wrong—accumulation).
+    * The NoTimeout [[track]] remains the bit-exact-twin form the spec pins
+    * against the batch query; a long-running deployment should use this
+    * one so finished keys don't grow state without bound. */
+  def trackEvicting(ds: Dataset[PbEvent],
+                    idleRetention: java.time.Duration): Dataset[PbPoint] = {
+    implicit val outEnc = Encoders.product[PbPoint]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[S]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        evictingHandler(idleRetention.toMillis))
   }
 
   /** Batch twin over a bounded dataset: the final point per key. */

@@ -30,9 +30,9 @@ final case class SrPoint(day: Long, n_even: Long, n_odd: Long,
   * 10⁶·(nₐ−n_b)² div (nₐ+n_b), the q_srm formula).
   *
   * State is O(distinct users per day) per key — the price of the EXACT
-  * batch contract (count-distinct admits no smaller exact state). A day's
-  * state retires when its watermark passes (wire GroupStateTimeout in the
-  * deployment form); at corpus scale the standard degradation is a KMV/HLL
+  * batch contract (count-distinct admits no smaller exact state). The
+  * deployment form is [[trackEvicting]]: a day idle past its retention
+  * retires its state; at corpus scale the standard degradation is a KMV/HLL
   * register per arm (see `StreamingKmv` / `StreamingHll`), trading the
   * bit-exact twin contract for O(k) state — the batch query remains the
   * exact reference either way.
@@ -69,6 +69,42 @@ object SrmMonitor {
           state.update(next)
           Iterator.single(point(day, next))
         })
+  }
+
+  /** The evicting form's state handler, exposed for TestGroupState specs:
+    * a day idle past its retention retires its distinct-user sets (the
+    * last point emitted while the day was live is its final SRM verdict);
+    * otherwise fold, emit, re-arm. */
+  private[graft] def evictingHandler(idleMs: Long)(
+      day: Long, rows: Iterator[SrEvent],
+      state: GroupState[S]): Iterator[SrPoint] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val next = fold(state.getOption, rows)
+      state.update(next)
+      state.setTimeoutDuration(idleMs)
+      Iterator.single(point(day, next))
+    }
+
+  /** [[track]] with BOUNDED state — the deployment form: per-day
+    * distinct-user sets retire once the day has been idle for
+    * `idleRetention` (ProcessingTimeTimeout — calendar days stop receiving
+    * events shortly after they end, so state stays O(active days), not
+    * O(history)). Emissions are identical to [[track]] while a day is
+    * live; a late straggler after retirement restarts that day's count
+    * from empty rather than extending a silently-halved set, and the
+    * duplicate-delivery invariance within a day's lifetime is unchanged
+    * (set union). The NoTimeout [[track]] remains the bit-exact-twin form
+    * the spec pins against the batch query. */
+  def trackEvicting(ds: Dataset[SrEvent],
+                    idleRetention: java.time.Duration): Dataset[SrPoint] = {
+    implicit val outEnc = Encoders.product[SrPoint]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[S]
+    ds.groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        evictingHandler(idleRetention.toMillis))
   }
 
   /** Batch twin over a bounded dataset: the final point per day. */

@@ -52,9 +52,11 @@ object ScaleUp {
 
     def write(df: DataFrame, name: String): Unit = {
       // one part file per table: the downstream oracle tooling (DuckDB)
-      // reads parquet FILES, and bench_sf1.sh fails on multi-part dirs —
-      // a big sf0.1 source scan can split (lineitem at 30×), so force it
-      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // reads parquet FILES, and bench_sf1.sh fails on multi-part dirs.
+      // repartition(1) (not coalesce) so the single-file constraint stays
+      // on the WRITE side of a shuffle — the scan+replicate upstream keeps
+      // full parallelism instead of collapsing into one task.
+      df.repartition(1).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 

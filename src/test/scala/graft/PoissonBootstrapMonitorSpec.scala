@@ -76,4 +76,35 @@ class PoissonBootstrapMonitorSpec extends SparkSpec {
         q.boot_lo == p.boot_lo && q.boot_hi == p.boot_hi, s"key $k")
     }
   }
+
+  test("evicting deployment form: a live call folds + emits + re-arms the " +
+    "idle timer; a timed-out call retires state with no emission") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val events = arrivals.take(5)
+    val expected = PoissonBootstrapMonitor.point(events.head.key,
+      PoissonBootstrapMonitor.fold(None, events.iterator.map(
+        e => e.copy(key = events.head.key))))
+    val live = TestGroupState.create[PoissonBootstrapMonitor.S](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty(), false)
+    val out = PoissonBootstrapMonitor.evictingHandler(60000L)(
+      events.head.key, events.iterator.map(e => e.copy(key = events.head.key)),
+      live).toSeq
+    assert(out == Seq(expected))
+    assert(live.exists && live.getTimeoutTimestampMs.get == 61000L)
+    val dead = TestGroupState.create[PoissonBootstrapMonitor.S](
+      Optional.of(PoissonBootstrapMonitor.fold(None, events.iterator)),
+      GroupStateTimeout.ProcessingTimeTimeout, 120000L, Optional.empty(), true)
+    assert(PoissonBootstrapMonitor.evictingHandler(60000L)(
+      events.head.key, Iterator.empty, dead).isEmpty)
+    assert(dead.isRemoved)
+  }
+
+  // No memory-stream leg for trackEvicting: with ProcessingTimeTimeout,
+  // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true, so the
+  // engine re-runs no-data batches back-to-back to poll timers and
+  // processAllAvailable never quiesces. The TestGroupState leg above pins
+  // both handler paths; the live path IS track's fold+point, so emission
+  // equality while a key is live holds by construction.
 }

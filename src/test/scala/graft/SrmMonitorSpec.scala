@@ -65,4 +65,30 @@ class SrmMonitorSpec extends SparkSpec {
     assertMatches(streamed(Seq(a, new scala.util.Random(17).shuffle(a),
       shuffledRest ++ a), "srm_dup"))
   }
+
+  test("evicting deployment form: a live call folds + emits + re-arms the " +
+    "idle timer; a timed-out call retires state with no emission") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val live = TestGroupState.create[SrmMonitor.S](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), false)
+    val out = SrmMonitor.evictingHandler(60000L)(7L,
+      Iterator(SrEvent(7L, 2L), SrEvent(7L, 3L), SrEvent(7L, 3L)), live).toSeq
+    assert(out == Seq(SrmMonitor.point(7L, (Set(2L), Set(3L)))))
+    assert(live.exists && live.get == ((Set(2L), Set(3L))))
+    // setTimeoutDuration(60s) at batch processing time 1s → fires at 61s
+    assert(live.getTimeoutTimestampMs.get == 61000L)
+    val dead = TestGroupState.create[SrmMonitor.S](
+      Optional.of((Set(1L), Set(2L)): SrmMonitor.S),
+      GroupStateTimeout.ProcessingTimeTimeout, 120000L, Optional.empty(), true)
+    assert(SrmMonitor.evictingHandler(60000L)(7L, Iterator.empty, dead).isEmpty)
+    assert(dead.isRemoved)
+  }
+
+  // No memory-stream leg for trackEvicting: with ProcessingTimeTimeout,
+  // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true, so the
+  // engine re-runs no-data batches back-to-back to poll timers and
+  // processAllAvailable never quiesces. The TestGroupState leg above pins
+  // both handler paths; the live path IS track's fold+point, so emission
+  // equality while a key is live holds by construction.
 }
