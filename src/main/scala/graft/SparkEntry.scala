@@ -18,7 +18,7 @@ object SparkEntry {
       GroupM.all ++ GroupN.all ++ GroupO.all ++ GroupP.all ++ GroupQ.all ++
       GroupR.all ++ GroupS.all ++ GroupT.all ++ GroupU.all ++ GroupV.all ++
       GroupW.all ++ GroupX.all ++ GroupY.all ++ GroupZ.all ++ GroupAA.all ++
-      GroupAB.all ++ GroupAC.all ++ GroupAD.all
+      GroupAB.all ++ GroupAC.all ++ GroupAD.all ++ GroupAE.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire raison d'être as one DataFrame query: replay a

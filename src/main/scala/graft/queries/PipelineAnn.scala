@@ -19,6 +19,47 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object PipelineAnn {
   import PipelineQueries._
 
+  /** Shared oracle CTE prefix: the LSH ANN ranking (`ranked`, rn per
+    * (query_id, neighbor_id)) AND the exact brute-force ranking
+    * (`ex_rank`) for the 10 fixture queries — the comparison every
+    * index-quality query needs. Used by q_recall_at_k here and Group AE's
+    * q_ndcg / q_mrr, so the replayed index definition cannot drift between
+    * the audits that grade it. */
+  private[queries] val annExactCtes: String =
+    s"""${planesCte("ann", 32)},
+       |$quantElemsCte,
+       |$quantDotsCte,
+       |tk AS (SELECT vec_id, p // 4 AS t, p % 4 AS i, dp FROM dots),
+       |keys AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dp >= 0
+       |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+       |              + (t << 4) AS BIGINT) AS bucket
+       |  FROM tk GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM keys q JOIN keys c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |$quantNorms,
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
+       |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
+       |            JOIN qn c ON cand.neighbor_id = c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored),
+       |ex_pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${quantCosSql("q", "c")} AS sim
+       |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex_rank AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM ex_pairs)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Top principal direction of the embedding cloud — one matrix-free
     // power-iteration step: w = Σᵢ (xᵢ−μ)·((xᵢ−μ)·v₀) computes C·v₀
@@ -258,39 +299,7 @@ object PipelineAnn {
     // Spark side composes the two REGISTERED queries rather than
     // re-deriving either plan.
     Q("q_recall_at_k",
-      s"""WITH ${planesCte("ann", 32)},
-        |$quantElemsCte,
-        |$quantDotsCte,
-        |tk AS (SELECT vec_id, p // 4 AS t, p % 4 AS i, dp FROM dots),
-        |keys AS (
-        |  SELECT vec_id,
-        |         CAST(sum(CASE WHEN dp >= 0
-        |                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
-        |              + (t << 4) AS BIGINT) AS bucket
-        |  FROM tk GROUP BY vec_id, t),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        |  FROM keys q JOIN keys c ON q.bucket = c.bucket
-        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |$quantNorms,
-        |scored AS (
-        |  SELECT cand.query_id, cand.neighbor_id, ${quantCosSql("q", "c")} AS sim
-        |  FROM cand JOIN qn q ON cand.query_id = q.vec_id
-        |            JOIN qn c ON cand.neighbor_id = c.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY sim DESC, neighbor_id) AS rn
-        |  FROM scored),
-        |ex_pairs AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         ${quantCosSql("q", "c")} AS sim
-        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |ex_rank AS (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY sim DESC, neighbor_id) AS rn
-        |  FROM ex_pairs),
+      s"""WITH $annExactCtes,
         |hits AS (
         |  SELECT query_id, count(*) AS n_hits
         |  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5) a

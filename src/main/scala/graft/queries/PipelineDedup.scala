@@ -30,7 +30,7 @@ object PipelineDedup {
     * every consumer joins the materialized table. Construction unchanged:
     * identical-signature compaction, then intra-group explode + lossless
     * 2×8 banded join over DISTINCT signatures. */
-  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionCache.getOrMaterialize(spark, s"mh_pairs:$dir") {
       val sigs = tbl(spark, dir, "documents")
         .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))
@@ -105,7 +105,7 @@ object PipelineDedup {
     * Construction unchanged: identical-signature compaction, intra-group
     * explode (hamming 0 by construction), lossless multi-index
     * block-triple join over DISTINCT signatures. */
-  private[queries] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionCache.getOrMaterialize(spark, s"sh_pairs:$dir") {
       val sims = tbl(spark, dir, "documents")
         .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("toks"))

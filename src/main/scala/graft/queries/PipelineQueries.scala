@@ -279,7 +279,7 @@ object PipelineQueries {
     * their equivalence proof documented there); the oracle recomputes the
     * exact pair set its own all-pairs way, so it does not depend on which
     * verification path ran. */
-  private[queries] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionCache.getOrMaterialize(spark, s"jaccard_pairs:$dir") {
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),

@@ -64,7 +64,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_cohens_kappa",      // ONE-ROW count cross joins (scalar shape)
       "q_permutation_test",  // ONE-ROW observed-gap + 64-row replicate crosses
       "q_ab_lift",           // ONE-ROW obs × 16-row replicate-rank cross
-      "q_winsorized_lift")   // ONE-ROW arm × ONE-ROW arm cross (scalar shape)
+      "q_winsorized_lift",   // ONE-ROW arm × ONE-ROW arm cross (scalar shape)
+      "q_ndcg",              // composes q_cosine_topk's broadcast scan leg
+      "q_mrr",               // composes q_cosine_topk's broadcast scan leg
+      "q_bh_fdr")            // bounded |event types|² BH-rank self-join +
+                             // ONE-ROW m/i* crosses (the q_ks_drift shape)
 
   /** Queries deliberately running a partition-less window over a BOUNDED
     * axis (the frame is dimension-sized by construction, never data-sized):

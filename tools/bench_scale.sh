@@ -14,16 +14,28 @@
 # OUTPUT grows quadratically in the replica count by fixture construction
 # (k clone shards make k^2 true pairs per original dup group).
 #
-# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r12.json)
+# Round 13 (VERDICT r12 asks #4/#5): all three points run at the SAME core
+# count (32) — the r12 file's sf3 leg ran at 16 cores as an OOM workaround,
+# inflating e(1->3) by up to +0.63 for CPU-bound queries. The memory fix is
+# now the documented dial instead: GRAFT_SESSION_CACHE_MAX bounds live
+# session artifacts by LRU (evicted artifacts rebuild through lineage), so
+# the sf3 JVM no longer holds the whole tail's artifact set at once. The
+# query set also gains the three artifact-composition audits
+# (q_detector_agreement, q_mcnemar, q_cohens_kappa) — the exact class the
+# 190.9 s pre-artifact-sharing regression hid in; their marginal cost is
+# measured, not asserted.
+#
+# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r13.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-tools/growthlaw_r12.json}"
+OUT="${1:-tools/growthlaw_r13.json}"
 
 QUERIES="q_dedup_minhash,q_dedup_simhash,q_dedup_embedding,q_semdedup,\
 q_minhash_weighted,q_minhash_calibration,q_ngram_jaccard,q_ngram_containment,\
 q_dup_components,q_symspell,q_label_noise,q_bitext_margin,q_nn_descent,\
 q_ann_graph,q_link_predict,q_graph_khop,q_basket_pairs,q_pagerank,\
-q_boilerplate,q_lm_surprise,q_decontaminate,q_top_terms,q_dsir,q_cooccur"
+q_boilerplate,q_lm_surprise,q_decontaminate,q_top_terms,q_dsir,q_cooccur,\
+q_detector_agreement,q_mcnemar,q_cohens_kappa"
 
 derive() { # derive <replicas> <dir>
   local reps="$1" dir="$2"
@@ -44,18 +56,22 @@ run() { # run <sfdir> <log> <mem> <cpus>
     sbt -batch "runMain graft.tools.ScaleLaw" 2>&1 | tee "$2" \
     | grep -o '{"metric":"scalelaw".*' > "$2.json"
 }
-run /root/testdata/sf0.1 tmp/scalelaw_sf01.log 48g 32
-run "$PWD/tmp/sf1_raw"   tmp/scalelaw_sf1.log  48g 32
-# the 30x point holds the WHOLE heavy tail's session artifacts in one JVM
-# (the 1.2B-row minhash pair table alone is ~30 GiB columnar): more heap,
-# fewer concurrent tasks (measured: 48g/32 OOMs in the warm pass)
-run "$PWD/tmp/sf3_raw"   tmp/scalelaw_sf3.log  88g 16
+run /root/testdata/sf0.1 tmp/scalelaw13_sf01.log 48g 32
+run "$PWD/tmp/sf1_raw"   tmp/scalelaw13_sf1.log  48g 32
+# the 30x point at 32 cores like the others (r12 ran it at 16 as an OOM
+# workaround): 88g heap + the SessionCache LRU bound keep the artifact
+# working set bounded — evicted artifacts rebuild through lineage, which
+# costs recompute, not correctness (and the warm pass re-materializes the
+# live set before the timed passes)
+export GRAFT_SESSION_CACHE_MAX="${GRAFT_SESSION_CACHE_MAX:-8}"
+run "$PWD/tmp/sf3_raw"   tmp/scalelaw13_sf3.log  88g 32
+unset GRAFT_SESSION_CACHE_MAX
 
 python3 - "$OUT" <<'EOF'
 import json, math, sys
-pts = [("sf0.1", 0.1, "tmp/scalelaw_sf01.log.json"),
-       ("sf1",   1.0, "tmp/scalelaw_sf1.log.json"),
-       ("sf3",   3.0, "tmp/scalelaw_sf3.log.json")]
+pts = [("sf0.1", 0.1, "tmp/scalelaw13_sf01.log.json"),
+       ("sf1",   1.0, "tmp/scalelaw13_sf1.log.json"),
+       ("sf3",   3.0, "tmp/scalelaw13_sf3.log.json")]
 data = {}
 for name, sf, path in pts:
     data[name] = json.loads(open(path).read())["queries"]
