@@ -422,7 +422,11 @@ object GroupAE {
           (col("s0").cast(DoubleType) / col("c0").cast(DoubleType)
             - col("s1").cast(DoubleType) / col("c1").cast(DoubleType))
             .as("t_obs"))
-      val rep = r.withColumn("b", explode(sequence(lit(0), lit(63))))
+      // drop user_id before the ×64 explode — the replicate path only
+      // needs (t, value, ks); the observed-arm column would be amplified
+      // 64× for nothing
+      val rep = r.drop("user_id")
+        .withColumn("b", explode(sequence(lit(0), lit(63))))
         .withColumn("hb",
           VectorOps.fnv1a64(concat(col("ks"), element_at(alpha, col("b") + 1))))
         .withColumn("side", expr("pmod(hb, 64) div 32"))
