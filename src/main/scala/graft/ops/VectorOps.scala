@@ -71,4 +71,14 @@ object VectorOps {
     * (reference: internal/sink/qdrant/qdrant.go:174-179). Native Catalyst
     * expression with codegen; see [[graft.ops.expr.Fnv1a64]]. */
   def fnv1a64(c: Column): Column = graft.ops.expr.Fnv1a64.column(c)
+
+  /** One FNV-1a extension step (h ⊕ code)·prime, wrapping — equals
+    * `fnv1a64(s ∥ chr(code))` given h = fnv1a64(s) and ASCII code. The
+    * replicate queries hash the row prefix ONCE and extend per replicate
+    * with two ALU ops (see [[graft.ops.expr.FnvStep]]). */
+  def fnvStep(h: Column, code: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.ops.expr.FnvStep(
+      GraftBridge.expression(h), GraftBridge.expression(code)))
+  }
 }

@@ -45,6 +45,10 @@ object Fnv1a64 {
 
   def hash(s: String): Long = hash(UTF8String.fromString(s))
 
+  /** One extension step: `step(hash(s), c) == hash(s + chr(c))` for ASCII
+    * c — the oracle's single xor-multiply replicate extension. */
+  def step(h: Long, code: Long): Long = (h ^ code) * Prime
+
   /** Continue an FNV-1a fold from an intermediate state — lets callers
     * precompute a salt-prefix state once and stream suffixes through it
     * (`fold(fold(Offset, prefix), suffix) == hash(prefix + suffix)`). */
@@ -111,6 +115,41 @@ object Fnv1a64 {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(Fnv1a64CodePoints(GraftBridge.expression(c)))
   }
+}
+
+/** One FNV-1a extension step from an intermediate state: (h ⊕ code)·prime,
+  * wrapping — `FnvStep(fnv1a64(s), c) == fnv1a64(s ∥ chr(c))` for an ASCII
+  * code c. The replicate-randomness queries (q_poisson_bootstrap, q_ab_lift,
+  * q_permutation_test, q_bh_fdr) derive 16–64 per-row hashes from one row
+  * prefix; refolding the full string per replicate cost 16–64 UTF8String
+  * concats + refolds per row (measured 10 s at sf1 on the ×16 lineitem
+  * amplification), where this step is two ALU ops — and it is EXACTLY the
+  * oracle's formulation (`(xor(kh, code) * prime) % 2⁶⁴` in HUGEINT).
+  * Wrapping multiply is deliberately NOT expressible in ANSI-mode SQL
+  * arithmetic (overflow throws), hence a native kernel — the documented
+  * house rule. */
+case class FnvStep(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv_step requires (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(h: Any, code: Any): Any =
+    Fnv1a64.step(h.asInstanceOf[Long], code.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, c) => s"graft.ops.expr.Fnv1a64.step($h, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FnvStep =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "fnv_step"
 }
 
 /** FNV-1a 64-bit over Unicode CODEPOINTS (see [[Fnv1a64.foldCodePoints]]) —

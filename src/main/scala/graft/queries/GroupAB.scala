@@ -263,23 +263,29 @@ object GroupAB {
         |FROM base JOIN rk ON base.flag = rk.flag
         |GROUP BY base.flag, n_rows, mean_qty
         |ORDER BY flag""".stripMargin) { (spark, dir) =>
-      // ascii 48..63: the 16 replicate codes distinct mod 16 (see the
-      // aliasing note above)
-      val repChars = typedLit((48 to 63).map(_.toChar.toString))
+      // replicate codes ascii 48..63: distinct mod 16 (see the aliasing
+      // note above). The row PREFIX hashes once (kh); each replicate then
+      // extends it by the native one-step kernel FnvStep(kh, 48+b) — two
+      // ALU ops, exactly the oracle's `(xor(kh, code) * prime) % 2⁶⁴`
+      // (refolding the full string per replicate cost 16 UTF8String
+      // concats + refolds per row: 10 s at sf1, round-13 measurement).
       val r = tbl(spark, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
-        concat(lit("bs:"),
+        VectorOps.fnv1a64(concat(lit("bs:"),
           (col("l_orderkey") * 8 + col("l_linenumber")).cast("string"),
-          lit(":")).as("ks"),
+          lit(":"))).as("kh"),
         col("l_quantity").as("qty"))
-      // the wrapping continue-multiply is not ANSI-expressible, so the
-      // Spark side refolds the FULL string per replicate in the native
-      // fnv kernel — fnv(prefix ∥ c) is identical to the oracle's
-      // one-step extension by construction of the fold
+      // Amplification-aware repartition (the round-13 q_bh_fdr finding):
+      // the ×16 explode inherits the SCAN's partitioning, sized for the
+      // pre-amplified bytes (sf1 lineitem scans as 2 partitions → the
+      // amplified agg ran 2 tasks with 30 cores idle, 61 s isolated). One
+      // cheap shuffle of the pre-explode rows sizes the layout for the
+      // post-explode volume; the agg is a commutative exact-decimal fold,
+      // order cannot move the result.
       val w = r
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("b", explode(sequence(lit(0), lit(15))))
-        .withColumn("hb",
-          VectorOps.fnv1a64(concat(col("ks"), element_at(repChars, col("b") + 1))))
+        .withColumn("hb", VectorOps.fnvStep(col("kh"), col("b") + lit(48L)))
         .withColumn("bucket", pmod(col("hb"), lit(16L)))
         .withColumn("w",
           when(col("bucket") < 6, 0L).when(col("bucket") < 12, 1L)

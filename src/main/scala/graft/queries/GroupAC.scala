@@ -249,16 +249,25 @@ object GroupAC {
         |       CAST((1000000 * CAST(n_extreme AS HUGEINT)) // n_reps AS BIGINT)
         |         AS p_ppm
         |FROM obs, ext ORDER BY n_purchase""".stripMargin) { (spark, dir) =>
-      // ascii 48..111: the 64 replicate codes distinct mod 64 (repStep)
-      val alpha = typedLit((48 to 111).map(_.toChar.toString))
+      // replicate codes ascii 48..111: distinct mod 64 (repStep). The row
+      // prefix hashes ONCE (kh); each replicate extends it by the native
+      // FnvStep kernel — the oracle's one-step xor-multiply, no per-
+      // replicate string concat/refold.
       val dec = DecimalType(25, 6)
       val r = events(spark, dir)
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_type").as("t"), col("value"),
-          concat(lit("pt:"), col("event_id").cast("string"), lit(":")).as("ks"))
-      val rep = r.withColumn("b", explode(sequence(lit(0), lit(63))))
-        .withColumn("hb",
-          VectorOps.fnv1a64(concat(col("ks"), element_at(alpha, col("b") + 1))))
+          VectorOps.fnv1a64(concat(lit("pt:"), col("event_id").cast("string"),
+            lit(":"))).as("kh"))
+      // amplification-aware repartition (the q_bh_fdr finding, measured at
+      // sf1): the ×64 explode inherits the scan's partitioning, sized for
+      // the PRE-amplified bytes — the amplified agg ran in 2 tasks with 30
+      // cores idle. One cheap shuffle of the small pre-explode rows sizes
+      // the layout for the post-explode volume; the agg is a commutative
+      // exact-decimal fold, so row order cannot move the result.
+      val rep = r.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("b", explode(sequence(lit(0), lit(63))))
+        .withColumn("hb", VectorOps.fnvStep(col("kh"), col("b") + lit(48L)))
         .withColumn("side", expr("pmod(hb, 64) div 32"))
         .groupBy("b")
         .agg(sum(when(col("side") === 0, col("value").cast(dec))).as("s0"),
@@ -430,14 +439,18 @@ object GroupAC {
         |FROM obs, rk
         |GROUP BY n_even, n_odd, lift
         |ORDER BY n_even""".stripMargin) { (spark, dir) =>
-      val repChars = typedLit((48 to 63).map(_.toChar.toString))
       val dec = DecimalType(25, 6)
+      // row prefix hashed once; replicates extend by the native FnvStep
+      // (codes 48..63 distinct mod 16 — see q_permutation_test above)
       val r = events(spark, dir)
         .select(pmod(col("user_id"), lit(2L)).as("arm"), col("value"),
-          concat(lit("ab:"), col("event_id").cast("string"), lit(":")).as("ks"))
-      val rep = r.withColumn("b", explode(sequence(lit(0), lit(15))))
-        .withColumn("hb",
-          VectorOps.fnv1a64(concat(col("ks"), element_at(repChars, col("b") + 1))))
+          VectorOps.fnv1a64(concat(lit("ab:"), col("event_id").cast("string"),
+            lit(":"))).as("kh"))
+      // amplification-aware repartition before the ×16 explode (the
+      // q_bh_fdr finding — see q_permutation_test above)
+      val rep = r.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("b", explode(sequence(lit(0), lit(15))))
+        .withColumn("hb", VectorOps.fnvStep(col("kh"), col("b") + lit(48L)))
         .withColumn("bucket", pmod(col("hb"), lit(16L)))
         .withColumn("w",
           when(col("bucket") < 6, 0L).when(col("bucket") < 12, 1L)

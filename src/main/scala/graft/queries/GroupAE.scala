@@ -406,11 +406,13 @@ object GroupAE {
         |            AS BIGINT) AS rejected
         |FROM rk, cut
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      val alpha = typedLit((48 to 111).map(_.toChar.toString))
       val dec = DecimalType(25, 6)
+      // row prefix hashed once; replicates extend by the native FnvStep
+      // (codes 48..111 distinct mod 64 — the repStep contract)
       val r = events(spark, dir)
         .select(col("event_type").as("t"), col("value"), col("user_id"),
-          concat(lit("bh:"), col("event_id").cast("string"), lit(":")).as("ks"))
+          VectorOps.fnv1a64(concat(lit("bh:"), col("event_id").cast("string"),
+            lit(":"))).as("kh"))
       val obs = r.groupBy("t")
         .agg(
           sum(when(col("user_id") % 2 === 0, col("value").cast(dec))).as("s0"),
@@ -424,11 +426,19 @@ object GroupAE {
             .as("t_obs"))
       // drop user_id before the ×64 explode — the replicate path only
       // needs (t, value, ks); the observed-arm column would be amplified
-      // 64× for nothing
+      // 64× for nothing. AMPLIFICATION-AWARE REPARTITION (measured at sf1):
+      // the explode inherits the SCAN's partitioning, sized for the
+      // pre-amplified bytes (a 7.5 MB events file scans as 2 partitions),
+      // so the ×64-amplified agg ran in 2 tasks with 30 cores idle — 43 s
+      // for work that takes ~2 s spread out. One cheap shuffle of the
+      // small pre-explode rows fixes the layout; the agg is a commutative
+      // exact-decimal fold, so row order cannot change the result. The
+      // same rule holds at 100 TB: size partitions for the post-explode
+      // volume, not the scan bytes.
       val rep = r.drop("user_id")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("b", explode(sequence(lit(0), lit(63))))
-        .withColumn("hb",
-          VectorOps.fnv1a64(concat(col("ks"), element_at(alpha, col("b") + 1))))
+        .withColumn("hb", VectorOps.fnvStep(col("kh"), col("b") + lit(48L)))
         .withColumn("side", expr("pmod(hb, 64) div 32"))
         .groupBy("t", "b")
         .agg(sum(when(col("side") === 0, col("value").cast(dec))).as("s0"),

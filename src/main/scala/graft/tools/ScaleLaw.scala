@@ -49,16 +49,23 @@ object ScaleLaw {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
-    def pass(): Map[String, (Double, Long)] = subset.map { case (name, fn) =>
+    // Timed passes execute a noop WRITE, never count(): count() lets
+    // Catalyst prune aggregate expressions the row count doesn't reference
+    // and the measured exponent is then a fiction (the Bench.scala
+    // round-13 finding). Output rows are recorded from ONE untimed count.
+    def pass(): Map[String, Double] = subset.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, rows)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     pass() // warm: artifacts + first touch, discarded
+    val rows: Map[String, Long] = subset.map { case (name, fn) =>
+      name -> (try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
+    }.toMap
     val (p1, p2) = (pass(), pass())
     val qs = subset.map { case (name, _) =>
-      val (t1, r1) = p1(name); val (t2, _) = p2(name)
-      s"""\"$name\":{\"sec\":${math.min(t1, t2)},\"rows\":$r1}"""
+      s"""\"$name\":{\"sec\":${math.min(p1(name), p2(name))},\"rows\":${rows(name)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scalelaw","sf":"$sfDir","queries":$qs}""")
     spark.stop()

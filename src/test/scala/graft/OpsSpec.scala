@@ -79,6 +79,20 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L))
   }
 
+  test("fnv_step extends a fold by one character: step(hash(s), c) == " +
+    "hash(s + chr(c)) — the replicate queries' one-step contract") {
+    for (s <- Seq("", "bs:123:", "pt:98765:", "ab:1:"); c <- 48 to 111) {
+      assert(Fnv1a64.step(Fnv1a64.hash(s), c.toLong) ==
+        Fnv1a64.hash(s + c.toChar), s"s=$s c=$c")
+    }
+    // and via the Catalyst expression (codegen path)
+    val rows = Seq(("bs:42:", 48L), ("bs:42:", 63L), ("pt:7:", 111L))
+    val got = rows.toDF("s", "c")
+      .select(VectorOps.fnvStep(VectorOps.fnv1a64($"s"), $"c").as("h"))
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (s, c) => Fnv1a64.hash(s + c.toChar.toString) })
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
       .toDF("a", "b", "c")
