@@ -54,8 +54,19 @@ object TextAnalysis {
 
   /** Winnowing-style fingerprint: min of md5 over all character 8-grams of
     * the normalized text. Stable under whitespace/case edits elsewhere in
-    * the doc; expressible in both engines for the oracle. */
+    * the doc; expressible in both engines for the oracle. Native one-pass
+    * kernel ([[graft.ops.expr.RollingMinMd5]]) — the expression form
+    * (`array_min(transform(sequence(...), i -> md5(substring(norm, i, 8))))`)
+    * was O(n²) per document (SQL substring re-scans from the start per
+    * position) plus an md5-hex allocation per window, and round 13 measured
+    * it as the suite's #1 hotspot once Bench stopped letting count() prune
+    * it away. TextAnalysisSpec pins the kernel to the expression form. */
   def fingerprint(norm: Column): Column =
+    graft.ops.expr.RollingMinMd5.column(norm)
+
+  /** The pre-round-13 expression form of [[fingerprint]] — kept as the
+    * in-JVM cross-check the spec compares the native kernel against. */
+  def fingerprintExpr(norm: Column): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(norm) - 7, lit(1))),
       i => md5(substring(norm, i, lit(8)))))

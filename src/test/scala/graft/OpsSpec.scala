@@ -79,6 +79,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L))
   }
 
+  test("rolling_min_md5 equals the md5-per-substring expression form on " +
+    "ASCII, multibyte, short, and empty inputs") {
+    import graft.ops.TextAnalysis
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b  c   d", "exactly8", "short", "ab", "x", "",
+      "数据 管道 在 大规模 训练 中 去重 数据",      // 3-byte UTF-8
+      "déjà vu à côté naïve œuvre garçon",          // 2-byte
+      "🚀 🌍 data 🔥 pipeline 😀 🚀",               // 4-byte
+      "mixed ASCII 与 中文 and émojis 🎯")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val got = df.select($"id", TextAnalysis.fingerprint($"t").as("fp"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    val want = df.select($"id", TextAnalysis.fingerprintExpr($"t").as("fp"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got == want)
+  }
+
   test("fnv_step extends a fold by one character: step(hash(s), c) == " +
     "hash(s + chr(c)) — the replicate queries' one-step contract") {
     for (s <- Seq("", "bs:123:", "pt:98765:", "ab:1:"); c <- 48 to 111) {
