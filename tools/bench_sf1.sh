@@ -7,7 +7,7 @@
 #    part-directory to a single parquet FILE in tmp/sf1 (DuckDB and the
 #    oracle tooling read files, not Spark part-directories).
 # 2. Runs the full Bench suite on it with SPARK_DRIVER_MEM=48g: the
-#    whole 262-query suite shares one JVM, and its SessionCache /
+#    whole suite shares one JVM, and its SessionCache /
 #    localCheckpoint artifacts at sf1 need the headroom (the default 8g
 #    dies with Spark OOM exit code 52). SPARK_DRIVER_MEM feeds the
 #    forked runMain heap via build.sbt javaOptions — SBT_OPTS does NOT.
