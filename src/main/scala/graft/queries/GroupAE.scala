@@ -175,7 +175,10 @@ object GroupAE {
     // ppm integerization truncates toward zero with an explicit sign split
     // (κ < 0 = systematic disagreement — must not hit engine-specific
     // floor-vs-truncate). den = 0 (all items unanimous with p₁ ∈ {0,1})
-    // → the −1 sentinel. HUGEINT/DECIMAL(38,0): 10⁶·N² passes 2⁶³ at ~10⁴
+    // → the −1 sentinel; p1_ppm carries the same −1 sentinel at N = 0 (an
+    // empty union universe must not divide by zero — DuckDB errors where
+    // Spark nulls, so the guard is the only engine-agreeing form).
+    // HUGEINT/DECIMAL(38,0): 10⁶·N² passes 2⁶³ at ~10⁴
     // union pairs, which the sf1 clone fixture exceeds immediately.
     Q("q_fleiss_kappa",
       s"""WITH ${GroupAB.detectorCtes},
@@ -204,7 +207,9 @@ object GroupAE {
         |           - 2 * (st * st + (3 * n - st) * (3 * n - st)) AS den
         |  FROM s)
         |SELECT CAST(n AS BIGINT) AS n_items, CAST(st AS BIGINT) AS s_total,
-        |       CAST((1000000 * st) // (3 * n) AS BIGINT) AS p1_ppm,
+        |       CAST(CASE WHEN n = 0 THEN -1
+        |                 ELSE (1000000 * st) // (3 * n) END
+        |            AS BIGINT) AS p1_ppm,
         |       CAST(CASE WHEN den = 0 THEN -1
         |                 WHEN num >= 0 THEN (1000000 * num) // den
         |                 ELSE -((1000000 * (-num)) // den) END
@@ -232,7 +237,8 @@ object GroupAE {
         .withColumn("den",
           expr("18 * n * n - 2 * (st * st + (3 * n - st) * (3 * n - st))"))
         .select(big(col("n")).as("n_items"), big(col("st")).as("s_total"),
-          big(expr("(CAST(1000000 AS DECIMAL(38,0)) * st) div (3 * n)"))
+          big(expr("CASE WHEN n = 0 THEN -1 ELSE " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * st) div (3 * n) END"))
             .as("p1_ppm"),
           big(expr("CASE WHEN den = 0 THEN -1" +
             " WHEN num >= 0 THEN (CAST(1000000 AS DECIMAL(38,0)) * num) div den" +
@@ -488,10 +494,15 @@ object GroupAE {
     // truncating division never loses a remainder), summed over
     // i = 0..min, scaled by 2·10⁶, divided by 2ⁿ, capped at 10⁶ (the
     // classical convention when pos = neg double-counts the middle term).
-    // The calendar axis is ~30 days: n ≤ 62 keeps 2ⁿ in BIGINT and
-    // C(n, n/2) ≤ C(62,31) ≈ 4.7e17 < 2⁶³. Ties (exactly equal means —
-    // the means are identical IEEE op sequences on both engines) drop
-    // from n, the standard sign-test treatment.
+    // The stepwise product carries in HUGEINT/DECIMAL(38,0): the PREFIX
+    // coefficients all fit int64 up to n = 66, but the intermediate
+    // acc·(n−j+1) passes 2⁶³ at n = 62 (C(62,30)·32 ≈ 1.44e19), where
+    // non-ANSI Spark would wrap silently while DuckDB BIGINT errors —
+    // widening keeps both engines exact, and the binding constraint
+    // becomes the 2ⁿ BIGINT shift on the Spark side: safe for n ≤ 62.
+    // The calendar axis is ~30 days, half that bound. Ties (exactly equal
+    // means — the means are identical IEEE op sequences on both engines)
+    // drop from n, the standard sign-test treatment.
     Q("q_sign_test",
       s"""WITH ${GroupAB.dailyCte},
         |x AS (
@@ -505,11 +516,11 @@ object GroupAE {
         |k AS (SELECT pos, neg, pos + neg AS n, least(pos, neg) AS kk FROM s),
         |t AS (
         |  SELECT pos, neg, n, kk,
-        |         CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+        |         CASE WHEN n = 0 THEN CAST(0 AS HUGEINT) ELSE
         |           list_sum(list_transform(range(0, kk + 1), i ->
-        |             CASE WHEN i = 0 THEN CAST(1 AS BIGINT) ELSE
+        |             CASE WHEN i = 0 THEN CAST(1 AS HUGEINT) ELSE
         |               list_reduce(
-        |                 list_prepend(CAST(1 AS BIGINT), range(1, i + 1)),
+        |                 list_prepend(CAST(1 AS HUGEINT), range(1, i + 1)),
         |                 (acc, j) -> (acc * (n - j + 1)) // j) END))
         |         END AS tail
         |  FROM k)
@@ -536,11 +547,12 @@ object GroupAE {
         // Spark's sequence(1, 0) runs DESCENDING (it infers step sign), so
         // the i = 0 term is guarded rather than folded over an empty range
         .withColumn("tail", expr(
-          """CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
-            |  aggregate(sequence(0, kk), CAST(0 AS BIGINT), (acc, i) ->
-            |    acc + CASE WHEN i = 0 THEN CAST(1 AS BIGINT) ELSE
-            |      aggregate(sequence(1, i), CAST(1 AS BIGINT),
-            |        (a2, j) -> (a2 * (n - j + 1)) div j) END)
+          """CASE WHEN n = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE
+            |  aggregate(sequence(0, kk), CAST(0 AS DECIMAL(38,0)), (acc, i) ->
+            |    CAST(acc + CASE WHEN i = 0 THEN CAST(1 AS DECIMAL(38,0)) ELSE
+            |      aggregate(sequence(1, i), CAST(1 AS DECIMAL(38,0)),
+            |        (a2, j) -> CAST((a2 * (n - j + 1)) div j AS DECIMAL(38,0)))
+            |      END AS DECIMAL(38,0)))
             |END""".stripMargin))
         .select(big(col("n")).as("n_days"), big(col("pos")).as("n_pos"),
           big(col("neg")).as("n_neg"),

@@ -1171,6 +1171,50 @@ object GroupB {
         .agg(big(count(col("lday"))).as("n_items"),
           coalesce(dsum(col("l_quantity")), lit(0.0)).as("total_qty"))
         .orderBy("o_orderkey")
+    },
+
+    // q_range_join's pre-aggregated twin for count/sum-only workloads (the
+    // escape hatch q_range_join's comment promises): collapse lineitem to
+    // ONE row per ship day BELOW the join — the day table is bounded by the
+    // calendar (~2.5k rows at ANY scale factor, 100 TB included), so it
+    // broadcasts — then each urgent order probes exactly its two covering
+    // days via an equi-join on day (no residual range filter left: the
+    // 2-day window is the probe set). The 100 TB fact scan reduces
+    // map-side to calendar size before anything shuffles; per-order work
+    // is O(1). Decimal day sums keep the fold exact, so (n_items,
+    // total_qty) equal q_range_join's pair-level form bit-for-bit
+    // (RangeJoinAggSpec pins the agreement).
+    Q("q_range_join_agg",
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS sday,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         sum(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey,
+        |       CAST(coalesce(sum(d.cnt), 0) AS BIGINT) AS n_items,
+        |       CAST(coalesce(sum(d.qty), 0) AS DOUBLE) AS total_qty
+        |FROM orders o LEFT JOIN d
+        |  ON d.sday >= CAST(o.o_orderdate AS DATE)
+        | AND d.sday < CAST(o.o_orderdate AS DATE) + INTERVAL 2 DAY
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
+      val epoch = to_date(lit("1970-01-01"))
+      val byDay = tbl(spark, dir, "lineitem")
+        .select(datediff(col("l_shipdate").cast("date"), epoch).as("lday"),
+          col("l_quantity").cast(DecimalType(25, 6)).as("lq"))
+        .groupBy("lday")
+        .agg(count(lit(1)).as("cnt"), sum(col("lq")).as("qty"))
+      val ord = tbl(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("oday"))
+        .withColumn("pday", explode(array(col("oday"), col("oday") + 1)))
+      ord.join(broadcast(byDay), col("pday") === col("lday"), "left")
+        .groupBy("o_orderkey")
+        .agg(big(coalesce(sum(col("cnt")), lit(0L))).as("n_items"),
+          coalesce(sum(col("qty")).cast(DoubleType), lit(0.0)).as("total_qty"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -25,17 +25,27 @@
 # 190.9 s pre-artifact-sharing regression hid in; their marginal cost is
 # measured, not asserted.
 #
-# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r13.json)
+# Round 14 (VERDICT r13 ask #3): the set gains the honest sf0.1 budget
+# top-3 — q_range_join (bucketed interval equi-join), q_edit_verify
+# (Levenshtein over the verified pair artifact) and q_minhash_calibration
+# (already present since r11) — the exact class whose expensive work lives
+# in output columns the old counted timing pruned; their exponents were
+# asserted-sound, now measured. Plus q_range_join_agg, the pre-aggregated
+# twin (ask #4), so the escape-hatch plan's scaling is on record next to
+# the pair-level form it replaces for count/sum workloads.
+#
+# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r14.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-tools/growthlaw_r13.json}"
+OUT="${1:-tools/growthlaw_r14.json}"
 
 QUERIES="q_dedup_minhash,q_dedup_simhash,q_dedup_embedding,q_semdedup,\
 q_minhash_weighted,q_minhash_calibration,q_ngram_jaccard,q_ngram_containment,\
 q_dup_components,q_symspell,q_label_noise,q_bitext_margin,q_nn_descent,\
 q_ann_graph,q_link_predict,q_graph_khop,q_basket_pairs,q_pagerank,\
 q_boilerplate,q_lm_surprise,q_decontaminate,q_top_terms,q_dsir,q_cooccur,\
-q_detector_agreement,q_mcnemar,q_cohens_kappa"
+q_detector_agreement,q_mcnemar,q_cohens_kappa,\
+q_range_join,q_range_join_agg,q_edit_verify"
 
 derive() { # derive <replicas> <dir>
   local reps="$1" dir="$2"
@@ -56,22 +66,22 @@ run() { # run <sfdir> <log> <mem> <cpus>
     sbt -batch "runMain graft.tools.ScaleLaw" 2>&1 | tee "$2" \
     | grep -o '{"metric":"scalelaw".*' > "$2.json"
 }
-run /root/testdata/sf0.1 tmp/scalelaw13_sf01.log 48g 32
-run "$PWD/tmp/sf1_raw"   tmp/scalelaw13_sf1.log  48g 32
+run /root/testdata/sf0.1 tmp/scalelaw14_sf01.log 48g 32
+run "$PWD/tmp/sf1_raw"   tmp/scalelaw14_sf1.log  48g 32
 # the 30x point at 32 cores like the others (r12 ran it at 16 as an OOM
 # workaround): 88g heap + the SessionCache LRU bound keep the artifact
 # working set bounded — evicted artifacts rebuild through lineage, which
 # costs recompute, not correctness (and the warm pass re-materializes the
 # live set before the timed passes)
 export GRAFT_SESSION_CACHE_MAX="${GRAFT_SESSION_CACHE_MAX:-8}"
-run "$PWD/tmp/sf3_raw"   tmp/scalelaw13_sf3.log  88g 32
+run "$PWD/tmp/sf3_raw"   tmp/scalelaw14_sf3.log  88g 32
 unset GRAFT_SESSION_CACHE_MAX
 
 python3 - "$OUT" <<'EOF'
 import json, math, sys
-pts = [("sf0.1", 0.1, "tmp/scalelaw13_sf01.log.json"),
-       ("sf1",   1.0, "tmp/scalelaw13_sf1.log.json"),
-       ("sf3",   3.0, "tmp/scalelaw13_sf3.log.json")]
+pts = [("sf0.1", 0.1, "tmp/scalelaw14_sf01.log.json"),
+       ("sf1",   1.0, "tmp/scalelaw14_sf1.log.json"),
+       ("sf3",   3.0, "tmp/scalelaw14_sf3.log.json")]
 data = {}
 for name, sf, path in pts:
     data[name] = json.loads(open(path).read())["queries"]
@@ -93,10 +103,15 @@ for q in data["sf0.1"]:
                             "1->3":   expo(t1/r1,  t3/r3,  1,   3)}
     out[q] = rec
 json.dump({"queries": out,
-           "note": "min-of-2 warm passes, fresh JVM per scale point; "
-                   "e_per_row reported where output grows superlinearly "
-                   "(clone-shard fixture makes true pairs quadratic in "
-                   "replicas by construction)"},
+           "note": "round-14: all three points (sf0.1/sf1/sf3) at 32 cores, "
+                   "full noop-write execution, min-of-2 warm passes, fresh "
+                   "JVM per scale point; 30-query set adds the honest "
+                   "budget top-3 (q_range_join, q_edit_verify; "
+                   "q_minhash_calibration already present) and the "
+                   "pre-aggregated twin q_range_join_agg. e_per_row "
+                   "reported where output grows superlinearly (clone-shard "
+                   "fixture makes true pairs quadratic in replicas by "
+                   "construction)"},
           open(sys.argv[1], "w"), indent=1)
 print("wrote", sys.argv[1])
 EOF
