@@ -219,8 +219,18 @@ object GroupR {
     // ORDER, so two docs of identical vocabulary can still be heavy
     // rewrites; the edit rate is the second opinion a curation pipeline
     // applies before collapsing a pair. Levenshtein is O(|a|·|b|) per
-    // pair — affordable ONLY because it runs on the verified candidate
-    // set (the session pair artifact), never the corpus cross product.
+    // pair — bounded by TWO containments: it runs only on the verified
+    // candidate set (the session pair artifact), never the corpus cross
+    // product, and it is CLONE-COMPACTED (round 14): the distance is a
+    // pure function of the text VALUES, and clone-heavy corpora make most
+    // admitted pairs share their (text_a, text_b) combo, so the kernel
+    // runs once per distinct representative pair — same-text pairs skip
+    // it outright (edit = 0 by definition) — and member pairs take their
+    // result by a narrow (rep_a, rep_b) join. The round-14 honest sf1
+    // bench measured the uncompacted form at 756.7 s (e(0.1→1) = 2.06,
+    // the kernel re-run for every member of every clone clique); distinct
+    // rep pairs don't grow with clone multiplicity, so the compacted form
+    // is scale-flat in kernel work and linear in the joins.
     Q("q_edit_verify",
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -241,17 +251,46 @@ object GroupR {
         |FROM pairs p JOIN t ta ON ta.doc_id = p.a_id
         |            JOIN t tb ON tb.doc_id = p.b_id
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      val t = tbl(spark, dir, "documents")
+      // rep = smallest doc_id sharing the text value — the exact-dedup
+      // pass (one shuffle of documents keyed by text; grouping must be on
+      // the real text, a hash key could merge distinct values)
+      val withRep = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      PipelineQueries.jaccardPairs(spark, dir)
-        .join(t.select(col("doc_id").as("a_id"), col("text").as("ta"),
+        .withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy("text")))
+      val idRep = withRep.select(col("doc_id"), col("rep"), col("len"))
+      val repText = withRep.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("text"))
+      // member pairs carry only ids + lens across the joins — never text
+      val pairs = PipelineQueries.jaccardPairs(spark, dir)
+        .join(idRep.select(col("doc_id").as("a_id"), col("rep").as("ra"),
           col("len").as("la")), Seq("a_id"))
-        .join(t.select(col("doc_id").as("b_id"), col("text").as("tb"),
+        .join(idRep.select(col("doc_id").as("b_id"), col("rep").as("rb"),
           col("len").as("lb")), Seq("b_id"))
-        .withColumn("edit", levenshtein(col("ta"), col("tb")))
+        .withColumn("r1", least(col("ra"), col("rb")))
+        .withColumn("r2", greatest(col("ra"), col("rb")))
+      // the O(|a|·|b|) kernel runs ONCE per distinct unordered rep pair
+      // with differing text (Levenshtein is symmetric); same-rep members
+      // are verbatim clones — edit 0 without running anything
+      val repEdit = pairs.filter(col("ra") =!= col("rb"))
+        .select(col("r1"), col("r2")).distinct()
+        .join(repText.select(col("rep").as("r1"), col("text").as("t1")),
+          Seq("r1"))
+        .join(repText.select(col("rep").as("r2"), col("text").as("t2")),
+          Seq("r2"))
+        // CPU-amplification-aware repartition (the round-13 rule, CPU
+        // flavor): the kernel stage's BYTES are tiny (~47k rows at sf0.1)
+        // so AQE coalesces it to one task, but each row costs O(|a|·|b|)
+        // ≈ ms of CPU — measured 182.7 s on the coalesced plan vs the
+        // spread below; round-robin keeps the kernel on every core
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("r1"), col("r2"),
+          levenshtein(col("t1"), col("t2")).as("edit"))
+      pairs.join(repEdit, Seq("r1", "r2"), "left")
         .select(big(col("a_id")).as("a_id"), big(col("b_id")).as("b_id"),
-          big(col("edit")).as("edit"),
-          big(expr("10000 * edit div greatest(la, lb)")).as("edit_per_10k"))
+          big(coalesce(col("edit"), lit(0))).as("edit"),
+          big(expr("10000 * coalesce(edit, 0) div greatest(la, lb)"))
+            .as("edit_per_10k"))
         .orderBy("a_id", "b_id")
     },
 

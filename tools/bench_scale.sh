@@ -67,15 +67,17 @@ run() { # run <sfdir> <log> <mem> <cpus>
     | grep -o '{"metric":"scalelaw".*' > "$2.json"
 }
 run /root/testdata/sf0.1 tmp/scalelaw14_sf01.log 48g 32
-run "$PWD/tmp/sf1_raw"   tmp/scalelaw14_sf1.log  48g 32
-# the 30x point at 32 cores like the others (r12 ran it at 16 as an OOM
-# workaround): 88g heap + the SessionCache LRU bound keep the artifact
-# working set bounded — evicted artifacts rebuild through lineage, which
-# costs recompute, not correctness (and the warm pass re-materializes the
-# live set before the timed passes)
+# the 30x point runs SECOND (it is the leg a round boundary has twice cut
+# short — each point is independent, fresh JVM, skip-if-complete) and at
+# 32 cores like the others (r12 ran it at 16 as an OOM workaround): 88g
+# heap + the SessionCache LRU bound keep the artifact working set bounded
+# — evicted artifacts rebuild through lineage, which costs recompute, not
+# correctness (and the warm pass re-materializes the live set before the
+# timed passes)
 export GRAFT_SESSION_CACHE_MAX="${GRAFT_SESSION_CACHE_MAX:-8}"
 run "$PWD/tmp/sf3_raw"   tmp/scalelaw14_sf3.log  88g 32
 unset GRAFT_SESSION_CACHE_MAX
+run "$PWD/tmp/sf1_raw"   tmp/scalelaw14_sf1.log  48g 32
 
 python3 - "$OUT" <<'EOF'
 import json, math, sys
