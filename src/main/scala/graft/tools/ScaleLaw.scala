@@ -30,9 +30,28 @@ object ScaleLaw {
     val names = sys.env("SPARK_GRAFT_ONLY").split(",").map(_.trim).toSeq
     val unknown = names.toSet.diff(graft.SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    // Big-fixture survival settings (the sf3 leg died identically in r13
+    // AND r14 before these: a full-GC storm stalls the single-JVM
+    // heartbeat past 120 s, Spark declares its own executor lost, and the
+    // run collapses in RPC errors):
+    //  - heartbeat/network timeouts sized for GC pauses, not network
+    //    failures — there IS no network in local mode, the timeout can
+    //    only ever misfire;
+    //  - Tungsten page size capped at 128 MiB — the auto-sized 1 GiB
+    //    pages are G1 humongous allocations, and 32 concurrent sort
+    //    tasks asking for 1 GiB contiguous each is the observed
+    //    "Failed to allocate a page" death at 88 GiB heap;
+    //  - shuffle partitions overridable per scale point
+    //    (SPARK_GRAFT_SHUFFLE) — the house rule is to size partitions
+    //    for DATA VOLUME, not core count; 32 partitions of a 1.2-billion
+    //    -pair shuffle at sf3 are ~40M rows each.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "800s")
+      .config("spark.buffer.pageSize", "128m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

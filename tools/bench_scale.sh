@@ -57,16 +57,19 @@ derive 10 tmp/sf1_raw
 derive 30 tmp/sf3_raw
 
 mkdir -p tmp
-run() { # run <sfdir> <log> <mem> <cpus>
+run() { # run <sfdir> <log> <mem> <cpus> <shuffle>
   # skip-if-complete: a non-empty .json means this point already ran
   # (re-running a 30x point costs ~30 min; delete the json to force)
   if [ -s "$2.json" ]; then echo "skip $1 ($2.json exists)"; return; fi
   SPARK_DRIVER_MEM="$3" SPARK_GRAFT_CPUS="$4" SPARK_GRAFT_SF_DIR="$1" \
-    SPARK_GRAFT_ONLY="$QUERIES" \
+    SPARK_GRAFT_SHUFFLE="$5" SPARK_GRAFT_ONLY="$QUERIES" \
     sbt -batch "runMain graft.tools.ScaleLaw" 2>&1 | tee "$2" \
     | grep -o '{"metric":"scalelaw".*' > "$2.json"
 }
-run /root/testdata/sf0.1 tmp/scalelaw14_sf01.log 48g 32
+# Shuffle partitions scale with DATA (32/64/128), cores stay equal (32):
+# the house partition-sizing rule — 32 partitions of sf3's 1.2B-pair
+# shuffles are ~40M rows each, the observed allocation-death at 88g.
+run /root/testdata/sf0.1 tmp/scalelaw14_sf01.log 48g 32 32
 # the 30x point runs SECOND (it is the leg a round boundary has twice cut
 # short — each point is independent, fresh JVM, skip-if-complete) and at
 # 32 cores like the others (r12 ran it at 16 as an OOM workaround): 88g
@@ -75,9 +78,9 @@ run /root/testdata/sf0.1 tmp/scalelaw14_sf01.log 48g 32
 # correctness (and the warm pass re-materializes the live set before the
 # timed passes)
 export GRAFT_SESSION_CACHE_MAX="${GRAFT_SESSION_CACHE_MAX:-8}"
-run "$PWD/tmp/sf3_raw"   tmp/scalelaw14_sf3.log  88g 32
+run "$PWD/tmp/sf3_raw"   tmp/scalelaw14_sf3.log  88g 32 128
 unset GRAFT_SESSION_CACHE_MAX
-run "$PWD/tmp/sf1_raw"   tmp/scalelaw14_sf1.log  48g 32
+run "$PWD/tmp/sf1_raw"   tmp/scalelaw14_sf1.log  48g 32 64
 
 python3 - "$OUT" <<'EOF'
 import json, math, sys
@@ -107,8 +110,10 @@ for q in data["sf0.1"]:
 json.dump({"queries": out,
            "note": "round-14: all three points (sf0.1/sf1/sf3) at 32 cores, "
                    "full noop-write execution, min-of-2 warm passes, fresh "
-                   "JVM per scale point; 30-query set adds the honest "
-                   "budget top-3 (q_range_join, q_edit_verify; "
+                   "JVM per scale point; shuffle partitions sized for data "
+                   "volume per point (32/64/128, the house partition-sizing "
+                   "rule - cores equal at every point); 30-query set adds "
+                   "the honest budget top-3 (q_range_join, q_edit_verify; "
                    "q_minhash_calibration already present) and the "
                    "pre-aggregated twin q_range_join_agg. e_per_row "
                    "reported where output grows superlinearly (clone-shard "
