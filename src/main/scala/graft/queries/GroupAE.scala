@@ -499,7 +499,11 @@ object GroupAE {
     // acc·(n−j+1) passes 2⁶³ at n = 62 (C(62,30)·32 ≈ 1.44e19), where
     // non-ANSI Spark would wrap silently while DuckDB BIGINT errors —
     // widening keeps both engines exact, and the binding constraint
-    // becomes the 2ⁿ BIGINT shift on the Spark side: safe for n ≤ 62.
+    // becomes the 2ⁿ BIGINT shift on the Spark side: exact for n ≤ 62,
+    // and ENFORCED — n > 62 returns the −1 sentinel on BOTH engines
+    // (ADVICE r14: Spark's `1L << n` wraps silently past 62 while
+    // DuckDB's HUGEINT shift stays exact, so an unguarded bound would
+    // diverge silently exactly where the old comment claimed safety).
     // The calendar axis is ~30 days, half that bound. Ties (exactly equal
     // means — the means are identical IEEE op sequences on both engines)
     // drop from n, the standard sign-test treatment.
@@ -526,12 +530,13 @@ object GroupAE {
         |  FROM k)
         |SELECT CAST(n AS BIGINT) AS n_days, CAST(pos AS BIGINT) AS n_pos,
         |       CAST(neg AS BIGINT) AS n_neg,
-        |       CAST(CASE WHEN n = 0 THEN -1
+        |       CAST(CASE WHEN n = 0 OR n > 62 THEN -1
         |                 ELSE least(1000000,
         |                   (2000000 * CAST(tail AS HUGEINT))
         |                     // (CAST(1 AS HUGEINT) << n)) END
         |            AS BIGINT) AS p_ppm,
-        |       CAST(CASE WHEN n > 0 AND (2000000 * CAST(tail AS HUGEINT))
+        |       CAST(CASE WHEN n > 0 AND n <= 62
+        |                  AND (2000000 * CAST(tail AS HUGEINT))
         |                     // (CAST(1 AS HUGEINT) << n) <= 50000
         |                 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
         |FROM t ORDER BY n_days""".stripMargin) { (spark, dir) =>
@@ -556,10 +561,10 @@ object GroupAE {
             |END""".stripMargin))
         .select(big(col("n")).as("n_days"), big(col("pos")).as("n_pos"),
           big(col("neg")).as("n_neg"),
-          big(expr("CASE WHEN n = 0 THEN -1 ELSE least(CAST(1000000 AS " +
+          big(expr("CASE WHEN n = 0 OR n > 62 THEN -1 ELSE least(CAST(1000000 AS " +
             "DECIMAL(38,0)), (CAST(2000000 AS DECIMAL(38,0)) * tail) div " +
             "(CAST(1 AS BIGINT) << n)) END")).as("p_ppm"),
-          big(expr("CASE WHEN n > 0 AND (CAST(2000000 AS DECIMAL(38,0)) * " +
+          big(expr("CASE WHEN n > 0 AND n <= 62 AND (CAST(2000000 AS DECIMAL(38,0)) * " +
             "tail) div (CAST(1 AS BIGINT) << n) <= 50000 THEN 1 ELSE 0 END"))
             .as("significant_05"))
     },

@@ -286,10 +286,16 @@ object GroupR {
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("r1"), col("r2"),
           levenshtein(col("t1"), col("t2")).as("edit"))
+      // coalesce ONLY the provably-clone case (same rep ⇒ verbatim equal
+      // text ⇒ edit 0); a rep-pair row missing from repEdit stays NULL so
+      // any future compaction regression fails the oracle gate loudly
+      // instead of silently reporting exact clones (ADVICE r14)
       pairs.join(repEdit, Seq("r1", "r2"), "left")
         .select(big(col("a_id")).as("a_id"), big(col("b_id")).as("b_id"),
-          big(coalesce(col("edit"), lit(0))).as("edit"),
-          big(expr("10000 * coalesce(edit, 0) div greatest(la, lb)"))
+          big(when(col("ra") === col("rb"), lit(0)).otherwise(col("edit")))
+            .as("edit"),
+          big(when(col("ra") === col("rb"), lit(0))
+            .otherwise(expr("10000 * edit div greatest(la, lb)")))
             .as("edit_per_10k"))
         .orderBy("a_id", "b_id")
     },

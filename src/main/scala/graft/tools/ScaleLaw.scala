@@ -14,10 +14,22 @@ import org.apache.spark.sql.SparkSession
   * to seconds lets tools/bench_scale.sh separate compute growth from
   * output growth instead of committing another distorted table.
   *
-  * Protocol per invocation (one fixture, fresh JVM per scale point by way
-  * of the wrapper script): sf0.001 codegen warmup for the subset, target
-  * pre-read, one untimed warm run (builds shared SessionCache artifacts),
-  * then two timed runs, min per query — Bench's measurement discipline.
+  * Protocol per invocation (one fixture, fresh JVM per scale point — and,
+  * since round 15, per QUERY at the big fixtures by way of the wrapper
+  * script): sf0.001 codegen warmup for the subset, target pre-read, one
+  * untimed warm run (builds shared SessionCache artifacts), then two timed
+  * runs, min per query — Bench's measurement discipline.
+  *
+  * Round-15 hardening (VERDICT r14 "What's wrong" #2/#3 — the single-JVM
+  * 30-query sf3 leg OOM-died three times, and its dying JSON recorded
+  * 5 ms "times" for queries whose noop write had THROWN, silently):
+  *   - every per-query phase prints `GRAFT:begin/end <name>` markers so a
+  *     death is attributable without stage-number archaeology;
+  *   - a throw during a timed pass is RECORDED (`"err":"<class>"`) instead
+  *     of swallowed — a failed query can never masquerade as a fast one;
+  *   - the wrapper loops one query per fresh JVM at the big fixtures, so
+  *     one OOM costs one row, not the leg, and the OOMing query is
+  *     identified by construction.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_ONLY=q_a,q_b \
   *          runMain graft.tools.ScaleLaw
@@ -57,9 +69,11 @@ object ScaleLaw {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val subset = names.map(n => n -> graft.SparkEntry.queries(n))
-    subset.foreach { case (_, fn) =>
+    subset.foreach { case (name, fn) =>
+      println(s"GRAFT:begin $name phase=codegen-warmup")
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
+      println(s"GRAFT:end $name phase=codegen-warmup")
     }
     new java.io.File(sfDir).listFiles()
       .filter(_.getName.endsWith(".parquet"))
@@ -72,19 +86,36 @@ object ScaleLaw {
     // Catalyst prune aggregate expressions the row count doesn't reference
     // and the measured exponent is then a fiction (the Bench.scala
     // round-13 finding). Output rows are recorded from ONE untimed count.
-    def pass(): Map[String, Double] = subset.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    pass() // warm: artifacts + first touch, discarded
+    // A throw is recorded next to the time, never swallowed: the r14 sf3
+    // leg's dying JVM produced a JSON where every query "ran" in 5 ms
+    // because the write threw instantly — a failure mode this closes.
+    def pass(phase: String): Map[String, (Double, Option[String])] =
+      subset.map { case (name, fn) =>
+        println(s"GRAFT:begin $name phase=$phase")
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"GRAFT:end $name phase=$phase sec=$sec%.3f err=${err.getOrElse("none")}")
+        name -> (sec, err)
+      }.toMap
+    pass("warm") // warm: artifacts + first touch, discarded
     val rows: Map[String, Long] = subset.map { case (name, fn) =>
-      name -> (try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
+      println(s"GRAFT:begin $name phase=rows")
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      println(s"GRAFT:end $name phase=rows rows=$n")
+      name -> n
     }.toMap
-    val (p1, p2) = (pass(), pass())
+    val (p1, p2) = (pass("timed1"), pass("timed2"))
     val qs = subset.map { case (name, _) =>
-      s"""\"$name\":{\"sec\":${math.min(p1(name), p2(name))},\"rows\":${rows(name)}}"""
+      val errs = Seq(p1(name)._2, p2(name)._2).flatten
+      if (errs.nonEmpty)
+        s"""\"$name\":{\"sec\":null,\"rows\":${rows(name)},\"err\":\"${errs.head}\"}"""
+      else {
+        val sec = math.min(p1(name)._1, p2(name)._1)
+        s"""\"$name\":{\"sec\":$sec,\"rows\":${rows(name)}}"""
+      }
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scalelaw","sf":"$sfDir","queries":$qs}""")
     spark.stop()

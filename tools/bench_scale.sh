@@ -3,9 +3,8 @@
 # the 10x point (tools/bench_sf1.json) showed the compacted plans flat at
 # one decade; the 100 TB claim extrapolates two more. This derives a 30x
 # fixture (ScaleUp, 30 key-shifted clone shards) next to the 10x one and
-# measures the heavy tail at sf0.1 / sf1 / sf3 with graft.tools.ScaleLaw
-# (fresh JVM per scale point, warm run + min-of-2, rows recorded), then
-# fits per-query growth exponents:
+# measures the heavy tail at sf0.1 / sf1 / sf3 with graft.tools.ScaleLaw,
+# then fits per-query growth exponents:
 #
 #   e(a->b) = log(t_b/t_a) / log(scale_b/scale_a)
 #
@@ -14,111 +13,108 @@
 # OUTPUT grows quadratically in the replica count by fixture construction
 # (k clone shards make k^2 true pairs per original dup group).
 #
-# Round 13 (VERDICT r12 asks #4/#5): all three points run at the SAME core
-# count (32) — the r12 file's sf3 leg ran at 16 cores as an OOM workaround,
-# inflating e(1->3) by up to +0.63 for CPU-bound queries. The memory fix is
-# now the documented dial instead: GRAFT_SESSION_CACHE_MAX bounds live
-# session artifacts by LRU (evicted artifacts rebuild through lineage), so
-# the sf3 JVM no longer holds the whole tail's artifact set at once. The
-# query set also gains the three artifact-composition audits
-# (q_detector_agreement, q_mcnemar, q_cohens_kappa) — the exact class the
-# 190.9 s pre-artifact-sharing regression hid in; their marginal cost is
-# measured, not asserted.
+# Round 15 (VERDICT r14 ask #1): ONE QUERY PER FRESH JVM, at every scale
+# point. The single-JVM 30-query shape OOM-died at sf3 three times (r13,
+# r14 mid-round, r14 post-commit) despite heartbeat/page-size/shuffle
+# flags, losing the whole leg each time — and its dying JSON recorded 5 ms
+# "times" for queries whose execution had thrown. Per-query isolation
+# means: one OOM costs one row, not the leg; the OOMing query is
+# identified by construction; a hard per-JVM timeout bounds GC-thrash
+# spirals; and every JVM's result (success, error, timeout, death) is
+# appended to a per-point .jsonl incrementally, so a cut-short leg keeps
+# everything it measured. Timed-pass semantics are UNCHANGED vs the
+# single-JVM r13 points (warm pass builds the query's SessionCache
+# artifacts, two timed passes ride them, min-of-2, noop-write full
+# execution), so exponents remain comparable across rounds.
 #
-# Round 14 (VERDICT r13 ask #3): the set gains the honest sf0.1 budget
-# top-3 — q_range_join (bucketed interval equi-join), q_edit_verify
-# (Levenshtein over the verified pair artifact) and q_minhash_calibration
-# (already present since r11) — the exact class whose expensive work lives
-# in output columns the old counted timing pruned; their exponents were
-# asserted-sound, now measured. Plus q_range_join_agg, the pre-aggregated
-# twin (ask #4), so the escape-hatch plan's scaling is on record next to
-# the pair-level form it replaces for count/sum workloads.
+# The JVM is launched directly (java -cp classes:/opt/spark/jars/*) with
+# build.sbt's exact module flags — sbt startup would add ~40 s x 96 JVMs
+# of pure overhead. `sbt -batch compile` runs once up front.
 #
-# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r14.json)
-set -euo pipefail
+# Round 15 set additions (VERDICT r14 ask #4): q_fleiss_kappa (honest sf1
+# suite #2 at 49.9 s, suite e=1.35 — artifact-confounded, never measured
+# isolated) and q_cochran_q (same artifact family) -> 32 queries.
+#
+# Usage: tools/bench_scale.sh [outJson]   (default tools/growthlaw_r15.json)
+set -uo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-tools/growthlaw_r14.json}"
+OUT="${1:-tools/growthlaw_r15.json}"
 
-QUERIES="q_dedup_minhash,q_dedup_simhash,q_dedup_embedding,q_semdedup,\
-q_minhash_weighted,q_minhash_calibration,q_ngram_jaccard,q_ngram_containment,\
-q_dup_components,q_symspell,q_label_noise,q_bitext_margin,q_nn_descent,\
-q_ann_graph,q_link_predict,q_graph_khop,q_basket_pairs,q_pagerank,\
-q_boilerplate,q_lm_surprise,q_decontaminate,q_top_terms,q_dsir,q_cooccur,\
-q_detector_agreement,q_mcnemar,q_cohens_kappa,\
-q_range_join,q_range_join_agg,q_edit_verify"
+QUERIES="q_dedup_minhash q_dedup_simhash q_dedup_embedding q_semdedup \
+q_minhash_weighted q_minhash_calibration q_ngram_jaccard q_ngram_containment \
+q_dup_components q_symspell q_label_noise q_bitext_margin q_nn_descent \
+q_ann_graph q_link_predict q_graph_khop q_basket_pairs q_pagerank \
+q_boilerplate q_lm_surprise q_decontaminate q_top_terms q_dsir q_cooccur \
+q_detector_agreement q_mcnemar q_cohens_kappa \
+q_range_join q_range_join_agg q_edit_verify \
+q_fleiss_kappa q_cochran_q"
 
 derive() { # derive <replicas> <dir>
   local reps="$1" dir="$2"
   if [ ! -e "$dir/lineitem.parquet" ]; then
-    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $dir $reps"
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $dir $reps" || exit 1
   fi
 }
 derive 10 tmp/sf1_raw
 derive 30 tmp/sf3_raw
 
+sbt -batch compile || exit 1
 mkdir -p tmp
-run() { # run <sfdir> <log> <mem> <cpus> <shuffle>
-  # skip-if-complete: a non-empty .json means this point already ran
-  # (re-running a 30x point costs ~30 min; delete the json to force)
-  if [ -s "$2.json" ]; then echo "skip $1 ($2.json exists)"; return; fi
-  SPARK_DRIVER_MEM="$3" SPARK_GRAFT_CPUS="$4" SPARK_GRAFT_SF_DIR="$1" \
-    SPARK_GRAFT_SHUFFLE="$5" SPARK_GRAFT_ONLY="$QUERIES" \
-    sbt -batch "runMain graft.tools.ScaleLaw" 2>&1 | tee "$2" \
-    | grep -o '{"metric":"scalelaw".*' > "$2.json"
-}
-# Shuffle partitions scale with DATA (32/64/128), cores stay equal (32):
-# the house partition-sizing rule — 32 partitions of sf3's 1.2B-pair
-# shuffles are ~40M rows each, the observed allocation-death at 88g.
-run /root/testdata/sf0.1 tmp/scalelaw14_sf01.log 48g 32 32
-# the 30x point runs SECOND (it is the leg a round boundary has twice cut
-# short — each point is independent, fresh JVM, skip-if-complete) and at
-# 32 cores like the others (r12 ran it at 16 as an OOM workaround): 88g
-# heap + the SessionCache LRU bound keep the artifact working set bounded
-# — evicted artifacts rebuild through lineage, which costs recompute, not
-# correctness (and the warm pass re-materializes the live set before the
-# timed passes)
-export GRAFT_SESSION_CACHE_MAX="${GRAFT_SESSION_CACHE_MAX:-8}"
-run "$PWD/tmp/sf3_raw"   tmp/scalelaw14_sf3.log  88g 32 128
-unset GRAFT_SESSION_CACHE_MAX
-run "$PWD/tmp/sf1_raw"   tmp/scalelaw14_sf1.log  48g 32 64
 
-python3 - "$OUT" <<'EOF'
-import json, math, sys
-pts = [("sf0.1", 0.1, "tmp/scalelaw14_sf01.log.json"),
-       ("sf1",   1.0, "tmp/scalelaw14_sf1.log.json"),
-       ("sf3",   3.0, "tmp/scalelaw14_sf3.log.json")]
-data = {}
-for name, sf, path in pts:
-    data[name] = json.loads(open(path).read())["queries"]
-out = {}
-def expo(ta, tb, sa, sb):
-    if ta <= 0 or tb <= 0: return None
-    return round(math.log(tb / ta) / math.log(sb / sa), 3)
-for q in data["sf0.1"]:
-    t01, r01 = data["sf0.1"][q]["sec"], data["sf0.1"][q]["rows"]
-    t1,  r1  = data["sf1"][q]["sec"],  data["sf1"][q]["rows"]
-    t3,  r3  = data["sf3"][q]["sec"],  data["sf3"][q]["rows"]
-    rec = {"sec":  {"sf0.1": round(t01,3), "sf1": round(t1,3), "sf3": round(t3,3)},
-           "rows": {"sf0.1": r01, "sf1": r1, "sf3": r3},
-           "e_time": {"0.1->1": expo(t01,t1,0.1,1), "1->3": expo(t1,t3,1,3)}}
-    # seconds per output row, when output itself grows: the honest
-    # exponent for pair-emitting queries on the clone fixture
-    if r01 and r1 and r3 and r01 > 0 and r3 > r01 * 30:
-        rec["e_per_row"] = {"0.1->1": expo(t01/r01, t1/r1, 0.1, 1),
-                            "1->3":   expo(t1/r1,  t3/r3,  1,   3)}
-    out[q] = rec
-json.dump({"queries": out,
-           "note": "round-14: all three points (sf0.1/sf1/sf3) at 32 cores, "
-                   "full noop-write execution, min-of-2 warm passes, fresh "
-                   "JVM per scale point; shuffle partitions sized for data "
-                   "volume per point (32/64/128, the house partition-sizing "
-                   "rule - cores equal at every point); 30-query set adds "
-                   "the honest budget top-3 (q_range_join, q_edit_verify; "
-                   "q_minhash_calibration already present) and the "
-                   "pre-aggregated twin q_range_join_agg. e_per_row "
-                   "reported where output grows superlinearly (clone-shard "
-                   "fixture makes true pairs quadratic in replicas by "
-                   "construction)"},
-          open(sys.argv[1], "w"), indent=1)
-print("wrote", sys.argv[1])
-EOF
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# build.sbt's jdk17AddOpens, verbatim (Spark 4 on JDK 17 outside
+# spark-submit needs them)
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+run_one() { # run_one <sfdir> <tag> <mem> <cpus> <shuffle> <timeout> <query>
+  local sfdir="$1" tag="$2" mem="$3" cpus="$4" shuffle="$5" tmo="$6" q="$7"
+  local jsonl="tmp/${tag}.jsonl" log="tmp/${tag}.log"
+  # skip-if-complete: a prior SUCCESS row (numeric sec) for this query
+  # means it already ran; error/timeout rows are retried
+  if [ -f "$jsonl" ] && grep -q "\"$q\":{\"sec\":[0-9]" "$jsonl"; then
+    echo "skip $q @ $tag (already measured)"; return
+  fi
+  echo "=== $tag $q mem=$mem cpus=$cpus shuffle=$shuffle tmo=${tmo}s $(date +%T) ==="
+  SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS="$cpus" \
+  SPARK_GRAFT_SHUFFLE="$shuffle" SPARK_GRAFT_ONLY="$q" \
+    timeout -k 30 "$tmo" \
+    java $OPENS -Xmx"$mem" -XX:+ExitOnOutOfMemoryError \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -cp "$CP" graft.tools.ScaleLaw >> "$log" 2>&1
+  local rc=$?
+  local line
+  line=$(grep -o '{"metric":"scalelaw".*' "$log" | tail -1)
+  # the log accumulates across queries; the tail line is only THIS run's
+  # if it names this query (ScaleLaw prints it after all measurement, so
+  # a late nonzero exit — e.g. during spark.stop() — doesn't void it)
+  if [ -n "$line" ] && echo "$line" | grep -q "\"$q\":{\"sec\""; then
+    echo "$line" >> "$jsonl"
+  else
+    # per-query failure record, by construction attributable (ask #1)
+    local err="jvm_rc_$rc"; [ $rc -eq 124 ] || [ $rc -eq 137 ] && err="timeout_${tmo}s"
+    echo "{\"metric\":\"scalelaw\",\"sf\":\"$sfdir\",\"queries\":{\"$q\":{\"sec\":null,\"rows\":-1,\"err\":\"$err\"}}}" >> "$jsonl"
+    echo "FAILED $q @ $tag rc=$rc"
+  fi
+}
+
+point() { # point <sfdir> <tag> <mem> <cpus> <shuffle> <timeout>
+  for q in $QUERIES; do run_one "$1" "$2" "$3" "$4" "$5" "$6" "$q"; done
+}
+
+# Shuffle partitions scale with DATA (32/64/128), cores stay equal (32):
+# the house partition-sizing rule. Per-JVM heap needs only ONE query's
+# artifact set now, but sf3's single heaviest (detector-family artifact
+# derivation) still wants the full headroom. sf3 runs FIRST: it is the
+# leg a round boundary has three times cut short; per-query .jsonl rows
+# survive any interruption.
+point "$PWD/tmp/sf3_raw"   scalelaw15_sf3  88g 32 128 5400
+point /root/testdata/sf0.1 scalelaw15_sf01 48g 32 32   900
+point "$PWD/tmp/sf1_raw"   scalelaw15_sf1  64g 32 64  2400
+
+python3 tools/merge_growthlaw.py "$OUT" \
+  tmp/scalelaw15_sf01.jsonl tmp/scalelaw15_sf1.jsonl tmp/scalelaw15_sf3.jsonl
