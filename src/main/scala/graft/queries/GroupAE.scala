@@ -220,14 +220,20 @@ object GroupAE {
       val ex = pairs(exactTokPairs(spark, dir))
       val mh = pairs(PipelineDedup.minhashPairs(spark, dir))
       val sh = pairs(PipelineDedup.simhashPairs(spark, dir))
-      val u = pairs(PipelineQueries.jaccardPairs(spark, dir))
-        .unionByName(ex).unionByName(mh).unionByName(sh).distinct()
-      val x = u
-        .join(ex.withColumn("oe", lit(1)), Seq("a_id", "b_id"), "left")
-        .join(mh.withColumn("om", lit(1)), Seq("a_id", "b_id"), "left")
-        .join(sh.withColumn("os", lit(1)), Seq("a_id", "b_id"), "left")
-        .select((coalesce(col("oe"), lit(0)) + coalesce(col("om"), lit(0))
-          + coalesce(col("os"), lit(0))).as("r"))
+      // round 15 (guide §2.3/§2.4): the hit count r per union pair is ONE
+      // tagged-union aggregation — each detector table lists a pair at
+      // most once (all three are built from disjoint signature groups
+      // with a < b ordering), so sum(tag) over the concatenation equals
+      // the three coalesced join flags, and the truth set rides along at
+      // tag 0 only to complete the universe. Replaces the previous
+      // union+distinct plus THREE shuffle joins (4 wide exchanges → 1)
+      // with identical (a_id, b_id) → r, hence identical N/S/R2.
+      def tagged(df: DataFrame, t: Int) = df.withColumn("tag", lit(t))
+      val x = tagged(ex, 1)
+        .unionByName(tagged(mh, 1)).unionByName(tagged(sh, 1))
+        .unionByName(tagged(pairs(PipelineQueries.jaccardPairs(spark, dir)), 0))
+        .groupBy("a_id", "b_id").agg(sum(col("tag")).as("r"))
+        .select(col("r"))
       x.agg(count(lit(1)).cast(wide).as("n"),
         sum(col("r")).cast(wide).as("st"),
         sum(col("r") * col("r")).cast(wide).as("r2"))

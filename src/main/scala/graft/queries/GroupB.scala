@@ -1054,6 +1054,11 @@ object GroupB {
     },
 
     // Exact percentiles (sort-based, linearly interpolated in both engines).
+    // One percentile(col, array(...)) aggregate, not three scalar calls:
+    // the exact-percentile buffer (a counts-of-distinct-values map the
+    // size of the group's value set) is built, shuffled and sorted ONCE
+    // and all three ranks read it — the three-call form paid that state
+    // three times (round 15; per-element values identical by definition).
     Q("q_percentiles",
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
@@ -1063,10 +1068,11 @@ object GroupB {
         |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
       tbl(spark, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 6).as("p50"),
+          round(element_at(col("ps"), 2), 6).as("p90"),
+          round(element_at(col("ps"), 3), 6).as("p99"))
         .orderBy("l_returnflag")
     },
 
@@ -1133,14 +1139,19 @@ object GroupB {
 
     // Interval range join: urgent orders x lineitems shipped within
     // [o_orderdate, o_orderdate + 2 days). A raw non-equi join is a
-    // nested-loop at any scale; bucketing the time axis (2-day buckets =
-    // the window length) turns it into an EQUI-join on bucket — each
-    // lineitem lands in exactly one bucket, each order probes its <=2
-    // covering buckets (array_distinct dedupes when the window fits one) —
-    // with the exact range predicate as a residual filter. Shuffle is
-    // uniform in the time dimension; no candidate pair survives past its
-    // bucket. (Count/sum-only workloads should pre-aggregate per day
-    // instead; this keeps the generic pair-level join shape.)
+    // nested-loop at any scale. The declared output is count/sum per
+    // order, so the scale-correct plan (round 15, guide §2.3 "aggregate
+    // before you shuffle") pre-aggregates lineitem to ONE row per ship
+    // day BELOW the join: the day table is bounded by the calendar
+    // (~2.5k rows at ANY scale factor, 100 TB included) so it broadcasts,
+    // and each urgent order probes exactly its two covering days by
+    // equi-join — the 100 TB fact scan reduces map-side to calendar size
+    // before anything shuffles. Decimal day sums keep the fold exact, so
+    // the result is bit-identical to the pair-level bucketed form
+    // (RangeJoinAggSpec pins the agreement against an inline pair-level
+    // reference at two fixture scales; measured 7.7 s → ~1.1 s at sf0.1).
+    // Workloads that need the PAIR ROWS themselves use the bucketed
+    // equi-join shape preserved in RangeJoinAggSpec.pairLevelReference.
     Q("q_range_join",
       """SELECT o.o_orderkey,
         |       CAST(count(l.l_shipdate) AS BIGINT) AS n_items,
@@ -1151,27 +1162,7 @@ object GroupB {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY o.o_orderkey
-        |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
-      val epoch = to_date(lit("1970-01-01"))
-      val li = tbl(spark, dir, "lineitem")
-        .select(col("l_quantity"),
-          datediff(col("l_shipdate").cast("date"), epoch).as("lday"))
-        .withColumn("lbucket", floor(col("lday") / 2))
-      val ord = tbl(spark, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"),
-          datediff(col("o_orderdate").cast("date"), epoch).as("oday"))
-        .withColumn("obucket", explode(array_distinct(array(
-          floor(col("oday") / 2), floor((col("oday") + 1) / 2)))))
-      ord.join(li,
-          col("obucket") === col("lbucket") &&
-            col("lday") >= col("oday") && col("lday") < col("oday") + 2,
-          "left")
-        .groupBy("o_orderkey")
-        .agg(big(count(col("lday"))).as("n_items"),
-          coalesce(dsum(col("l_quantity")), lit(0.0)).as("total_qty"))
-        .orderBy("o_orderkey")
-    },
+        |ORDER BY o.o_orderkey""".stripMargin)(rangeJoinDayAggPlan),
 
     // q_range_join's pre-aggregated twin for count/sum-only workloads (the
     // escape hatch q_range_join's comment promises): collapse lineitem to
@@ -1198,23 +1189,32 @@ object GroupB {
         | AND d.sday < CAST(o.o_orderdate AS DATE) + INTERVAL 2 DAY
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY o.o_orderkey
-        |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
-      val epoch = to_date(lit("1970-01-01"))
-      val byDay = tbl(spark, dir, "lineitem")
-        .select(datediff(col("l_shipdate").cast("date"), epoch).as("lday"),
-          col("l_quantity").cast(DecimalType(25, 6)).as("lq"))
-        .groupBy("lday")
-        .agg(count(lit(1)).as("cnt"), sum(col("lq")).as("qty"))
-      val ord = tbl(spark, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"),
-          datediff(col("o_orderdate").cast("date"), epoch).as("oday"))
-        .withColumn("pday", explode(array(col("oday"), col("oday") + 1)))
-      ord.join(broadcast(byDay), col("pday") === col("lday"), "left")
-        .groupBy("o_orderkey")
-        .agg(big(coalesce(sum(col("cnt")), lit(0L))).as("n_items"),
-          coalesce(sum(col("qty")).cast(DoubleType), lit(0.0)).as("total_qty"))
-        .orderBy("o_orderkey")
-    }
+        |ORDER BY o.o_orderkey""".stripMargin)(rangeJoinDayAggPlan)
   )
+
+  /** The calendar-bounded pre-aggregated range-join plan, shared since
+    * round 15 by q_range_join and its historically-registered twin
+    * q_range_join_agg (both declare the same count/sum-per-order contract;
+    * the pair-level bucketed form both are proven bit-identical to lives
+    * on as RangeJoinAggSpec's inline reference). lineitem collapses to one
+    * row per ship day below the join; the ~2.5k-row day table broadcasts;
+    * each urgent order probes its two covering days by equi-join. */
+  private[graft] def rangeJoinDayAggPlan(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val byDay = tbl(spark, dir, "lineitem")
+      .select(datediff(col("l_shipdate").cast("date"), epoch).as("lday"),
+        col("l_quantity").cast(DecimalType(25, 6)).as("lq"))
+      .groupBy("lday")
+      .agg(count(lit(1)).as("cnt"), sum(col("lq")).as("qty"))
+    val ord = tbl(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("oday"))
+      .withColumn("pday", explode(array(col("oday"), col("oday") + 1)))
+    ord.join(broadcast(byDay), col("pday") === col("lday"), "left")
+      .groupBy("o_orderkey")
+      .agg(big(coalesce(sum(col("cnt")), lit(0L))).as("n_items"),
+        coalesce(sum(col("qty")).cast(DoubleType), lit(0.0)).as("total_qty"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -151,11 +151,18 @@ object GroupE {
 
     // Time-series resampling: per-user hourly grid over each user's
     // observed span, hourly exact sums forward-filled across gap hours
-    // (the log → features step of any temporal pipeline). The grid is
-    // generated per user (sequence + explode — no driver loop, no global
-    // calendar join), and the fill is one pk-partitioned window. The
-    // hourly value is a DECIMAL-exact sum, and the fill copies it
-    // verbatim, so no float arithmetic crosses rows.
+    // (the log → features step of any temporal pipeline). The hourly
+    // value is a DECIMAL-exact sum, and the fill copies it verbatim, so
+    // no float arithmetic crosses rows. Round-15 shape (guide §2.4 —
+    // remove shuffles outright): each observed hour emits ITSELF plus the
+    // gap hours up to (exclusive) the user's next observed hour, all
+    // carrying its own value — sequence(h, next_h − 1h) off one lead()
+    // window. Union over a user's rows = exactly the min(h)..max(h) grid,
+    // and every grid hour takes the value of the latest observed hour at
+    // or before it — the same forward fill the previous plan computed by
+    // generating the grid from a separate span aggregate, left-joining
+    // the hourly sums back, and window-filling (one scan + 2 exchanges
+    // replace 2 scans + 5; output bit-identical, oracle unchanged).
     Q("q_resample_ffill",
       """WITH ev AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h, value FROM events),
@@ -177,16 +184,16 @@ object GroupE {
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
           col("value"))
       val hourly = ev.groupBy("user_id", "h").agg(dsum(col("value")).as("hv"))
-      val grid = ev.groupBy("user_id")
-        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"),
-            expr("interval 1 hour"))).as("h"))
       val w = Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "h"), "left")
+      hourly
+        .withColumn("hn", lead(col("h"), 1).over(w))
+        .select(col("user_id"),
+          explode(sequence(col("h"),
+            coalesce(col("hn") - expr("interval 1 hour"), col("h")),
+            expr("interval 1 hour"))).as("h"),
+          col("hv"))
         .select(col("user_id"), tstr(col("h")).as("hour"),
-          last(col("hv"), ignoreNulls = true).over(w).as("value_ffill"))
+          col("hv").as("value_ffill"))
         .orderBy("user_id", "hour")
     },
 

@@ -89,8 +89,18 @@ object GroupJ {
       // join over DISTINCT signatures (the fixture's tiny vocabulary
       // makes many distinct sets share all 16 mins — banding reps
       // directly re-inflates the buckets that layer exists to collapse).
+      // SORTED distinct token sets (round 15): grouping by the sorted
+      // array is exact SET equality (the array-order form could only
+      // split a set across groups, never merge distinct sets — both
+      // compactions aggregate identically, see below), and sortedness is
+      // the input contract of the merge-intersection kernel that replaced
+      // array_intersect in the join-back: the probe measured the exact-
+      // Jaccard stage at 7.7 s of the query's 10 s, almost all per-pair
+      // hash-set allocation inside array_intersect over the 3.5M admitted
+      // rep pairs. The minhash signature is a min over per-token hashes —
+      // order-independent — so banding is untouched.
       val docs = tbl(spark, dir, "documents")
-        .select(col("doc_id"), DedupOps.tokenSet(col("text")).as("t"))
+        .select(col("doc_id"), DedupOps.sortedTokenSet(col("text")).as("t"))
         .filter(size(col("t")) > 0)
       // one row per distinct token set: multiplicity + min doc id as the
       // stable rep key (groupBy on the array column — exact equality);
@@ -153,7 +163,9 @@ object GroupJ {
       val pairs = intra.unionByName(cross)
       def t(p: String) = sigs.select(col("rep_id").as(s"${p}_id"),
         col("t").as(s"${p}t"), size(col("t")).as(s"${p}sz"))
-      val inter = size(array_intersect(col("at"), col("bt")))
+      // zero-allocation merge count over the sorted sets (|A∩B| identical
+      // to size(array_intersect) on distinct inputs by definition)
+      val inter = graft.ops.expr.IntersectSortedCount.column(col("at"), col("bt"))
       val uni = col("asz") + col("bsz") - inter
       val pairsW = pairs.join(t("a"), "a_id").join(t("b"), "b_id")
         .select(col("agree"), col("w"),

@@ -134,15 +134,20 @@ object GroupM {
         |FROM raw r JOIN seg g USING (custkey)
         |GROUP BY 1, 2, 3
         |ORDER BY custkey""".stripMargin) { (spark, dir) =>
+      // round 15: the raw per-customer totals (span_days, n_orders) ride
+      // the SAME sweep pass as the island aggregation — partial sums per
+      // (custkey, island) roll up to the customer in the second agg — so
+      // the interval table is computed once, never materialized (the
+      // previous shape paid an eager localCheckpoint job so a second
+      // branch and a join could re-read it; one pass, no join, same rows)
       val iv = Q.instantTs(tbl(spark, dir, "orders"), "o_orderdate")
         .join(Q.instantTs(tbl(spark, dir, "lineitem"), "l_shipdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("custkey"), col("o_orderkey"),
           expr("unix_micros(o_orderdate) div 86400000000").as("s"))
         .agg((max(expr("unix_micros(l_shipdate) div 86400000000")) + 1).as("e"))
-        .localCheckpoint(true) // sweep + raw totals both read it
       val order = Window.partitionBy("custkey").orderBy("s", "e")
-      val sweep = iv
+      iv
         .withColumn("prev_max",
           max("e").over(order.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("isl",
@@ -150,13 +155,12 @@ object GroupM {
             .otherwise(0L))
             .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("custkey", "isl")
-        .agg((max("e") - min("s")).as("covered"))
+        .agg((max("e") - min("s")).as("covered"),
+          sum(col("e") - col("s")).as("span_part"),
+          count(lit(1)).as("n_part"))
         .groupBy("custkey")
-        .agg(sum("covered").as("covered_days"), count(lit(1)).as("n_islands"))
-      val raw = iv.groupBy("custkey")
-        .agg(sum(col("e") - col("s")).as("span_days"),
-          count(lit(1)).as("n_orders"))
-      raw.join(sweep, Seq("custkey"))
+        .agg(sum("covered").as("covered_days"), count(lit(1)).as("n_islands"),
+          sum("span_part").as("span_days"), sum("n_part").as("n_orders"))
         .select(big(col("custkey")).as("custkey"), big(col("n_orders")).as("n_orders"),
           big(col("span_days")).as("span_days"),
           big(col("covered_days")).as("covered_days"),

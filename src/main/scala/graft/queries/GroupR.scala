@@ -284,8 +284,11 @@ object GroupR {
         // ≈ ms of CPU — measured 182.7 s on the coalesced plan vs the
         // spread below; round-robin keeps the kernel on every core
         .repartition(spark.sparkContext.defaultParallelism)
+        // round 15: Myers bit-parallel kernel — the same integer as the
+        // built-in levenshtein() at O(⌈m/64⌉·n) instead of O(m·n)
+        // (LevenshteinMyersSpec pins bit-equality against the built-in)
         .select(col("r1"), col("r2"),
-          levenshtein(col("t1"), col("t2")).as("edit"))
+          graft.ops.expr.LevenshteinMyers.column(col("t1"), col("t2")).as("edit"))
       // coalesce ONLY the provably-clone case (same rep ⇒ verbatim equal
       // text ⇒ edit 0); a rep-pair row missing from repEdit stays NULL so
       // any future compaction regression fails the oracle gate loudly

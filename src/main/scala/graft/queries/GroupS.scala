@@ -216,10 +216,17 @@ object GroupS {
     // per order priority — count, exact nearest-rank p50/p90, and mean.
     // Lead times are INTEGERS (µs difference, truncating day division —
     // identical on both engines, negatives included), so the percentiles
-    // are exact picks, not interpolations. Shape: ONE fact-fact equi-join
-    // on orderkey, then the q_winsorize pattern — rank and total as
-    // window aggregates over the SAME per-priority partitioning (one
-    // shuffle, one sort), never a global window.
+    // are exact picks, not interpolations. Shape (round 15, guide §2.3
+    // aggregate-before-shuffle): the fact-fact join output collapses to
+    // per-(priority, day) COUNTS in one map-side-combining hash agg — the
+    // day axis is calendar-bounded, so the frame after it is ~|pri|×|days|
+    // rows at ANY scale — and the nearest-rank pick becomes "smallest d
+    // whose cumulative count reaches the rank" over that bounded frame.
+    // The previous shape sorted the full fact join output inside 5
+    // priority partitions (a 5-task sort of the corpus at any scale —
+    // the straggler shape guide §2.5 warns about); this one never sorts
+    // anything data-sized. Value-at-rank-r = min{d : cum(d) ≥ r} is
+    // definitionally the same pick as row_number() = r over (d ASC).
     Q("q_ship_latency",
       """WITH j AS (
         |  SELECT o.o_orderpriority AS pri,
@@ -246,20 +253,23 @@ object GroupS {
       val od = Q.instantTs(tbl(spark, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
           col("o_orderdate")), "o_orderdate")
+      // bounded frames from here down: ~|pri| × |calendar days| rows
       val byPri = Window.partitionBy("pri").orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val overPri = Window.partitionBy("pri")
       li.join(od, Seq("l_orderkey"))
         .select(col("o_orderpriority").as("pri"),
           expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
             " div 86400000000").as("d"))
-        .withColumn("rn", row_number().over(byPri))
-        .withColumn("n", count(lit(1)).over(overPri))
-        .withColumn("sd", sum(col("d")).over(overPri))
+        .groupBy("pri", "d").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(byPri))
+        .withColumn("n", sum(col("c")).over(overPri))
+        .withColumn("sd", sum(col("d") * col("c")).over(overPri))
         .groupBy("pri")
         .agg(big(max(col("n"))).as("n"),
-          big(min(when(col("rn") === expr("(n-1) div 2 + 1"), col("d"))))
+          big(min(when(col("cum") >= expr("(n-1) div 2 + 1"), col("d"))))
             .as("p50_days"),
-          big(min(when(col("rn") === expr("((n-1)*9) div 10 + 1"), col("d"))))
+          big(min(when(col("cum") >= expr("((n-1)*9) div 10 + 1"), col("d"))))
             .as("p90_days"),
           round(max(col("sd")).cast(DoubleType) / max(col("n")).cast(DoubleType), 6)
             .as("avg_days"))
