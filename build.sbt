@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g, still env-overridable): the single-JVM 293-query
+  // suite accretes every query's SessionCache artifacts and shuffle state
+  // into one old generation, and round-15 measurements showed in-suite
+  // timings 2-8x their isolated values under the 8g heap (q_fleiss_kappa
+  // 19.3s in-suite vs 2.5s isolated on the same box) - late queries were
+  // measuring the collector, not their plan. The bench box has 128 GiB;
+  // a cluster deployment sizes executor memory explicitly and ignores
+  // this local-harness default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

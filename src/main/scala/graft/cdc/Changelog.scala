@@ -36,7 +36,7 @@ object Changelog {
   /** Flat-column form: op, schema_name, table_name, pk, lsn, title, content,
     * created_at, author, has_after. */
   def flat(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = graft.util.TableCache.parquet(spark, s"$dir/documents.parquet")
     val id = col("doc_id")
     val m = id % 37
     val nullStr = lit(null).cast("string")

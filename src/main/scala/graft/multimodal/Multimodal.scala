@@ -34,7 +34,7 @@ object Multimodal {
     * `text` stand in for an encoded media payload. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.util.TableCache.parquet(spark, s"$dir/documents.parquet")
       .select(
         col("doc_id"),
         element_at(typedLit(Seq("image", "audio", "video")),

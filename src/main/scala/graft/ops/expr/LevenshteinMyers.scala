@@ -80,15 +80,23 @@ object LevenshteinMyers {
     out
   }
 
-  /** Single-word Myers (m ≤ 64): the textbook formulation. */
+  /** Single-word Myers (m ≤ 64): the textbook formulation. Peq lookups go
+    * through a direct-indexed array for ASCII code points (the dominant
+    * case — one unboxed load per text char) with a HashMap fallback for
+    * the rest. */
   private def single(p: Array[Int], t: Array[Int]): Int = {
     val m = p.length
-    val peq = new java.util.HashMap[Integer, java.lang.Long]()
+    val ascii = new Array[Long](128)
+    var peq: java.util.HashMap[Integer, java.lang.Long] = null
     var i = 0
     while (i < m) {
-      val k: Integer = p(i)
-      val prev = peq.get(k)
-      peq.put(k, (if (prev == null) 0L else prev.longValue()) | (1L << i))
+      val cp = p(i)
+      if (cp < 128) ascii(cp) |= 1L << i
+      else {
+        if (peq == null) peq = new java.util.HashMap[Integer, java.lang.Long]()
+        val prev = peq.get(cp: Integer)
+        peq.put(cp, (if (prev == null) 0L else prev.longValue()) | (1L << i))
+      }
       i += 1
     }
     val last = 1L << (m - 1)
@@ -97,8 +105,11 @@ object LevenshteinMyers {
     var score = m
     var j = 0
     while (j < t.length) {
-      val eqBoxed = peq.get(t(j): Integer)
-      val eq = if (eqBoxed == null) 0L else eqBoxed.longValue()
+      val c = t(j)
+      val eq =
+        if (c < 128) ascii(c)
+        else if (peq == null) 0L
+        else { val b = peq.get(c: Integer); if (b == null) 0L else b.longValue() }
       val xv = eq | vn
       val xh = (((eq & vp) + vp) ^ vp) | eq
       var ph = vn | ~(xh | vp)
@@ -125,14 +136,21 @@ object LevenshteinMyers {
     val blocks = (m + 63) >>> 6
     val lastBits = m - ((blocks - 1) << 6) // 1..64
     val scoreBit = 1L << (lastBits - 1)
-    // Peq: char -> per-block position masks
-    val peq = new java.util.HashMap[Integer, Array[Long]]()
+    // Peq: char -> per-block position masks. ASCII code points (the
+    // dominant case) index a flat [128 × blocks] array — one unboxed load
+    // per (text char, block) — with a HashMap fallback for the rest.
+    val ascii = new Array[Long](128 * blocks)
+    var peq: java.util.HashMap[Integer, Array[Long]] = null
     var i = 0
     while (i < m) {
-      val k: Integer = p(i)
-      var masks = peq.get(k)
-      if (masks == null) { masks = new Array[Long](blocks); peq.put(k, masks) }
-      masks(i >>> 6) |= 1L << (i & 63)
+      val cp = p(i)
+      if (cp < 128) ascii(cp * blocks + (i >>> 6)) |= 1L << (i & 63)
+      else {
+        if (peq == null) peq = new java.util.HashMap[Integer, Array[Long]]()
+        var masks = peq.get(cp: Integer)
+        if (masks == null) { masks = new Array[Long](blocks); peq.put(cp, masks) }
+        masks(i >>> 6) |= 1L << (i & 63)
+      }
       i += 1
     }
     val vp = new Array[Long](blocks)
@@ -141,11 +159,18 @@ object LevenshteinMyers {
     var score = m
     var j = 0
     while (j < t.length) {
-      val masks = peq.get(t(j): Integer)
+      val c = t(j)
+      val asciiBase = if (c < 128) c * blocks else -1
+      val masks =
+        if (c < 128 || peq == null) null
+        else peq.get(c: Integer)
       var hin = 1 // boundary row: D[0][j] − D[0][j−1] = +1
       var b = 0
       while (b < blocks) {
-        var eq = if (masks == null) 0L else masks(b)
+        var eq =
+          if (asciiBase >= 0) ascii(asciiBase + b)
+          else if (masks == null) 0L
+          else masks(b)
         val xv = eq | vn(b)
         if (hin < 0) eq |= 1L
         val xh = (((eq & vp(b)) + vp(b)) ^ vp(b)) | eq

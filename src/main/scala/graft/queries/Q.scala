@@ -16,9 +16,11 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 
-  /** Read a fixture table. */
+  /** Read a fixture table. The analyzed reader frame is memoized per
+    * (session, path) — metadata caching only (listing + footer schema),
+    * never rows; see [[graft.util.TableCache]]. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.util.TableCache.parquet(spark, s"$dir/$name.parquet")
 
   /** The events table's `ts` physical type has varied across fixture
     * generations — parquet TIMESTAMP(NANOS) (which Spark only reads as a
