@@ -49,24 +49,34 @@ object ScaleLaw {
     //  - heartbeat/network timeouts sized for GC pauses, not network
     //    failures — there IS no network in local mode, the timeout can
     //    only ever misfire;
-    //  - Tungsten page size capped at 128 MiB — the auto-sized 1 GiB
-    //    pages are G1 humongous allocations, and 32 concurrent sort
-    //    tasks asking for 1 GiB contiguous each is the observed
-    //    "Failed to allocate a page" death at 88 GiB heap;
+    //  - Tungsten page size cappable PER POINT (SPARK_GRAFT_PAGESIZE,
+    //    unset = Spark's auto-sizing): at sf3 the auto-sized 1 GiB pages
+    //    are G1 humongous allocations, and 32 concurrent sort tasks
+    //    asking for 1 GiB contiguous each is the observed "Failed to
+    //    allocate a page" death at 88 GiB heap — but the SAME 128 MiB cap
+    //    applied blanket (as in r14) DISTORTS the small points: at sf0.1
+    //    Spark would auto-size pages to ~1-4 MiB, and forcing 128 MiB ×
+    //    32 tasks × several operators exhausts the execution pool and
+    //    spills everything (measured round 15: q_minhash_calibration
+    //    110.9 s under the blanket cap vs 4.3 s under Bench's defaults on
+    //    the same box/code — and passes DEGRADED 110→246 s as
+    //    fragmentation compounded). bench_scale.sh sets the cap for the
+    //    sf3 point only;
     //  - shuffle partitions overridable per scale point
     //    (SPARK_GRAFT_SHUFFLE) — the house rule is to size partitions
     //    for DATA VOLUME, not core count; 32 partitions of a 1.2-billion
     //    -pair shuffle at sf3 are ~40M rows each.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "800s")
-      .config("spark.buffer.pageSize", "128m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_PAGESIZE")
+      .foreach(p => builder.config("spark.buffer.pageSize", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val subset = names.map(n => n -> graft.SparkEntry.queries(n))
     subset.foreach { case (name, fn) =>

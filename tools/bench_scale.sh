@@ -71,8 +71,8 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
-run_one() { # run_one <sfdir> <tag> <mem> <cpus> <shuffle> <timeout> <query>
-  local sfdir="$1" tag="$2" mem="$3" cpus="$4" shuffle="$5" tmo="$6" q="$7"
+run_one() { # run_one <sfdir> <tag> <mem> <cpus> <shuffle> <timeout> <pagesize|-> <query>
+  local sfdir="$1" tag="$2" mem="$3" cpus="$4" shuffle="$5" tmo="$6" pg="$7" q="$8"
   local jsonl="tmp/${tag}.jsonl" log="tmp/${tag}.log"
   # skip-if-complete: a prior SUCCESS row (numeric sec) for this query
   # means it already ran; error/timeout rows are retried
@@ -80,8 +80,10 @@ run_one() { # run_one <sfdir> <tag> <mem> <cpus> <shuffle> <timeout> <query>
     echo "skip $q @ $tag (already measured)"; return
   fi
   echo "=== $tag $q mem=$mem cpus=$cpus shuffle=$shuffle tmo=${tmo}s $(date +%T) ==="
-  SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS="$cpus" \
-  SPARK_GRAFT_SHUFFLE="$shuffle" SPARK_GRAFT_ONLY="$q" \
+  local pgenv=()
+  [ "$pg" != "-" ] && pgenv=(SPARK_GRAFT_PAGESIZE="$pg")
+  env SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS="$cpus" \
+  SPARK_GRAFT_SHUFFLE="$shuffle" SPARK_GRAFT_ONLY="$q" "${pgenv[@]}" \
     timeout -k 30 "$tmo" \
     java $OPENS -Xmx"$mem" -XX:+ExitOnOutOfMemoryError \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
@@ -102,8 +104,8 @@ run_one() { # run_one <sfdir> <tag> <mem> <cpus> <shuffle> <timeout> <query>
   fi
 }
 
-point() { # point <sfdir> <tag> <mem> <cpus> <shuffle> <timeout>
-  for q in $QUERIES; do run_one "$1" "$2" "$3" "$4" "$5" "$6" "$q"; done
+point() { # point <sfdir> <tag> <mem> <cpus> <shuffle> <timeout> <pagesize|->
+  for q in $QUERIES; do run_one "$1" "$2" "$3" "$4" "$5" "$6" "$7" "$q"; done
 }
 
 # Shuffle partitions scale with DATA (32/64/128), cores stay equal (32):
@@ -112,9 +114,11 @@ point() { # point <sfdir> <tag> <mem> <cpus> <shuffle> <timeout>
 # derivation) still wants the full headroom. sf3 runs FIRST: it is the
 # leg a round boundary has three times cut short; per-query .jsonl rows
 # survive any interruption.
-point "$PWD/tmp/sf3_raw"   scalelaw15_sf3  88g 32 128 5400
-point /root/testdata/sf0.1 scalelaw15_sf01 48g 32 32   900
-point "$PWD/tmp/sf1_raw"   scalelaw15_sf1  64g 32 64  2400
+# 128m page cap at sf3 ONLY (see ScaleLaw.scala: the blanket cap
+# distorted small points 25x in r15 by forcing whole-pool page spills)
+point "$PWD/tmp/sf3_raw"   scalelaw15_sf3  88g 32 128 5400 128m
+point /root/testdata/sf0.1 scalelaw15_sf01 48g 32 32   900 -
+point "$PWD/tmp/sf1_raw"   scalelaw15_sf1  64g 32 64  2400 -
 
 python3 tools/merge_growthlaw.py "$OUT" \
   tmp/scalelaw15_sf01.jsonl tmp/scalelaw15_sf1.jsonl tmp/scalelaw15_sf3.jsonl
