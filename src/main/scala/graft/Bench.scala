@@ -27,28 +27,41 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(",")}")
     }
-    SparkEntry.queries
+    // The two warm-up phases below are UNTIMED setup; they run their
+    // independent jobs from a small driver-side pool (guide §2.6) because
+    // each sf0.001 plan keeps only a couple of cores busy and the serial
+    // loop left the box idle for minutes. The timed region (two min-of-2
+    // noop passes, strictly sequential) is untouched — same methodology,
+    // same generated classes, same cache state when timing starts.
+    def inPool(items: Seq[() => Unit]): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, cpus.toInt / 4)))
+      items.map(f => pool.submit(new Runnable { def run(): Unit = f() }))
+        .foreach(_.get())
+      pool.shutdown()
+    }
+    inPool(SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (_, fn) =>
+      .map { case (_, fn) => () =>
         // noop write, not count(): warm the SAME generated classes the
         // timed passes execute (a counted plan prunes differently)
         try fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
-      }
+      })
     // Warm the target-SF data path (OS page cache + parquet footers): the
     // timed loop measures query execution, and without this pre-read the
     // alphabetically-first queries absorb every table's first-touch disk
     // I/O while later ones read from memory — noise, not plan cost.
-    new java.io.File(sfDir).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach { f =>
+    inPool(new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+      .map { f => () =>
         // a count() would satisfy itself from footer metadata without
         // touching data pages; the noop sink drives the real column scan
         try spark.read.parquet(f.getPath)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
-      }
+      })
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Time a noop WRITE, never count(): count() lets Catalyst prune every

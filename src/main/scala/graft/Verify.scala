@@ -20,15 +20,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Queries run CONCURRENTLY from a small driver-side pool (guide §2.6:
+    // overlap independent jobs so the next query's tasks back-fill cores
+    // the current query's straggler tail leaves idle — at verify scale
+    // most queries keep only a few of the 32 cores busy). Each query's
+    // plan, its result, and its output file are untouched: outputs go to
+    // disjoint per-query directories, every registered query is
+    // deterministic (trailing ORDER BY convention), and SessionCache
+    // memoizes shared artifacts under a per-entry lock, so concurrent
+    // consumers block on one build exactly as sequential ones did.
+    val work = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR").map(_.trim.toInt)
+      .getOrElse(math.min(8, math.max(1, cpus.toInt / 4)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val futures = work.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -420,8 +420,16 @@ final class ParquetTableStore(path: String,
       val rawMax = changes.agg(max(col("lsn").cast("long"))).head()
       if (!rawMax.isNullAt(0))
         offeredMax = math.max(offeredMax, rawMax.getLong(0))
-      // empty triggers (timer fired, no data) must not commit a manifest
-      if (batch.isEmpty) return
+      // ONE stats pass over the persisted batch serves both the
+      // empty-trigger check and the touched-buckets/max-lsn bookkeeping
+      // (a separate isEmpty() was a whole extra Spark job per micro-batch
+      // — at streaming cadence the per-batch job count IS the merge
+      // operator's fixed cost). max(lsn) is null exactly when the batch
+      // has no rows; empty triggers (timer fired, no data) must not
+      // commit a manifest.
+      val agg = batch.agg(
+        collect_set(col("bucket")), max(col("lsn"))).head()
+      if (agg.isNullAt(1)) return
       val seq = m.seq + 1
       val deltaName = f"delta-$seq%08d"
       // mode=overwrite clobbers an orphan of the same seq left by a crash
@@ -433,8 +441,6 @@ final class ParquetTableStore(path: String,
       batch.repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$dataDir/$deltaName")
-      val agg = batch.agg(
-        collect_set(col("bucket")), max(col("lsn"))).head()
       val touched = agg.getSeq[Int](0).toSet // ≤ numBuckets values
       val batchMax = agg.getLong(1)
       var next = m.copy(seq = seq,
