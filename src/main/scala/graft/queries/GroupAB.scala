@@ -54,11 +54,9 @@ object GroupAB {
 
   private[queries] def daily(spark: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
-    events(spark, dir)
-      .groupBy(col("event_type").as("t"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("cnt"),
-        (dsum(col("value")) / count(lit(1)).cast(DoubleType)).as("m"))
+    // round 16: identical expression to GroupAA.daily — read the one
+    // session-cached rollup instead of re-aggregating the fact
+    GroupAA.daily(spark, dir)
 
   /** Shared oracle CTE block: the three pair sets every detector-evaluation
     * query compares — `jp` (exact ≥0.95 token-Jaccard truth), `mh` (MinHash

@@ -134,14 +134,25 @@ object GroupF {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
       (spark, dir) =>
-        val ps = tbl(spark, dir, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct()
         val bad = tbl(spark, dir, "supplier")
           .filter(col("s_acctbal") < 0).select("s_suppkey")
         val parts = tbl(spark, dir, "part")
           .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "MEDIUM" &&
             col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
           .select("p_partkey", "p_brand", "p_type", "p_size")
+        // Round 16 (guide §3.2/§2.3 — reduce the big side BEFORE its
+        // exchange): the filtered-part semi-join is a row-local predicate
+        // on the pair stream, so it commutes with the DISTINCT — applied
+        // map-side (broadcast of the already-hinted dimension slice,
+        // projected to the key) it cuts the pair-dedup shuffle to the
+        // qualifying ~1/6 slice of lineitem instead of deduping every
+        // witnessed pair and discarding most of them afterwards. The
+        // supplier anti-join stays where it was, on the deduped pairs.
+        val ps = tbl(spark, dir, "lineitem")
+          .select("l_partkey", "l_suppkey")
+          .join(broadcast(parts.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .distinct()
         ps.join(bad, ps("l_suppkey") === bad("s_suppkey"), "left_anti")
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")

@@ -191,16 +191,12 @@ object GroupR {
         |FROM nonadj n JOIN deg da ON da.src = n.a_id
         |             JOIN deg db ON db.src = n.b_id
         |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-      // wedges, degrees, and the anti join all read the symmetric closure:
-      // SessionCache persists it with lineage intact (a lost executor
-      // recomputes), unlike the previous localCheckpoint whose truncated
+      // wedges, degrees, and the anti join all read the symmetric closure
+      // artifact (PipelineQueries.h1sym — shared with q_graph_khop since
+      // round 16): SessionCache persists it with lineage intact (a lost
+      // executor recomputes), unlike a localCheckpoint whose truncated
       // lineage failed the job on any storage loss
-      val h1 = graft.util.SessionCache.getOrMaterialize(spark, s"h1sym:$dir") {
-        val p = PipelineQueries.jaccardPairs(spark, dir)
-        p.select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .distinct()
-      }
+      val h1 = PipelineQueries.h1sym(spark, dir)
       val deg = h1.groupBy("src").agg(count(lit(1)).as("deg"))
       val cn = graft.ops.GraphOps.commonNeighbors(h1)
       cn.join(h1.select(col("src").as("a_id"), col("dst").as("b_id")),

@@ -231,24 +231,31 @@ object GroupW {
          |FROM ex LEFT JOIN sm ON sm.event_type = ex.event_type
          |ORDER BY event_type""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.types.DecimalType
-      val ev = events(spark, dir)
-        .select(col("event_type"), col("user_id"),
+      // ONE scan, ONE aggregation shuffle (round 16, guide §2.4): the 10%
+      // user gate pmod(fnv(user_id), 100) < 10 is a pure per-ROW function,
+      // so the sampled leg is a conditional sum in the SAME aggregate as
+      // the exact total. The previous plan localCheckpoint'ed the whole
+      // projected fact, hashed the DISTINCT user universe, and semi-joined
+      // it back — at 100 TB that is a full materialized copy plus two
+      // extra shuffles of the fact; re-hashing a short id per row is
+      // plain CPU inside the scan. A user's rows all share the hash, so
+      // summing gated rows ≡ joining the gated user set: bit-identical.
+      val sampled = pmod(graft.ops.expr.Fnv1a64.columnCodePoints(
+        col("user_id").cast("string")), lit(100)) < 10
+      events(spark, dir)
+        .select(col("event_type"),
           (col("value").cast(DecimalType(25, 6)) * 1000000)
-            .cast("long").as("v_micros"))
-        .localCheckpoint(true) // exact totals + the sampled leg share it
-      val surv = ev.select("user_id").distinct()
-        .withColumn("h",
-          graft.ops.expr.Fnv1a64.columnCodePoints(col("user_id").cast("string")))
-        .filter(pmod(col("h"), lit(100)) < 10)
-        .select("user_id")
-      val ex = ev.groupBy("event_type").agg(sum("v_micros").as("exact_micros"))
-      val sm = ev.join(surv, Seq("user_id"))
-        .groupBy("event_type").agg(sum("v_micros").as("samp_micros"))
-      ex.join(sm, Seq("event_type"), "left")
+            .cast("long").as("v_micros"),
+          sampled.as("in_sample"))
+        .groupBy("event_type")
+        .agg(sum("v_micros").as("exact_micros"),
+          // empty sample ⇒ 0 (matches the old left join's coalesce(·, 0))
+          sum(when(col("in_sample"), col("v_micros")).otherwise(0L))
+            .as("samp_micros"))
         .select(col("event_type"), big(col("exact_micros")).as("exact_micros"),
-          big(coalesce(col("samp_micros"), lit(0L)) * 10).as("est_micros"),
+          big(col("samp_micros") * 10).as("est_micros"),
           // DECIMAL(38,0) headroom: diff·10⁶ overflows int64 at large SF
-          big(expr("CAST(coalesce(samp_micros, 0) * 10 - exact_micros" +
+          big(expr("CAST(samp_micros * 10 - exact_micros" +
             " AS DECIMAL(38,0)) * 1000000 div exact_micros")).as("err_ppm"))
         .orderBy("event_type")
     },

@@ -60,10 +60,11 @@ object GroupY {
     * ÷ count (one IEEE divide), so both engines see identical doubles. */
   private[queries] def dailyMeans(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    events(spark, dir)
-      .groupBy(col("event_type").as("t"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg((dsum(col("value")) / count(lit(1)).cast(DoubleType)).as("m"))
+    // round 16: one projection over the session-shared (t, day, cnt, m)
+    // rollup (GroupAA.daily) instead of a private re-aggregation of the
+    // fact — the mean column there is the identical DECIMAL-sum ÷ count
+    // expression, so every consumer's values are unchanged
+    GroupAA.daily(spark, dir).select(col("t"), col("day"), col("m"))
 
   /** The fold-tail length shared by q_ewma/q_holt and their oracles: a
     * point 1024 steps old carries weight ≤ (3/4)^1024 ≈ 1e-128 (EWMA) or

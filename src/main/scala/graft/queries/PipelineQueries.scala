@@ -292,6 +292,22 @@ object PipelineQueries {
       DedupOps.nearDupPairs(docs)
     }
 
+  /** Symmetric closure of the verified pair artifact — DISTINCT (src, dst)
+    * both directions — materialized once per session under the same
+    * `h1sym` key q_link_predict always used. Round 16: q_graph_khop used
+    * to rebuild this exact frame privately (union + distinct +
+    * localCheckpoint — a second dedup shuffle and a full materialization
+    * job per run); the adjacency list is a pipeline artifact like
+    * [[jaccardPairs]] itself, built once and read by every graph query.
+    * SessionCache persists WITH lineage (executor loss recomputes). */
+  private[queries] def h1sym(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"h1sym:$dir") {
+      val p = jaccardPairs(spark, dir)
+      p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct()
+    }
+
   /** PQ codebooks for a fixture dir, trained once per process and shared by
     * q_pq_encode / q_pq_adc — the [[jaccardPairs]] principle for a
     * driver-side artifact: a real pipeline trains the quantizer once and

@@ -694,12 +694,15 @@ object PipelineTextMedia {
         .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // tf rows ARE the distinct (doc, term) pairs, so document frequency
-      // is a plain count over tf — no second corpus explode, and the
-      // count-distinct becomes a cheap re-aggregation of the tf shuffle
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // is a plain count over tf. Round 16 (guide §2.4): df rides a
+      // whole-partition WINDOW over the same term-keyed exchange the old
+      // plan paid for its join — one shuffle of the tf stream replaces
+      // the separate df aggregation plus the join that re-shuffled tf
+      // against it (3 exchanges + a join build → 1 exchange).
+      val byTerm = Window.partitionBy("term")
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(df, "term")
+      tf.withColumn("df", count(lit(1)).over(byTerm))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), big(col("tf")).as("tf"),
@@ -743,9 +746,14 @@ object PipelineTextMedia {
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val pairs = jaccardPairs(spark, dir).filter(col("jac") >= 0.97)
         .select(col("a_id"), col("b_id"))
+      // round 16: no localCheckpoint — the ≥0.97 closure is a narrow
+      // filter+union over the SessionCache-persisted pair artifact, so
+      // each loop round re-derives it from cached partitions for less
+      // than the full materialization job the checkpoint cost up front
+      // (the artifact itself cannot ride h1sym: that closure is the
+      // ≥0.95 set, this one is the tighter 0.97 edge set)
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true) // materialize the verified edge set once
       var labels = edges.select(col("src").as("node"), col("src").as("label"))
         .distinct().localCheckpoint(true)
       // Convergence is detected by a SCALAR: per-node labels are
@@ -897,10 +905,12 @@ object PipelineTextMedia {
         |       r3.r AS rank_e12
         |FROM r3 JOIN deg ON r3.node = deg.node
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true)
+      // round 16: the symmetric closure is the session artifact
+      // PipelineQueries.h1sym (pairs hold unordered a<b edges, so the
+      // directed union IS distinct — identical rows) — replaces a private
+      // localCheckpoint materialization job per run with the persisted
+      // frame q_link_predict/q_graph_khop already share
+      val edges = PipelineQueries.h1sym(spark, dir)
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
