@@ -24,6 +24,36 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object GroupH {
 
+  /** The per-(type, value) CDF grid both drift monitors read: every
+    * distinct value crossed with the bounded type set, per-type cumulative
+    * count, pooled cumulative (Σ_t cum_t via the per-value ≤|types|-row
+    * window), and the next distinct value (for W₁'s trapezoid width).
+    * Round 16: materialized ONCE per session (SessionCache) — q_ks_drift
+    * and q_wasserstein_drift derived this identical table independently,
+    * and a drift monitor computes its distribution index once per slice,
+    * then evaluates whatever statistics it publishes over it. The count
+    * join is a SHUFFLE join (the form q_wasserstein_drift always used):
+    * per-(type,value) counts grow with the corpus, so the previous
+    * broadcast(cnt) on the KS side was a growing broadcast — removed. */
+  private[queries] def cdfGrid(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.SessionCache.getOrMaterialize(spark, s"cdfgrid:$dir") {
+      val ev = Q.events(spark, dir)
+        .select(col("event_type").as("t"), col("value").as("v"))
+      val cnt = ev.groupBy("t", "v").agg(count(lit(1)).as("c"))
+      val vals = ev.select("v").distinct()
+      val types = ev.groupBy("t").agg(count(lit(1)).as("n_t"))
+      val byT = Window.partitionBy("t").orderBy("v")
+      val byV = Window.partitionBy("v")
+      vals.crossJoin(broadcast(types.select("t")))
+        .join(cnt, Seq("t", "v"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_t", sum("c").over(byT))
+        .withColumn("cum_all", sum("cum_t").over(byV))
+        .withColumn("vn", lead(col("v"), 1).over(byT))
+        .select("t", "v", "cum_t", "cum_all", "vn")
+    }
+
   /** Interleave the low 16 bits of `c` to even bit positions (the
     * standard mask-and-shift spread; all values < 2³², so ANSI-safe). */
   private def spread16(c: Column): Column = {
@@ -80,17 +110,8 @@ object GroupH {
         |       CAST(dmax AS DOUBLE) / CAST(n_t * (n - n_t) AS DOUBLE) AS ks
         |FROM d
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      val ev = events(spark, dir)
-        .select(col("event_type").as("t"), col("value").as("v"))
-      val cnt = ev.groupBy("t", "v").agg(count(lit(1)).as("c"))
-      val vals = ev.select("v").distinct()
-      val types = ev.groupBy("t").agg(count(lit(1)).as("n_t"))
-      // type set is bounded: broadcast both the grid cross and the totals
-      val grid = vals.crossJoin(broadcast(types.select("t")))
-        .join(broadcast(cnt), Seq("t", "v"), "left")
-        .na.fill(0L, Seq("c"))
-      val byT = Window.partitionBy("t").orderBy("v")
-      val byV = Window.partitionBy("v")
+      val types = events(spark, dir)
+        .groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n_t"))
       // N as the ONE-ROW scalar cross join (the q_bm25 shape) — not a
       // partition-less window, which the plan guard rightly rejects
       val tot = types.crossJoin(broadcast(types.agg(sum("n_t").as("n"))))
@@ -100,9 +121,7 @@ object GroupH {
       // stays exact — the same treatment q_wasserstein_drift applies
       val dTerm = abs(dec(col("cum_t")) * dec(col("n") - col("n_t"))
         - dec(col("cum_all") - col("cum_t")) * dec(col("n_t")))
-      grid
-        .withColumn("cum_t", sum("c").over(byT))
-        .withColumn("cum_all", sum("cum_t").over(byV))
+      cdfGrid(spark, dir)
         .join(broadcast(tot), Seq("t"))
         .groupBy("t", "n_t", "n")
         .agg(max(dTerm).as("dmax"))

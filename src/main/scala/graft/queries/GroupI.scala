@@ -122,10 +122,17 @@ object GroupI {
           explode(expr(
             "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
             .as("gram"))
-        .distinct()
-      val df = grams.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+      // round 16 (guide §2.4): count(DISTINCT doc_id) fuses the previous
+      // explicit (source, doc, gram) DISTINCT with the df count — the
+      // partial aggregation dedups the triples map-side exactly as the
+      // distinct's exchange did, so one shuffle replaces two. Same value:
+      // df = number of distinct docs of the source containing the gram.
+      val df = grams.groupBy("source", "gram")
+        .agg(countDistinct("doc_id").as("df"))
+      // doc_id is the documents table's primary key — one row per doc —
+      // so the per-source doc count needs no distinct state
       val nd = docs.groupBy("source")
-        .agg(countDistinct("doc_id").as("n_docs"))
+        .agg(count(lit(1)).as("n_docs"))
       df.filter(col("df") >= 2)
         .join(broadcast(nd), Seq("source"))
         .select(col("source"), col("gram"), big(col("df")).as("df"),

@@ -239,14 +239,12 @@ object GroupV {
           "array_union(transform(sequence(0, length(nm) - 1), " +
             "i -> concat(substring(nm, 1, i), " +
             "substring(nm, i + 2, length(nm)))), array(nm))")))
-      // round 16: the localCheckpoint that used to sit here cost a full
-      // materialization job to save re-deriving a cheap projection (name
-      // dedup + substring explode) for the self-join's second side — the
-      // "eager localCheckpoint is a whole job" trap. Recomputing the
-      // expansion twice is a narrow map over the (distinct-name-sized)
-      // input on both sides of the one variant-keyed exchange; at corpus
-      // scale a materialized copy of the variant table is |names|·|len|
-      // rows of disk for no removed shuffle.
+        // round 16 tried removing this checkpoint (an eager job to save
+        // re-deriving a narrow projection) — measured SLOWER both times
+        // (0.82 → 0.96/1.19 s isolated at sf0.1, above the batch's noise):
+        // without it the name dedup's exchange runs once per self-join
+        // side. Kept.
+        .localCheckpoint(true) // both sides of the variant self-join
       v.select(col("nm").as("name_a"), col("var"))
         .join(v.select(col("nm").as("name_b"), col("var")), Seq("var"))
         .filter(col("name_a") < col("name_b") &&

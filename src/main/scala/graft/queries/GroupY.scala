@@ -1008,16 +1008,8 @@ object GroupY {
         |WHERE c2.vn IS NOT NULL
         |GROUP BY c2.t, tt.n_t, tt.n
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      val ev = events(spark, dir)
-        .select(col("event_type").as("t"), col("value").as("v"))
-      val cnt = ev.groupBy("t", "v").agg(count(lit(1)).as("c"))
-      val vals = ev.select("v").distinct()
-      val types = ev.groupBy("t").agg(count(lit(1)).as("n_t"))
-      val grid = vals.crossJoin(broadcast(types.select("t")))
-        .join(cnt, Seq("t", "v"), "left")
-        .na.fill(0L, Seq("c"))
-      val byT = Window.partitionBy("t").orderBy("v")
-      val byV = Window.partitionBy("v")
+      val types = events(spark, dir)
+        .groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n_t"))
       val tot = types.crossJoin(broadcast(types.agg(sum("n_t").as("n"))))
       // the cross-products run in DECIMAL(19,0)→DECIMAL(38,0), never Long:
       // cum_t·n_rest reaches n² (~1e20 at trillion-row corpora), where a
@@ -1027,10 +1019,10 @@ object GroupY {
       // both, so the trapezoid multiply sees the identical IEEE value
       val gapInt = abs(dec(col("cum_t")) * dec(col("n") - col("n_t"))
         - dec(col("cum_all") - col("cum_t")) * dec(col("n_t")))
-      grid
-        .withColumn("cum_t", sum("c").over(byT))
-        .withColumn("cum_all", sum("cum_t").over(byV))
-        .withColumn("vn", lead(col("v"), 1).over(byT))
+      // round 16: the (t, v, cum_t, cum_all, vn) CDF grid is the session
+      // artifact GroupH.cdfGrid shared with q_ks_drift — identical
+      // windows, identical values, built once
+      GroupH.cdfGrid(spark, dir)
         .join(broadcast(tot), Seq("t"))
         .filter(col("vn").isNotNull)
         .groupBy("t", "n_t", "n")
