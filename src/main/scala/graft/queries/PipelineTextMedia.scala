@@ -746,14 +746,15 @@ object PipelineTextMedia {
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val pairs = jaccardPairs(spark, dir).filter(col("jac") >= 0.97)
         .select(col("a_id"), col("b_id"))
-      // round 16: no localCheckpoint — the ≥0.97 closure is a narrow
-      // filter+union over the SessionCache-persisted pair artifact, so
-      // each loop round re-derives it from cached partitions for less
-      // than the full materialization job the checkpoint cost up front
-      // (the artifact itself cannot ride h1sym: that closure is the
-      // ≥0.95 set, this one is the tighter 0.97 edge set)
+      // The 0.97 closure CANNOT ride h1sym (that artifact is the ≥0.95
+      // set) and it stays checkpointed: round 16 tried recomputing it per
+      // loop round from the persisted pair artifact and measured slower
+      // (2.5 → 4.4 s isolated at sf0.1 — the filter+union re-ran once per
+      // round instead of once per execution). Kept as the loop's
+      // materialized constant.
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
       var labels = edges.select(col("src").as("node"), col("src").as("label"))
         .distinct().localCheckpoint(true)
       // Convergence is detected by a SCALAR: per-node labels are
